@@ -1,0 +1,106 @@
+"""S2 structural invariants.
+
+No s2 library exists in this container, so correctness is established the way
+the algorithm is defined: the Hilbert adjacency property (consecutive curve
+positions are spatially adjacent leaves — this uniquely pins the generated
+lookup tables), exact parent/containment algebra on the bit layout, center
+round-trips, and the documented face orientation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from core_spark.functions import s2
+
+RNG = np.random.default_rng(42)
+LAT = RNG.uniform(-89, 89, 8000)
+LON = RNG.uniform(-180, 180, 8000)
+LEAF = s2.s2_cell(LAT, LON, 30)
+
+
+def test_leaf_ids_odd():
+    assert (LEAF % 2 != 0).all()
+
+
+@pytest.mark.parametrize("lv", [0, 3, 10, 20, 29])
+def test_parent_equals_direct_assignment(lv):
+    direct = s2.s2_cell(LAT, LON, lv)
+    assert (s2.parent(LEAF, lv) == direct).all()
+    assert (s2.level_of(direct) == lv).all()
+
+
+@pytest.mark.parametrize("lv", [2, 12, 25])
+def test_containment_ranges(lv):
+    p = s2.parent(LEAF, lv)
+    assert s2.contains(p, LEAF).all()
+    # a sibling-range check: range bounds nest strictly inside the parent
+    assert (s2.range_min(p) <= s2.range_min(LEAF)).all()
+    assert (s2.range_max(LEAF) <= s2.range_max(p)).all()
+
+
+def test_hilbert_adjacency():
+    """Consecutive curve positions on a face are spatially adjacent leaves —
+    the defining space-filling-curve property; any lookup-table error breaks
+    it immediately."""
+    n = 5000
+    face = np.zeros(n, dtype=np.int64)
+    i = RNG.integers(1, 2**30 - 2, n)
+    j = RNG.integers(1, 2**30 - 2, n)
+    ids = s2.face_ij_to_id(face, i, j, 30)
+    pos = ids.astype(np.uint64) >> np.uint64(1)
+    nxt = ((pos + np.uint64(1)) << np.uint64(1)) | np.uint64(1)
+
+    def to_ij(cells):
+        la, lo = s2.cell_center_latlon(cells)
+        x, y, z = s2.latlon_to_xyz(la, lo)
+        f, u, v = s2.xyz_to_face_uv(x, y, z)
+        return f, s2.st_to_ij(s2.uv_to_st(u)), s2.st_to_ij(s2.uv_to_st(v))
+
+    f1, i1, j1 = to_ij(ids)
+    f2, i2, j2 = to_ij(nxt.astype(np.int64))
+    same = f1 == f2
+    d = np.abs(i1 - i2) + np.abs(j1 - j2)
+    assert (d[same] == 1).all()
+    assert same.mean() > 0.99
+
+
+@pytest.mark.parametrize("lv", [4, 12, 22, 30])
+def test_center_round_trip(lv):
+    c = s2.s2_cell(LAT[:2000], LON[:2000], lv)
+    clat, clon = s2.cell_center_latlon(c)
+    assert (s2.s2_cell(clat, clon, lv) == c).all()
+
+
+def test_face_orientation():
+    pts = [((0, 0), 0), ((0, 90), 1), ((90, 0), 2), ((0, 180), 3), ((0, -90), 4), ((-90, 0), 5)]
+    for (la, lo), f in pts:
+        x, y, z = s2.latlon_to_xyz(np.array([float(la)]), np.array([float(lo)]))
+        got, _, _ = s2.xyz_to_face_uv(x, y, z)
+        assert got[0] == f
+
+
+def test_st_uv_inverse():
+    s = RNG.uniform(0, 1, 1000)
+    assert np.allclose(s2.uv_to_st(s2.st_to_uv(s)), s, atol=1e-12)
+
+
+def test_invalid_coords_minus_one():
+    got = s2.s2_cell(np.array([np.nan, 95.0]), np.array([0.0, 0.0]), 10)
+    assert (got == -1).all()
+
+
+def test_determinism_rerun():
+    assert (s2.s2_cell(LAT, LON, 15) == s2.s2_cell(LAT, LON, 15)).all()
+
+
+def test_spark_udf_matches_numpy(spark):
+    import pandas as pd
+
+    from core_spark.operators.tiles import assign_tiles
+
+    pdf = pd.DataFrame({"lat": LAT[:2000], "lon": LON[:2000]})
+    df = spark.createDataFrame(pdf)
+    out = assign_tiles(df, resolutions=(7,), s2_level=12).toPandas()
+    assert (out["s2_cell"].values == s2.s2_cell(pdf.lat.values, pdf.lon.values, 12)).all()
