@@ -14,6 +14,10 @@ SF_SMOKE = os.path.join(TESTDATA, "sf0.001")
 SF_ORACLE = os.path.join(TESTDATA, "sf0.01")
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "spark: test needs a SparkSession")
+
+
 @pytest.fixture(scope="session")
 def spark():
     from pyspark.sql import SparkSession
