@@ -1,0 +1,245 @@
+"""Training-data operator tests: text stats, dedup families, ANN, multimodal.
+
+Every SQL-expressible operator is checked Spark-vs-DuckDB here at unit scale
+(the driver's oracle repeats this at sf0.01 via __spark_entry__).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from core_spark.functions import textstats as ts
+from core_spark.operators import dedup as dd
+from core_spark.operators.multimodal import (
+    decode_image,
+    encode_fake_image,
+    parse_media_header,
+)
+
+DOCS = pd.DataFrame(
+    {
+        "doc_id": range(8),
+        "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+            "the quick brown fox jumps over a lazy dog",     # near dup of 0
+            "der Hund ist nicht und der die das hier",
+            "le chat est sur la table et les livres",
+            "completely different content about spark engines",
+            "",
+            "one",
+        ],
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.register("docs", DOCS)
+    return con
+
+
+class TestKernels:
+    def test_simhash_properties(self):
+        a = dd.simhash64("the quick brown fox".split())
+        b = dd.simhash64("the quick brown fox".split())
+        c = dd.simhash64("totally unrelated words here".split())
+        assert a == b
+        assert a != c
+        near = dd.simhash64("the quick brown foxes".split())
+        ham_near = bin((a ^ near) & ((1 << 64) - 1)).count("1")
+        ham_far = bin((a ^ c) & ((1 << 64) - 1)).count("1")
+        assert ham_near < ham_far
+
+    def test_media_header_roundtrip(self):
+        img = (np.arange(2 * 3 * 3) % 256).astype(np.uint8).reshape(2, 3, 3)
+        blob = encode_fake_image(img)
+        meta = parse_media_header(blob)
+        assert meta["media_ok"] and (meta["width"], meta["height"]) == (3, 2)
+        assert np.array_equal(decode_image(blob), img)
+        # error-as-data, never raises
+        assert parse_media_header(None)["media_error"] == "null_blob"
+        assert parse_media_header(blob[:10])["media_error"] == "truncated_header"
+        assert parse_media_header(blob[:-1])["media_error"] == "truncated_payload"
+        assert parse_media_header(b"\x89PNG\r\n\x1a\nxxxx")["media_format"] == "image/png"
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG\r\n\x1a\n" + b"0" * 100)
+
+
+@pytest.mark.spark
+class TestTextStatsParity:
+    def test_quality_cols_match_duckdb(self, spark, duck):
+        sdf = spark.createDataFrame(DOCS)
+        got = (
+            sdf.selectExpr(
+                "doc_id",
+                *[f"{e} AS {k}" for k, e in ts.spark_quality_cols("text").items()],
+            )
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        want = duck.sql(
+            "SELECT doc_id, "
+            + ", ".join(f"{e} AS {k}" for k, e in ts.duck_quality_cols("text").items())
+            + " FROM docs ORDER BY doc_id"
+        ).df()
+        for col in got.columns:
+            if got[col].dtype == float:
+                assert np.allclose(got[col], want[col], equal_nan=True), col
+            else:
+                assert got[col].astype("int64").tolist() == want[col].astype("int64").tolist(), col
+
+    def test_lang_id_portable(self, spark, duck):
+        expr = ts.sql_lang_id("text")
+        sdf = spark.createDataFrame(DOCS)
+        got = sdf.selectExpr("doc_id", f"{expr} AS lang_pred").orderBy("doc_id").toPandas()
+        want = duck.sql(f"SELECT doc_id, {expr} AS lang_pred FROM docs ORDER BY doc_id").df()
+        assert got["lang_pred"].tolist() == want["lang_pred"].tolist()
+        assert got["lang_pred"].tolist()[0] == "en"
+        assert got["lang_pred"].tolist()[3] == "de"
+        assert got["lang_pred"].tolist()[4] == "fr"
+
+    def test_fingerprint_portable(self, spark, duck):
+        sdf = spark.createDataFrame(DOCS)
+        got = (
+            sdf.selectExpr("doc_id", ts.spark_fingerprint("text") + " AS fp")
+            .orderBy("doc_id").toPandas()
+        )
+        want = duck.sql(
+            f"SELECT doc_id, {ts.duck_fingerprint('text')} AS fp FROM docs ORDER BY doc_id"
+        ).df()
+        assert got["fp"].tolist() == want["fp"].tolist()
+        assert got["fp"][0] == got["fp"][1]  # exact dups share fingerprint
+
+
+@pytest.mark.spark
+class TestDedupParity:
+    def test_exact_dedup(self, spark, duck):
+        sdf = spark.createDataFrame(DOCS)
+        got = (
+            dd.exact_dedup(sdf).orderBy("doc_id").toPandas()
+        )
+        want = duck.sql(dd.sql_exact_dedup("docs") + " ORDER BY doc_id").df()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["dup_count"].tolist() == want["dup_count"].astype(int).tolist()
+        # 8 docs, one exact-dup pair -> 7 groups
+        assert len(got) == 7
+
+    def test_ngram_jaccard(self, spark, duck):
+        sdf = spark.createDataFrame(DOCS)
+        got = (
+            dd.ngram_jaccard_pairs(sdf, k=3, threshold=0.5)
+            .orderBy("id_a", "id_b").toPandas()
+        )
+        want = duck.sql(
+            dd.sql_ngram_jaccard_pairs("docs", k=3, threshold=0.5)
+            + " ORDER BY id_a, id_b"
+        ).df()
+        assert got["id_a"].tolist() == want["id_a"].tolist()
+        assert got["id_b"].tolist() == want["id_b"].tolist()
+        assert np.allclose(got["jaccard"], want["jaccard"])
+        # the exact-dup pair is found at jaccard 1.0
+        exact = got[(got.id_a == 0) & (got.id_b == 1)]
+        assert len(exact) == 1 and exact["jaccard"].iloc[0] == 1.0
+
+    def test_minhash_lsh(self, spark, duck):
+        sdf = spark.createDataFrame(DOCS)
+        got = (
+            dd.minhash_lsh_pairs(sdf, k=2, n_perm=8, bands=4)
+            .orderBy("id_a", "id_b").toPandas()
+        )
+        want = duck.sql(
+            dd.sql_minhash_lsh_pairs("docs", k=2, n_perm=8, bands=4)
+            + " ORDER BY id_a, id_b"
+        ).df()
+        assert got["id_a"].tolist() == want["id_a"].tolist()
+        assert got["id_b"].tolist() == want["id_b"].tolist()
+        # exact dup pair always collides in every band
+        assert (0, 1) in set(zip(got["id_a"], got["id_b"]))
+
+    def test_simhash_stage_and_candidates(self, spark):
+        sdf = spark.createDataFrame(DOCS[DOCS.text != ""])
+        with_h = dd.with_simhash(sdf)
+        pdf = with_h.orderBy("doc_id").toPandas()
+        # UDF stage matches pure kernel
+        for _, row in pdf.iterrows():
+            assert row["simhash"] == dd.simhash64(str(row["text"]).split())
+        cands = dd.simhash_candidates(with_h, max_hamming=4).toPandas()
+        assert (0, 1) in set(zip(cands["id_a"], cands["id_b"]))
+        assert (cands["hamming"] <= 4).all()
+
+
+@pytest.mark.spark
+class TestEmbeddingOps:
+    def test_embedding_dup_and_ann(self, spark):
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(20, 16))
+        vecs = base.copy()
+        vecs[5] = base[2] + rng.normal(scale=0.01, size=16)  # near-dup of 2
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+        vdf = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+        pairs = dd.embedding_dup_pairs(vdf, threshold=0.99, n_planes=4).toPandas()
+        assert (2, 5) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+        from core_spark.operators.similarity import brute_force_topk
+
+        qdf = spark.createDataFrame(
+            [(0, [float(x) for x in vecs[2]])], "query_id bigint, qvec array<double>"
+        )
+        top = (
+            brute_force_topk(vdf, qdf, k=3).orderBy("rank").toPandas()
+        )
+        assert top["vec_id"].tolist()[0] == 2  # itself
+        assert 5 in top["vec_id"].tolist()     # its near-dup next
+
+    def test_ivf_recall(self, spark):
+        rng = np.random.default_rng(5)
+        X = rng.normal(size=(300, 8))
+        rows = [(i, [float(v) for v in X[i]]) for i in range(300)]
+        vdf = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        queries_pd = pd.DataFrame(
+            {
+                "query_id": [0, 1],
+                "qvec": [[float(v) for v in X[7]], [float(v) for v in X[100]]],
+            }
+        )
+        from core_spark.operators.similarity import brute_force_topk, ivf_topk
+
+        qdf = spark.createDataFrame(queries_pd, "query_id bigint, qvec array<double>")
+        exact = brute_force_topk(vdf, qdf, k=5).toPandas()
+        approx = ivf_topk(spark, vdf, queries_pd, k=5, n_centroids=8, n_probe=4).toPandas()
+        # recall@5 >= 0.6 with half the buckets probed on random data
+        for qid in (0, 1):
+            e = set(exact[exact.query_id == qid]["vec_id"])
+            a = set(approx[approx.query_id == qid]["vec_id"])
+            assert len(e & a) >= 3
+        # the query vector itself is always found (it sits in a probed bucket)
+        assert approx[(approx.query_id == 0) & (approx["rank"] == 1)]["vec_id"].iloc[0] == 7
+
+
+@pytest.mark.spark
+class TestMultimodalStage:
+    def test_media_metadata_stage(self, spark):
+        img = (np.arange(4 * 4 * 3) % 251).astype(np.uint8).reshape(4, 4, 3)
+        rows = [
+            (0, bytearray(encode_fake_image(img))),
+            (1, bytearray(b"\xff\xd8\xffjpegdata")),
+            (2, None),
+        ]
+        df = spark.createDataFrame(rows, "media_id bigint, media binary")
+        from core_spark.operators.multimodal import with_media_metadata, with_thumbnail
+
+        meta = with_media_metadata(df).orderBy("media_id").toPandas()
+        assert meta["media_ok"].tolist() == [True, False, False]
+        assert meta["media_format"].tolist() == ["fakeimg/v1", "image/jpeg", None]
+        assert meta["width"].tolist()[0] == 4
+
+        thumb = with_thumbnail(df, size=2).orderBy("media_id").toPandas()
+        assert thumb["thumb"].iloc[0] is not None and len(thumb["thumb"].iloc[0]) == 4
+        assert thumb["thumb"].iloc[1] is None  # stubbed codec -> error-as-data
+        assert "no decoder" in thumb["decode_error"].iloc[1]
