@@ -1,0 +1,122 @@
+"""Benchmark harness: flagship pipeline throughput + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <pipeline_sec>, "unit": "sec",
+   "docs_per_sec": ..., "queries": {name: sec}, "sf": ..., "cpus": N}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+     SPARK_GRAFT_CPUS   (default 32)
+     SPARK_GRAFT_NDOCS  (default 100000) synthetic corpus size for the
+                        flagship docs/sec measurement (north-star metric:
+                        spatial-join + tile-assignment throughput)
+
+The flagship measurement is the full graft pipeline on the synthetic
+Common-Crawl-style corpus: generate -> G1 extract (Arrow UDF) -> G2 geoparse
+-> G3 tiles r5-r9 (JVM) -> G5 PIP join (broadcast STRtree) -> G7 zonal
+rollup. Scaling-efficiency evidence (local[8] vs local[32]) lives in
+scripts/scaling_bench.py -> BENCH_SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .appName("core-spark-bench")
+        .getOrCreate()
+    )
+
+
+def materialize_corpus(spark, n_docs: int, partitions: int) -> str:
+    """Write the synthetic corpus to parquet once (cached across runs).
+
+    Generation is the stand-in for the Iceberg input table, not engine work —
+    the flagship measurement starts at the table scan.
+    """
+    import glob
+
+    from core_spark.data.synth import webpages_spark
+
+    path = f"/tmp/spark_graft_corpus_{n_docs}"
+    if not glob.glob(os.path.join(path, "_SUCCESS")):
+        webpages_spark(spark, n_docs, partitions).select(
+            "doc_id", "url", "warc_ts", "html", "lang"
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_flagship(spark, corpus_path: str, n_docs: int) -> float:
+    """Full pipeline from table scan to zonal rollup; returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from core_spark.data.polygons import admin_polygons
+    from core_spark.functions.extract import with_extracted_text
+    from core_spark.functions.geoparse import with_mentions
+    from core_spark.operators.pip import pip_join
+    from core_spark.operators.tiles import assign_tiles
+    from core_spark.operators.zonal import zonal_rollup
+
+    polys = admin_polygons(96)
+    t0 = time.monotonic()
+    docs = spark.read.parquet(corpus_path)
+    extracted = with_extracted_text(docs).filter(F.col("extract_error").isNull())
+    mentions = with_mentions(extracted, key_cols=("doc_id", "url", "lang"))
+    tiled = assign_tiles(mentions, resolutions=(5, 6, 7, 8, 9))
+    piped = pip_join(tiled, polys)
+    zonal = zonal_rollup(piped, cell_col="h3_r7")
+    n = zonal.count()
+    wall = time.monotonic() - t0
+    assert n > 0
+    return wall
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_NDOCS", "100000"))
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = materialize_corpus(spark, n_docs, partitions=cpus * 2)
+    pipeline_sec = run_flagship(spark, corpus, n_docs)
+
+    import __spark_entry__ as entry
+
+    timings = {}
+    for name, fn in entry.queries().items():
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "flagship_pipeline_sec",
+        "value": round(pipeline_sec, 3),
+        "unit": "sec",
+        "docs_per_sec": round(n_docs / pipeline_sec, 1),
+        "n_docs": n_docs,
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -334,6 +334,93 @@ def sql_cell_to_parent(cell_sql: str) -> str:
 # Spark Column helpers (thin wrappers; importable without a live session)
 # ---------------------------------------------------------------------------
 
+def cell_steps(lat_sql: str, lon_sql: str, res: int, out: str) -> list[tuple[str, str]]:
+    """Stepwise emission: ordered (col_name, small_sql_fragment) pairs ending
+    in ``out``; fragments reference earlier step columns by name.
+
+    Motivation (measured): the monolithic ``sql_cell`` string textually
+    duplicates every subexpression at each nesting level; once Catalyst
+    collapses projections the tree is fine standalone (~8 KB) but EXPLODES
+    when a downstream expression (e.g. cell_to_parent) references the cell
+    column many times. Building through intermediate columns keeps the plan
+    linear: Spark >= 3.3 refuses to collapse projections that would
+    duplicate non-cheap aliases (SPARK-36718), so each fragment appears in
+    the tree exactly once. Same arithmetic, same results.
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res out of range: {res}")
+    p = f"_{out}_"
+    c, s, size = _lit(COS_N[res]), _lit(SIN_N[res]), _lit(SIZES[res])
+    steps = [
+        (f"{p}lonn", f"(({lon_sql}) - 360.0*FLOOR((({lon_sql}) + 180.0) / 360.0))"),
+        (f"{p}xr", f"({c}*{p}lonn + {s}*({lat_sql}))"),
+        (f"{p}yr", f"(-{s}*{p}lonn + {c}*({lat_sql}))"),
+        (f"{p}qf", f"(({_lit(SQ3_3)}*{p}xr - {_lit(ONE_3)}*{p}yr) / {size})"),
+        (f"{p}rf", f"(({_lit(TWO_3)}*{p}yr) / {size})"),
+    ]
+    steps += _hexround_steps(p, f"{p}qf", f"{p}rf")
+    valid = (
+        f"(({lat_sql}) >= (-90.0) AND ({lat_sql}) <= (90.0) "
+        f"AND {p}lonn >= (-180.0) AND {p}lonn <= (180.0))"
+    )
+    packed = (
+        f"(CAST({res} AS BIGINT) * {_POW59} "
+        f"+ (CAST({p}qo AS BIGINT) + {_POW28}) * CAST({_POW29} AS BIGINT) "
+        f"+ (CAST({p}ro AS BIGINT) + {_POW28}))"
+    )
+    steps.append((out, f"(CASE WHEN {valid} THEN {packed} ELSE NULL END)"))
+    return steps
+
+
+def _hexround_steps(p: str, qf: str, rf: str) -> list[tuple[str, str]]:
+    """Cube-rounding as intermediate steps -> columns {p}qo, {p}ro."""
+    return [
+        (f"{p}yf", f"(-{qf} - {rf})"),
+        (f"{p}rx", f"FLOOR({qf} + 0.5)"),
+        (f"{p}ry", f"FLOOR({p}yf + 0.5)"),
+        (f"{p}rz", f"FLOOR({rf} + 0.5)"),
+        (f"{p}dx", f"ABS({p}rx - {qf})"),
+        (f"{p}dy", f"ABS({p}ry - {p}yf)"),
+        (f"{p}dz", f"ABS({p}rz - {rf})"),
+        (f"{p}qo", f"(CASE WHEN {p}dx > {p}dy AND {p}dx > {p}dz "
+                   f"THEN -({p}ry) - ({p}rz) ELSE {p}rx END)"),
+        (f"{p}ro", f"(CASE WHEN {p}dx > {p}dy AND {p}dx > {p}dz THEN {p}rz "
+                   f"WHEN {p}dy > {p}dz THEN {p}rz ELSE -({p}rx) - ({p}ry) END)"),
+    ]
+
+
+def parent_steps(cell_col_name: str, out: str) -> list[tuple[str, str]]:
+    """Stepwise aperture-7 parent (see cell_steps for why stepwise)."""
+    p = f"_{out}_"
+    steps = [
+        (f"{p}res", f"CAST(FLOOR(CAST(({cell_col_name}) AS DOUBLE) / {_lit(float(_POW59))}) AS BIGINT)"),
+        (f"{p}rem", f"(({cell_col_name}) - {p}res * {_POW59})"),
+        (f"{p}qq", f"CAST(FLOOR(CAST({p}rem AS DOUBLE) / {_lit(float(_POW29))}) AS BIGINT)"),
+        (f"{p}q", f"({p}qq - {_POW28})"),
+        (f"{p}r", f"(({p}rem - {p}qq * CAST({_POW29} AS BIGINT)) - {_POW28})"),
+        (f"{p}qf", f"((2.0*CAST({p}q AS DOUBLE) - CAST({p}r AS DOUBLE)) / 7.0)"),
+        (f"{p}rf", f"((CAST({p}q AS DOUBLE) + 3.0*CAST({p}r AS DOUBLE)) / 7.0)"),
+    ]
+    steps += _hexround_steps(p, f"{p}qf", f"{p}rf")
+    steps.append((
+        out,
+        f"(({p}res - 1) * {_POW59} "
+        f"+ (CAST({p}qo AS BIGINT) + {_POW28}) * CAST({_POW29} AS BIGINT) "
+        f"+ (CAST({p}ro AS BIGINT) + {_POW28}))",
+    ))
+    return steps
+
+
+def apply_steps(df, steps: list[tuple[str, str]]):
+    """Apply (name, sql) steps as sequential projections, then drop the
+    intermediates (names starting with '_')."""
+    from pyspark.sql import functions as F
+
+    for name, sql in steps:
+        df = df.withColumn(name, F.expr(sql))
+    return df.drop(*[n for n, _ in steps if n.startswith("_")])
+
+
 def cell_col(lat_col: str, lon_col: str, res: int):
     """Spark Column computing the hx cell id — JVM-side, codegen'd, no UDF."""
     from pyspark.sql import functions as F

@@ -23,10 +23,9 @@ def assign_tiles(df, lat_col: str = "lat", lon_col: str = "lon",
     NULL-safe: invalid/missing coordinates produce NULL cells, which
     groupBy/join naturally segregate (error-as-data).
     """
-    from pyspark.sql import functions as F
-
-    cols = {f"h3_r{res}": F.expr(hx.sql_cell(lat_col, lon_col, res)) for res in resolutions}
-    out = df.withColumns(cols)
+    out = df
+    for res in resolutions:
+        out = hx.apply_steps(out, hx.cell_steps(lat_col, lon_col, res, f"h3_r{res}"))
     if s2_level is not None:
         from core_spark.functions.s2 import s2_cell_col
 
@@ -37,12 +36,10 @@ def assign_tiles(df, lat_col: str = "lat", lon_col: str = "lon",
 def rollup_tiles(df, cell_col: str, levels: int):
     """Append parent columns for ``levels`` coarser resolutions via the exact
     aperture-7 parent relation (no re-assignment — H3-cellToParent semantics)."""
-    from pyspark.sql import functions as F
-
     out = df
     cur = cell_col
     for _ in range(levels):
         nxt = f"{cur}_p"
-        out = out.withColumn(nxt, F.expr(hx.sql_cell_to_parent(cur)))
+        out = hx.apply_steps(out, hx.parent_steps(cur, nxt))
         cur = nxt
     return out

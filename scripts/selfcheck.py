@@ -1,0 +1,111 @@
+"""Mimic the driver's correctness gate locally: run every __spark_entry__
+query on Spark AND its oracle on DuckDB at the given sf, compare row count,
+column names, and order-insensitive values.
+
+Usage: python scripts/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].astype("float64").round(9)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"{name:22s} SPARK ERROR: {str(e)[:160]}")
+            continue
+        if name not in oracles:
+            print(f"{name:22s} rows-only: {len(got)} rows")
+            continue
+        try:
+            want = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"{name:22s} ORACLE ERROR: {str(e)[:160]}")
+            continue
+        g, w = normalize(got), normalize(want)
+        if list(g.columns) != list(w.columns):
+            failures.append(name)
+            print(f"{name:22s} SCHEMA MISMATCH: {list(g.columns)} vs {list(w.columns)}")
+            continue
+        if len(g) != len(w):
+            failures.append(name)
+            print(f"{name:22s} ROWCOUNT MISMATCH: {len(g)} vs {len(w)}")
+            continue
+        bad = None
+        for c in g.columns:
+            if g[c].dtype == np.float64:
+                if not np.allclose(g[c], w[c], rtol=0, atol=1e-9, equal_nan=True):
+                    bad = c
+                    break
+            elif not (g[c] == w[c]).all():
+                bad = c
+                break
+        if bad:
+            diff = (g[bad] != w[bad]) if g[bad].dtype != np.float64 else ~np.isclose(g[bad], w[bad])
+            print(f"{name:22s} VALUE MISMATCH in {bad}: {int(diff.sum())}/{len(g)} rows differ")
+            print(pd.concat([g[diff].head(3).add_suffix("_spark"),
+                             w[diff].head(3).add_suffix("_duck")], axis=1))
+            failures.append(name)
+        else:
+            print(f"{name:22s} OK ({len(g)} rows, {len(g.columns)} cols)")
+
+    spark.stop()
+    if failures:
+        print("FAILED:", failures)
+        return 1
+    print("ALL MATCH")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
