@@ -1,0 +1,112 @@
+"""Structured Streaming: incremental ingestion of web pages -> live zonal
+rollups.
+
+The reference is batch-only; its incremental seam is ``ScanFiles`` — rescan
+just the changed files with injected scope (pkg/parser/scanner.go:224-270,
+SURVEY.md §3.2). The Spark-native equivalent is a file-source stream over
+the docs table directory: new parquet files are discovered incrementally,
+flow through the SAME batch stages (G1 extract -> G2 geoparse -> G3 tiles),
+and update per-cell rollups — one pipeline definition, two execution modes.
+
+Two output modes:
+  * ``foreachBatch`` (default): reuses the exact batch stages per
+    micro-batch and MERGEs counts into a parquet ledger — at scale this is
+    the Iceberg MERGE INTO pattern, and it keeps the batch/stream code paths
+    literally the same functions (no divergence to golden-test twice).
+  * pure streaming agg: watermark on ``warc_ts`` + groupBy(cell) with
+    update mode, for dashboards that tolerate late-data cutoff.
+
+Late data: ``warc_ts`` watermark (crawl timestamps arrive hours late at
+most); the zonal ledger is keyed by cell only, so late rows simply fold into
+the next micro-batch's merge — counts stay exact without watermark loss.
+"""
+
+from __future__ import annotations
+
+from core_spark.functions.extract import with_extracted_text
+from core_spark.functions.geoparse import with_mentions
+from core_spark.operators.tiles import assign_tiles
+
+
+def stream_zonal(
+    spark,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    schema: str = "doc_id bigint, url string, warc_ts timestamp, html binary, lang string",
+    zonal_res: int = 7,
+    max_files_per_trigger: int = 16,
+):
+    """File-source stream -> extract -> mentions -> tiles -> per-cell counts.
+
+    Returns the StreamingQuery. Exactly-once per micro-batch: the ledger
+    write is idempotent on (batch_id) via overwrite-by-batch parquet dirs;
+    the checkpoint dir makes file discovery resumable (G9 for streams —
+    Spark's own WAL replaces our manifest here).
+    """
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int):
+        extracted = with_extracted_text(batch_df).filter(
+            F.col("extract_error").isNull()
+        )
+        mentions = with_mentions(extracted, key_cols=("doc_id", "url", "lang"))
+        tiled = assign_tiles(mentions, resolutions=(zonal_res,))
+        counts = tiled.groupBy(f"h3_r{zonal_res}", "lang").agg(
+            F.count("*").alias("n")
+        )
+        # idempotent per-batch ledger segment (re-run of a batch overwrites)
+        counts.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_zonal_ledger(spark, output_dir: str, zonal_res: int = 7):
+    """Fold the per-batch ledger segments into current per-cell totals."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.option("basePath", output_dir)
+        .parquet(output_dir)
+        .groupBy(f"h3_r{zonal_res}", "lang")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def stream_zonal_agg(
+    spark,
+    input_dir: str,
+    schema: str = "doc_id bigint, url string, warc_ts timestamp, html binary, lang string",
+    zonal_res: int = 7,
+    watermark: str = "2 hours",
+):
+    """Pure streaming aggregation variant: watermarked event-time windows.
+
+    Demonstrates the native stateful path (update mode, state store); the
+    foreachBatch ledger is preferred for exact counts at scale.
+    """
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    extracted = with_extracted_text(stream).filter(F.col("extract_error").isNull())
+    mentions = with_mentions(extracted, key_cols=("doc_id", "url", "lang", "warc_ts"))
+    tiled = assign_tiles(mentions, resolutions=(zonal_res,))
+    return (
+        tiled.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", "1 hour").alias("w"),
+            F.col(f"h3_r{zonal_res}"),
+        )
+        .agg(F.count("*").alias("n"))
+    )

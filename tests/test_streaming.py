@@ -1,0 +1,86 @@
+"""§2.10: Structured Streaming incremental pipeline == batch pipeline.
+
+The stream variant must produce exactly the batch rollup on the same input
+(one pipeline definition, two execution modes — the reference's Scan vs
+ScanFiles seam, pkg/parser/scanner.go:224-270).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from core_spark.data import synth
+
+
+@pytest.mark.spark
+class TestStreamingZonal:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from core_spark.functions.extract import with_extracted_text
+        from core_spark.functions.geoparse import with_mentions
+        from core_spark.operators.tiles import assign_tiles
+        from core_spark.streaming.incremental import read_zonal_ledger, stream_zonal
+
+        input_dir = str(tmp_path / "in")
+        # three separate files -> three incremental discoveries
+        for part in range(3):
+            pdf = synth.webpages_pandas(100, start=part * 100)[
+                ["doc_id", "url", "warc_ts", "html", "lang"]
+            ]
+            spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(input_dir)
+
+        q = stream_zonal(
+            spark,
+            input_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            output_dir=str(tmp_path / "ledger"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+        got = (
+            read_zonal_ledger(spark, str(tmp_path / "ledger"))
+            .orderBy("h3_r7", "lang")
+            .collect()
+        )
+
+        batch = spark.read.parquet(input_dir)
+        extracted = with_extracted_text(batch).filter(F.col("extract_error").isNull())
+        mentions = with_mentions(extracted, key_cols=("doc_id", "url", "lang"))
+        tiled = assign_tiles(mentions, resolutions=(7,))
+        want = (
+            tiled.groupBy("h3_r7", "lang")
+            .agg(F.count("*").alias("n"))
+            .orderBy("h3_r7", "lang")
+            .collect()
+        )
+        assert len(got) > 0
+        assert got == want
+
+    def test_stream_resume_is_incremental(self, spark, tmp_path):
+        """New files after a completed run are picked up without reprocessing
+        old ones (checkpointed file index — the stream analog of G9)."""
+        import glob
+
+        from core_spark.streaming.incremental import read_zonal_ledger, stream_zonal
+
+        input_dir = str(tmp_path / "in")
+        pdf = synth.webpages_pandas(100)[["doc_id", "url", "warc_ts", "html", "lang"]]
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(input_dir)
+
+        kwargs = dict(
+            checkpoint_dir=str(tmp_path / "ckpt"), output_dir=str(tmp_path / "ledger")
+        )
+        stream_zonal(spark, input_dir, **kwargs).awaitTermination(120)
+        n_first = read_zonal_ledger(spark, str(tmp_path / "ledger")).agg({"n": "sum"}).collect()[0][0]
+        batches_first = len(glob.glob(str(tmp_path / "ledger" / "batch_id=*")))
+
+        pdf2 = synth.webpages_pandas(50, start=1000)[["doc_id", "url", "warc_ts", "html", "lang"]]
+        spark.createDataFrame(pdf2).coalesce(1).write.mode("append").parquet(input_dir)
+        stream_zonal(spark, input_dir, **kwargs).awaitTermination(120)
+
+        n_second = read_zonal_ledger(spark, str(tmp_path / "ledger")).agg({"n": "sum"}).collect()[0][0]
+        batches_second = len(glob.glob(str(tmp_path / "ledger" / "batch_id=*")))
+        assert n_second > n_first           # new rows arrived
+        assert batches_second > batches_first  # as a NEW batch segment only
