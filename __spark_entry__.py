@@ -337,6 +337,33 @@ def q_extract_invariant(spark, sf_dir):
     )
 
 
+GAZ_TOKENS = ["spark", "window", "vector", "stream", "merge", "hash", "join", "scan"]
+
+
+def q_token_match(spark, sf_dir):
+    """D3 parity: broadcast-lookup matcher — every (doc, matched token) pair
+    against a small in-memory 'gazetteer' (the import-pattern matcher shape,
+    pkg/parser/framework/matchers/import.go:26-49)."""
+    from pyspark.sql import functions as F
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.expr("split(trim(text), '\\\\s+')")).alias("token"),
+    )
+    return toks.filter(F.col("token").isin(GAZ_TOKENS)).distinct()
+
+
+def q_s2_assign(spark, sf_dir):
+    """G4 rows-only: S2 cell ids (level 10) via the vectorized numpy kernel —
+    no SQL equivalent exists (Hilbert-curve bit interleave); kernel invariants
+    golden-tested in tests/test_s2.py."""
+    from core_spark.operators.tiles import assign_tiles
+
+    return assign_tiles(
+        _points(spark, sf_dir), resolutions=(), s2_level=10
+    ).select("doc_id", "s2_cell")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup candidates (rows-only: 64-bit SimHash has no
     SQL-expressible equivalent; kernel golden-tested in pytest)."""
@@ -375,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "set_ops": q_set_ops,
         "events_rollup": q_events_rollup,
+        "token_match": q_token_match,
+        "s2_assign": q_s2_assign,
         "extract_invariant": q_extract_invariant,
         "simhash_pairs": q_simhash_pairs,
     }
@@ -502,5 +531,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(value), 4) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
         """,
-        # extract_invariant, simhash_pairs: rows-only (no SQL equivalent)
+        "token_match": f"""
+            SELECT DISTINCT doc_id, token FROM (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS token
+              FROM documents
+            ) WHERE token IN ({", ".join(f"'{t}'" for t in GAZ_TOKENS)})
+        """,
+        # s2_assign, extract_invariant, simhash_pairs: rows-only (no SQL equivalent)
     }

@@ -63,14 +63,14 @@ def materialize_corpus(spark, n_docs: int, partitions: int) -> str:
 
 
 def run_flagship(spark, corpus_path: str, n_docs: int) -> float:
-    """Full pipeline from table scan to zonal rollup; returns wall seconds."""
-    from pyspark.sql import functions as F
+    """Full pipeline from table scan to zonal rollup; returns wall seconds.
 
+    Uses the FUSED single-Python-stage plan (core_spark/functions/fused.py):
+    scan -> one Arrow UDF (extract+geoparse+tiles+PIP) -> JVM zonal shuffle.
+    Proven row-identical to the staged pipeline in tests/test_fused.py.
+    """
     from core_spark.data.polygons import admin_polygons
-    from core_spark.functions.extract import with_extracted_text
-    from core_spark.functions.geoparse import with_mentions
-    from core_spark.operators.pip import pip_join
-    from core_spark.operators.tiles import assign_tiles
+    from core_spark.functions.fused import fused_pipeline
     from core_spark.operators.zonal import zonal_rollup
 
     polys = admin_polygons(96)
@@ -81,11 +81,7 @@ def run_flagship(spark, corpus_path: str, n_docs: int) -> float:
     spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
     t0 = time.monotonic()
     docs = spark.read.parquet(corpus_path)
-    extracted = with_extracted_text(docs).filter(F.col("extract_error").isNull())
-    mentions = with_mentions(extracted, key_cols=("doc_id", "url", "lang"))
-    tiled = assign_tiles(mentions, resolutions=(5, 6, 7, 8, 9))
-    piped = pip_join(tiled, polys)
-    zonal = zonal_rollup(piped, cell_col="h3_r7")
+    zonal = zonal_rollup(fused_pipeline(docs, polys), cell_col="h3_r7")
     n = zonal.count()
     wall = time.monotonic() - t0
     assert n > 0
