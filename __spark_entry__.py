@@ -337,6 +337,52 @@ def q_extract_invariant(spark, sf_dir):
     )
 
 
+def q_rollup_sets(spark, sf_dir):
+    """A5/§2.5 parity: multi-level rollup via ROLLUP grouping sets (the
+    reference's per-resolution aggregation analog, SURVEY.md §2.5)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _docs(spark, sf_dir)
+        .rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.grouping("lang").alias("g_lang"),
+            F.grouping("source").alias("g_source"),
+        )
+    )
+
+
+def q_zonal_salted(spark, sf_dir):
+    """G8: two-phase SALTED count — the salt is internal (deterministic
+    xxhash64 of row identity); the result is exactly the plain per-cell
+    count, which is what the oracle checks. Proves salting never changes
+    semantics, only shuffle shape."""
+    from core_spark.operators.tiles import assign_tiles
+    from core_spark.operators.zonal import salted_counts
+
+    pts = assign_tiles(_points(spark, sf_dir), resolutions=(5,))
+    return salted_counts(pts, "h3_r5", salt_mod=8, salt_src="doc_id")
+
+
+def q_outline(spark, sf_dir):
+    """P6/A1 rows-only: heading-tree inventory (flattened ancestry paths —
+    no SQL equivalent for the stack walk). Heading-rich html is synthesized
+    deterministically per doc_id; kernel is golden-tested in
+    tests/test_structure.py."""
+    from core_spark.functions.structure import outline_counts, with_outline
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "CAST(doc_id AS STRING) AS url",
+        "CAST(concat('<h1>Doc ', doc_id, '</h1><p>intro words</p>',"
+        " CASE WHEN doc_id % 2 = 0 THEN '<h2>Even</h2><p>a b c</p>' ELSE '' END,"
+        " CASE WHEN doc_id % 3 = 0 THEN '<h2>Fizz</h2><h3>Deep</h3><p>x y</p>' ELSE '' END"
+        ") AS BINARY) AS html",
+    )
+    return outline_counts(with_outline(docs))
+
+
 GAZ_TOKENS = ["spark", "window", "vector", "stream", "merge", "hash", "join", "scan"]
 
 
@@ -402,6 +448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "set_ops": q_set_ops,
         "events_rollup": q_events_rollup,
+        "rollup_sets": q_rollup_sets,
+        "zonal_salted": q_zonal_salted,
+        "outline": q_outline,
         "token_match": q_token_match,
         "s2_assign": q_s2_assign,
         "extract_invariant": q_extract_invariant,
@@ -530,6 +579,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(ROUND(SUM(value), 4) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "rollup_sets": """
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   GROUPING(lang) AS g_lang, GROUPING(source) AS g_source
+            FROM documents GROUP BY ROLLUP(lang, source)
+        """,
+        "zonal_salted": f"""
+            SELECT {hx.sql_cell('lat', 'lon', 5)} AS h3_r5, COUNT(*) AS doc_count
+            FROM ({_POINTS_SQL}) GROUP BY 1
         """,
         "token_match": f"""
             SELECT DISTINCT doc_id, token FROM (
