@@ -145,6 +145,7 @@ class STRtree:
         boxes = np.asarray(boxes, dtype=np.float64)
         n = len(boxes)
         self.n_items = n
+        self.dense_boxes = boxes  # original order, for the small-P dense path
         if n == 0:
             self.levels: list[tuple[np.ndarray, np.ndarray]] = []
             self.item_order = np.empty(0, dtype=np.int64)

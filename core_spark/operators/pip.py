@@ -78,7 +78,23 @@ def match_points(
     """
     tree, rings, ids = _build(payload, fp if fp is not None else _fingerprint(payload))
     out = np.full(len(lons), -1, dtype=np.int64)
-    pi, ii = tree.query_points(np.asarray(lons, np.float64), np.asarray(lats, np.float64))
+    lons = np.asarray(lons, np.float64)
+    lats = np.asarray(lats, np.float64)
+    if len(rings) <= 512:
+        # dense vectorized envelope test: an (n_pts x n_polys) comparison is
+        # one numpy kernel and beats a per-point Python tree descent by ~8x
+        # at admin-boundary cardinality (profiled). STRtree remains the path
+        # for large polygon sets.
+        boxes = tree.dense_boxes
+        hit = (
+            (lons[:, None] >= boxes[None, :, 0])
+            & (lons[:, None] <= boxes[None, :, 2])
+            & (lats[:, None] >= boxes[None, :, 1])
+            & (lats[:, None] <= boxes[None, :, 3])
+        )
+        pi, ii = np.nonzero(hit)
+    else:
+        pi, ii = tree.query_points(lons, lats)
     if len(pi) == 0:
         return out
     # group candidate pairs by polygon -> one vectorized ray-cast per polygon
