@@ -45,20 +45,48 @@ def gen_polygon(pid: int) -> np.ndarray:
     return np.stack([lon, lat], axis=1)
 
 
+def gen_hole(pid: int) -> np.ndarray | None:
+    """Inner hole ring for every 7th polygon (pid % 7 == 3): the outer ring
+    shrunk 3x toward its centroid. Even-odd ray-cast parity makes hole
+    semantics free (crossings XOR) in both the engine and the SQL oracle."""
+    if pid % 7 != 3:
+        return None
+    outer = gen_polygon(pid)
+    c = outer.mean(axis=0)
+    return np.round(c + (outer - c) / 3.0, 6)
+
+
+def gen_rings(pid: int) -> list[np.ndarray]:
+    """All rings of polygon ``pid`` (outer first, then holes)."""
+    rings = [gen_polygon(pid)]
+    hole = gen_hole(pid)
+    if hole is not None:
+        rings.append(hole)
+    return rings
+
+
 def admin_polygons(n: int = 96) -> pd.DataFrame:
-    """Polygon table: (admin_id, name, ring(list[(lon,lat)]), wkt, envelope)."""
+    """Polygon table: (admin_id, name, ring, rings, wkt, envelope).
+
+    ``ring`` is the outer ring; ``rings`` includes holes. Antimeridian rule:
+    crossing polygons must be pre-split at ingestion into fragments sharing
+    one admin_id (the engine handles duplicate ids); this synthetic set
+    keeps all polygons within (-180, 180) by grid construction.
+    """
     if n > _LON_SLOTS * _LAT_SLOTS:
         raise ValueError(f"max {_LON_SLOTS * _LAT_SLOTS} non-overlapping slots")
     rows = []
     for pid in range(n):
-        ring = gen_polygon(pid)
-        minx, miny, maxx, maxy = ring_envelope(ring)
+        rings = gen_rings(pid)
+        outer = rings[0]
+        minx, miny, maxx, maxy = ring_envelope(outer)
         rows.append(
             {
                 "admin_id": pid,
                 "name": f"admin_{pid:03d}",
-                "ring": [(float(x), float(y)) for x, y in ring],
-                "wkt": ring_to_wkt(ring),
+                "ring": [(float(x), float(y)) for x, y in outer],
+                "rings": [[(float(x), float(y)) for x, y in r] for r in rings],
+                "wkt": ring_to_wkt(outer),
                 "minx": minx,
                 "miny": miny,
                 "maxx": maxx,
@@ -70,15 +98,16 @@ def admin_polygons(n: int = 96) -> pd.DataFrame:
 
 def edges_sql_values(n: int = 96) -> str:
     """The polygon EDGE list as a SQL VALUES table:
-    (admin_id, ax, ay, bx, by) — one row per directed edge, closing edge
-    included. Runs verbatim in Spark SQL and DuckDB (shared literal syntax).
+    (admin_id, ax, ay, bx, by) — one row per directed edge of EVERY ring
+    (closing edges included; hole edges too — the parity join then gets
+    hole semantics for free). Runs verbatim in Spark SQL and DuckDB.
     """
     parts = []
     for pid in range(n):
-        ring = gen_polygon(pid)
-        m = len(ring)
-        for i in range(m):
-            ax, ay = ring[i]
-            bx, by = ring[(i + 1) % m]
-            parts.append(f"({pid}, {ax!r}, {ay!r}, {bx!r}, {by!r})")
+        for ring in gen_rings(pid):
+            m = len(ring)
+            for i in range(m):
+                ax, ay = ring[i]
+                bx, by = ring[(i + 1) % m]
+                parts.append(f"({pid}, {ax!r}, {ay!r}, {bx!r}, {by!r})")
     return "VALUES " + ", ".join(parts)

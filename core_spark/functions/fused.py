@@ -78,7 +78,7 @@ def fused_batch(pdf: pd.DataFrame, payload, payload_fp: int) -> pd.DataFrame:
 
 def fused_pipeline(docs_df, polygons: pd.DataFrame):
     """docs (doc_id,url,html,lang) -> mention rows (FUSED_SCHEMA)."""
-    payload = [(int(r.admin_id), list(r.ring)) for r in polygons.itertuples()]
+    payload = [(int(r.admin_id), [list(ring) for ring in r.rings]) for r in polygons.itertuples()]
     fp = _fingerprint(payload)
 
     def run(batches):

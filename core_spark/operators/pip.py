@@ -44,20 +44,38 @@ def _fingerprint(payload) -> int:
     return zlib.crc32(repr(payload).encode()) & 0xFFFFFFFF
 
 
-def _build(payload: list[tuple[int, list[tuple[float, float]]]], key: int):
-    """payload: [(admin_id, ring_vertices)] -> (STRtree, rings, ids)."""
+def _normalize_entry(rings) -> list[np.ndarray]:
+    """Accept one ring (list of (x, y)) or several (list of rings)."""
+    first = rings[0]
+    if isinstance(first, (tuple, list)) and len(first) == 2 and not isinstance(
+        first[0], (tuple, list)
+    ):
+        return [np.asarray(rings, dtype=np.float64)]
+    return [np.asarray(r, dtype=np.float64) for r in rings]
+
+
+def _build(payload: list[tuple[int, list]], key: int):
+    """payload: [(admin_id, ring | [outer, hole...])] -> (tree, rings, ids).
+
+    Multi-ring polygons use even-odd parity (crossings XOR across rings), so
+    holes fall out of the same ray-cast rule. Antimeridian-crossing polygons
+    are pre-split at ingestion into two fragments sharing one admin_id —
+    duplicate ids in the payload are deliberate and handled by the
+    first-only tie-break (identical id either way).
+    """
     hit = _TREE_CACHE.get(key)
     if hit is not None:
         return hit
-    rings = [np.asarray(r, dtype=np.float64) for _, r in payload]
+    ringsets = [_normalize_entry(r) for _, r in payload]
     ids = np.asarray([a for a, _ in payload], dtype=np.int64)
-    boxes = np.empty((len(rings), 4), dtype=np.float64)
-    for i, ring in enumerate(rings):
-        boxes[i, 0] = ring[:, 0].min()
-        boxes[i, 1] = ring[:, 1].min()
-        boxes[i, 2] = ring[:, 0].max()
-        boxes[i, 3] = ring[:, 1].max()
-    built = (STRtree(boxes), rings, ids)
+    boxes = np.empty((len(ringsets), 4), dtype=np.float64)
+    for i, rs in enumerate(ringsets):
+        outer = rs[0]
+        boxes[i, 0] = outer[:, 0].min()
+        boxes[i, 1] = outer[:, 1].min()
+        boxes[i, 2] = outer[:, 0].max()
+        boxes[i, 3] = outer[:, 1].max()
+    built = (STRtree(boxes), ringsets, ids)
     _TREE_CACHE.clear()  # one active polygon set per executor
     _TREE_CACHE[key] = built
     return built
@@ -105,7 +123,9 @@ def match_points(
     for s, e in zip(bounds[:-1], bounds[1:]):
         poly = int(ii[s])
         pts = pi[s:e]
-        inside = points_in_ring(lons[pts], lats[pts], rings[poly])
+        inside = np.zeros(len(pts), dtype=bool)
+        for ring in rings[poly]:  # even-odd across outer + holes
+            inside ^= points_in_ring(lons[pts], lats[pts], ring)
         hit_pts = pts[inside]
         aid = int(ids[poly])
         if first_only:
@@ -129,7 +149,7 @@ def pip_join(
     on the driver (small side) and shipped inside the UDF closure, which Spark
     broadcasts with the task binary exactly once per executor.
     """
-    payload = [(int(r.admin_id), list(r.ring)) for r in polygons.itertuples()]
+    payload = [(int(r.admin_id), [list(ring) for ring in r.rings]) for r in polygons.itertuples()]
     fp = _fingerprint(payload)
     fields = ", ".join(f.name + " " + f.dataType.simpleString() for f in df.schema.fields)
     out_schema = fields + ", admin_id bigint"

@@ -117,22 +117,61 @@ class TestPolygons:
         assert sql.count("(") >= 4 * 5  # >= 5 edges per polygon
 
 
+def _brute_inside(x: float, y: float, rings) -> bool:
+    """Even-odd across all rings (outer + holes)."""
+    inside = False
+    for ring in rings:
+        inside ^= point_in_ring(x, y, np.asarray(ring))
+    return inside
+
+
 class TestMatchPoints:
     def test_centers_match_own_polygon(self):
         polys = admin_polygons(96)
-        payload = [(int(r.admin_id), list(r.ring)) for r in polys.itertuples()]
-        # polygon centroids must match their own polygon
+        payload = [(int(r.admin_id), [list(ring) for ring in r.rings]) for r in polys.itertuples()]
         for r in polys.itertuples():
             ring = np.asarray(r.ring)
             cx, cy = ring[:, 0].mean(), ring[:, 1].mean()
             got = match_points(np.array([cx]), np.array([cy]), payload)
-            assert got[0] == r.admin_id
+            if len(r.rings) > 1 and _brute_inside(cx, cy, r.rings[1:]) :
+                assert got[0] == -1  # centroid sits in the hole
+            else:
+                assert got[0] == r.admin_id
         # far-ocean point matches nothing
         assert match_points(np.array([0.0]), np.array([-89.0]), payload)[0] == -1
 
+    def test_holes_excluded(self):
+        """Every 7th polygon carries a hole; points in the hole are outside,
+        points in the annulus are inside — engine and even-odd agree."""
+        polys = admin_polygons(96)
+        holed = polys[polys["rings"].apply(len) > 1]
+        assert len(holed) > 0
+        payload = [(int(r.admin_id), [list(ring) for ring in r.rings]) for r in polys.itertuples()]
+        for r in holed.itertuples():
+            outer = np.asarray(r.rings[0])
+            hole = np.asarray(r.rings[1])
+            hc = hole.mean(axis=0)  # deep inside the hole
+            got = match_points(np.array([hc[0]]), np.array([hc[1]]), payload)
+            assert got[0] == -1
+            # a point midway between hole edge and outer edge (annulus)
+            mid = (hole[0] + outer[0]) / 2.0
+            got2 = match_points(np.array([mid[0]]), np.array([mid[1]]), payload)
+            assert got2[0] == r.admin_id
+
+    def test_antimeridian_split_fragments_share_id(self):
+        """A crossing polygon pre-split into two fragments with one admin_id:
+        points in either fragment resolve to that id."""
+        west = [(-180.0, 0.0), (-178.0, 0.0), (-178.0, 5.0), (-180.0, 5.0)]
+        east = [(178.0, 0.0), (180.0, 0.0), (180.0, 5.0), (178.0, 5.0)]
+        payload = [(7, [west]), (7, [east])]
+        got = match_points(
+            np.array([-179.0, 179.0, 0.0]), np.array([2.0, 2.0, 2.0]), payload
+        )
+        assert got.tolist() == [7, 7, -1]
+
     def test_matches_bruteforce_on_corpus(self):
         polys = admin_polygons(96)
-        payload = [(int(r.admin_id), list(r.ring)) for r in polys.itertuples()]
+        payload = [(int(r.admin_id), [list(ring) for ring in r.rings]) for r in polys.itertuples()]
         pages = synth.webpages_pandas(400)
         pts = pages.dropna(subset=["true_lat"])
         lons = pts["true_lon"].to_numpy()
@@ -141,7 +180,7 @@ class TestMatchPoints:
         for i in range(len(lons)):
             want = -1
             for r in polys.itertuples():
-                if point_in_ring(lons[i], lats[i], np.asarray(r.ring)):
+                if _brute_inside(lons[i], lats[i], r.rings):
                     want = r.admin_id
                     break
             assert got[i] == want
@@ -171,7 +210,7 @@ class TestSparkStages:
         from core_spark.operators.pip import pip_join
 
         polys = admin_polygons(96)
-        payload = [(int(r.admin_id), list(r.ring)) for r in polys.itertuples()]
+        payload = [(int(r.admin_id), [list(ring) for ring in r.rings]) for r in polys.itertuples()]
         pages = synth.webpages_pandas(300)
         pts = pages.dropna(subset=["true_lat"])[["doc_id", "true_lat", "true_lon"]]
         pts = pts.rename(columns={"true_lat": "lat", "true_lon": "lon"})
