@@ -92,6 +92,25 @@ def find_places(text: str | None, names: list[str]) -> list[str]:
     return sorted(found)
 
 
+def with_places(df, names: list[str], text_col: str = "text",
+                out_col: str = "places"):
+    """Gazetteer place-mention scan as a pure Column stage (no UDF).
+
+    ``names`` is the broadcast lookup table (small by definition); the scan
+    is `filter(array(<literals>), n -> instr(text, n) > 0)` — JVM-side,
+    whole-stage codegen, identical semantics to the `find_places` kernel
+    (longest-first ordering only matters for overlap dedup, which our
+    gazetteer avoids by construction — names are substring-free, synth.py).
+    Output: sorted array of matched names (deterministic).
+    """
+    from pyspark.sql import functions as F
+
+    ordered = sorted(names)
+    arr = F.array(*[F.lit(n) for n in ordered])
+    matched = F.filter(arr, lambda n: F.instr(F.col(text_col), n) > 0)
+    return df.withColumn(out_col, F.sort_array(matched))
+
+
 # ---------------------------------------------------------------------------
 # SQL emission (dec + geo kinds): same string for Spark F.expr and DuckDB
 # ---------------------------------------------------------------------------

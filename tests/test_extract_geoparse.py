@@ -169,3 +169,16 @@ def test_spark_pipeline_extract_geoparse_tiles(spark):
     assert sum(r["doc_count"] for r in z) == tiled.count()
     for r in z[:5]:
         assert sum(r["lang_counts"].values()) == r["doc_count"]
+
+
+@pytest.mark.spark
+def test_with_places_matches_kernel(spark):
+    """G2 gazetteer stage (JVM filter/instr) == pure find_places kernel."""
+    from core_spark.functions.geoparse import find_places, with_places
+
+    pdf = synth.webpages_pandas(200)[["doc_id", "text"]]
+    sdf = spark.createDataFrame(pdf)
+    got = {r.doc_id: list(r.places) for r in with_places(sdf, synth.GAZ_NAMES).collect()}
+    for r in pdf.itertuples():
+        assert got[r.doc_id] == find_places(r.text, synth.GAZ_NAMES)
+    assert any(got.values())  # corpus contains place mentions
