@@ -135,6 +135,55 @@ def knn_join(
     return topk
 
 
+def knn_adaptive(
+    docs,
+    queries,
+    k: int,
+    res: int = 5,
+    ring: int = 2,
+    max_rounds: int = 4,
+    **kw,
+):
+    """Complete kNN: run knn_join, re-run provably-incomplete queries with a
+    doubled ring until every query is complete (or max_rounds).
+
+    The per-round incomplete set is a driver-side list of query ids (queries
+    are small by definition); each round touches only the remaining ids, so
+    total work is the final ring's work for stragglers plus the cheap ring
+    for the bulk — the 'expand rings until the k-th distance is inside the
+    covered disk' rule of SURVEY.md §7(c).
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    query_id = kw.get("query_id", "query_id")
+    remaining = queries
+    parts = []
+    r = ring
+    for round_i in range(max_rounds):
+        topk = knn_join(docs, remaining, k, res=res, ring=r, **kw)
+        if round_i == max_rounds - 1:
+            parts.append(topk)  # last round: accept as-is (flag says so)
+            break
+        done = topk.filter(F.col("complete"))
+        parts.append(done)
+        bad_ids = [row[0] for row in topk.filter(~F.col("complete"))
+                   .select(query_id).distinct().collect()]
+        # queries with zero candidates never appear in topk — catch them too
+        seen_ids = [row[0] for row in topk.select(query_id).distinct().collect()]
+        lost = (
+            remaining.filter(~F.col(query_id).isin(seen_ids))
+            .select(query_id).distinct().collect()
+        )
+        bad_ids += [row[0] for row in lost]
+        if not bad_ids:
+            break
+        remaining = queries.filter(F.col(query_id).isin(bad_ids))
+        r *= 2
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def knn_bruteforce_pandas(
     docs: pd.DataFrame,
     queries: pd.DataFrame,

@@ -41,7 +41,7 @@ def run_once(cpus: int, n_docs: int) -> dict:
     return json.loads(last)
 
 
-def best_of(cpus: int, n_docs: int, runs: int = 2) -> dict:
+def best_of(cpus: int, n_docs: int, runs: int = 3) -> dict:
     results = [run_once(cpus, n_docs) for _ in range(runs)]
     return max(results, key=lambda r: r["docs_per_sec"])
 

@@ -266,3 +266,45 @@ class TestSparkStages:
             w = want[want["query_id"] == qid]
             assert g["doc_id"].tolist() == w["doc_id"].tolist()
             assert np.allclose(g["dist_m"], w["dist_m"], rtol=1e-9)
+
+
+@pytest.mark.spark
+class TestKnnAdaptive:
+    def test_adaptive_completes_stragglers(self, spark):
+        """Sparse-region queries that are incomplete at ring=2 get re-run at
+        doubled rings until provably complete, and then match brute force."""
+        from core_spark.operators.knn import knn_adaptive, knn_bruteforce_pandas
+        from core_spark.operators.tiles import assign_tiles
+
+        pages = synth.webpages_pandas(500)
+        docs_pd = (
+            pages.dropna(subset=["true_lat"])[["doc_id", "true_lat", "true_lon"]]
+            .rename(columns={"true_lat": "lat", "true_lon": "lon"})
+        )
+        queries_pd = pd.DataFrame(
+            {
+                "query_id": range(6),
+                "qlat": [40.7, 35.6, -23.5, 0.0, 64.1, -45.0],
+                "qlon": [-74.0, 139.7, -46.6, 10.0, -21.9, -170.0],
+            }
+        )
+        docs = assign_tiles(spark.createDataFrame(docs_pd), resolutions=(0,))
+        got = (
+            knn_adaptive(
+                docs, spark.createDataFrame(queries_pd), k=3, res=0, ring=2,
+                max_rounds=4,
+            )
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        want = knn_bruteforce_pandas(docs_pd, queries_pd, k=3)
+        # every query that ended complete must match brute force exactly
+        comp = got[got["complete"]]
+        assert len(set(comp["query_id"])) >= 4  # adaptive resolved stragglers
+        for qid in set(comp["query_id"]):
+            g = got[got["query_id"] == qid]
+            w = want[want["query_id"] == qid]
+            assert g["doc_id"].tolist() == w["doc_id"].tolist()
+        # no duplicate (query, rank) rows from the union
+        assert not got.duplicated(subset=["query_id", "rank"]).any()
