@@ -104,7 +104,7 @@ def run_flagship(spark, corpus_path: str, n_docs: int) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_NDOCS", "100000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_NDOCS", "800000"))
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
