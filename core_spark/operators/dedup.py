@@ -114,10 +114,14 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     """
     from pyspark.sql import functions as F
 
+    # set size BEFORE exploding so it rides along with every posting row —
+    # a separate sizes aggregation would re-run the shingle computation
+    # (branching DAGs recompute; no persist needed this way)
     sh = (
-        df.select(F.col(id_col), F.explode(F.expr(spark_shingles(text_col, k))).alias("s"))
+        df.select(F.col(id_col), F.expr(spark_shingles(text_col, k)).alias("_shs"))
+        .select(F.col(id_col), F.size("_shs").alias("sz"), F.explode("_shs").alias("s"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sizes = sh.select(id_col, "sz").distinct()
     # drop non-discriminative mega-postings (see docstring)
     max_df = 1000
     postings = sh.join(
@@ -177,13 +181,15 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {threshold}
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _spark_minhash_sig(text_col: str, k: int, perm: int) -> str:
+def _spark_minhash_sig(shingles_col: str, perm: int) -> str:
     """One MinHash signature value: min over shingles of the md5-derived
-    60-bit hash salted with the permutation index. array_min of a transform
-    — all JVM higher-order functions."""
-    sh = spark_shingles(text_col, k)
+    60-bit hash salted with the permutation index. References an already-
+    materialized shingle-array column — computing the array inline would be
+    re-evaluated once PER PERMUTATION (Catalyst duplicates collapsed
+    projections; the hexgrid stepwise-emission lesson, measured 69s -> ~9s
+    at sf0.1)."""
     h = f"CAST(conv(substr(md5(concat('p{perm}:', x)), 1, 15), 16, 10) AS BIGINT)"
-    return f"array_min(transform({sh}, x -> {h}))"
+    return f"array_min(transform({shingles_col}, x -> {h}))"
 
 
 def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
@@ -204,9 +210,12 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
 
     r = n_perm // bands
     assert bands * r == n_perm
-    sigs = df.select(
-        F.col(id_col),
-        *[F.expr(_spark_minhash_sig(text_col, k, p)).alias(f"mh{p}") for p in range(n_perm)],
+    sigs = (
+        df.select(F.col(id_col), F.expr(spark_shingles(text_col, k)).alias("_sh"))
+        .select(
+            F.col(id_col),
+            *[F.expr(_spark_minhash_sig("_sh", p)).alias(f"mh{p}") for p in range(n_perm)],
+        )
     )
     band_keys = sigs.select(
         id_col,
