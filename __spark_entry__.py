@@ -323,6 +323,23 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """§2.10 stateful-operator seam (batch twin): gap-based sessionization
+    via window composition; the applyInPandasWithState streaming variant is
+    tested equal in tests/test_sessions.py."""
+    from core_spark.streaming.sessions import sessionize_batch
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(ev, gap_minutes=30).selectExpr(
+        "user_id",
+        "CAST(unix_timestamp(session_start) AS BIGINT) AS start_s",
+        "CAST(unix_timestamp(session_end) AS BIGINT) AS end_s",
+        "n_events",
+        "CAST(ROUND(total_value, 4) AS DOUBLE) AS total_value",
+    )
+
+
 def q_extract_invariant(spark, sf_dir):
     """G1 rows-only check: re-extract the synthetic corpus html and return
     rows violating the byte-identity invariant — MUST be empty (the driver
@@ -448,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "set_ops": q_set_ops,
         "events_rollup": q_events_rollup,
+        "sessionize": q_sessionize,
         "rollup_sets": q_rollup_sets,
         "zonal_salted": q_zonal_salted,
         "outline": q_outline,
@@ -579,6 +597,27 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(ROUND(SUM(value), 4) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            SELECT user_id,
+                   CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_s,
+                   CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS end_s,
+                   COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(value), 4) AS DOUBLE) AS total_value
+            FROM (
+              SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS sess
+              FROM (
+                SELECT *, CASE WHEN prev_ts IS NULL
+                                 OR epoch(ts) - epoch(prev_ts) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+                FROM (SELECT user_id, ts, event_id, value,
+                             LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_ts
+                      FROM events)
+              )
+            ) GROUP BY user_id, sess
         """,
         "rollup_sets": """
             SELECT lang, source, COUNT(*) AS n_docs,
