@@ -323,6 +323,74 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+RASTER_RES = 3
+RASTER_PIXEL = 6.0
+
+
+def q_rasterize(spark, sf_dir):
+    """G7 raster half: zonal counts -> equirectangular pixel grid. Pixel
+    centers use the SAME cell arithmetic as documents (shared sql_cell), so
+    the oracle reproduces the raster exactly in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.tiles import assign_tiles
+    from core_spark.operators.zonal import rasterize
+
+    pts = assign_tiles(_points(spark, sf_dir), resolutions=(RASTER_RES,))
+    zonal = pts.groupBy(f"h3_r{RASTER_RES}").agg(F.count("*").alias("doc_count"))
+    return rasterize(
+        spark, zonal, RASTER_RES, RASTER_PIXEL, cell_col=f"h3_r{RASTER_RES}"
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """A-parity depth: TPC-H q1-shape aggregate battery (sum/avg/count per
+    group, deterministic rounding)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_li")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
+               CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(AVG(l_quantity), 6) AS DOUBLE) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM _li
+        WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """)
+
+
+def q_semi_join(spark, sf_dir):
+    """J-parity depth: left-semi join (EXISTS) — customers having at least
+    one order above a price threshold."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_totalprice > 200000"
+    )
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).selectExpr("c_custkey", "c_nationkey")
+
+
+def q_ann_ivf(spark, sf_dir):
+    """ANN scale path (rows-only): IVF bucketed search — recall measured
+    against brute force in tests/test_textstats_dedup.py::test_ivf_recall."""
+    import pandas as pd
+
+    from core_spark.operators.similarity import ivf_topk
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS embedding"
+    )
+    qrows = vecs.filter("vec_id < 3").collect()
+    queries_pd = pd.DataFrame(
+        {"query_id": [r.vec_id for r in qrows], "qvec": [list(r.embedding) for r in qrows]}
+    )
+    return ivf_topk(spark, vecs, queries_pd, k=5, n_centroids=8, n_probe=3)
+
+
 def q_sessionize(spark, sf_dir):
     """§2.10 stateful-operator seam (batch twin): gap-based sessionization
     via window composition; the applyInPandasWithState streaming variant is
@@ -465,6 +533,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "set_ops": q_set_ops,
         "events_rollup": q_events_rollup,
+        "rasterize": q_rasterize,
+        "pricing_summary": q_pricing_summary,
+        "semi_join": q_semi_join,
+        "ann_ivf": q_ann_ivf,
         "sessionize": q_sessionize,
         "rollup_sets": q_rollup_sets,
         "zonal_salted": q_zonal_salted,
@@ -597,6 +669,40 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(ROUND(SUM(value), 4) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "rasterize": f"""
+            WITH pixels AS (
+              SELECT ix, iy,
+                     -180.0 + (ix + 0.5) * {RASTER_PIXEL!r} AS plon,
+                     -90.0 + (iy + 0.5) * {RASTER_PIXEL!r} AS plat
+              FROM (SELECT CAST(i % {int(360 / RASTER_PIXEL)} AS BIGINT) AS ix,
+                           CAST(FLOOR(i / {int(360 / RASTER_PIXEL)}) AS BIGINT) AS iy
+                    FROM range(0, {int(360 / RASTER_PIXEL) * int(180 / RASTER_PIXEL)}) t(i))
+            ),
+            zonal AS (
+              SELECT {hx.sql_cell('lat', 'lon', RASTER_RES)} AS cell, COUNT(*) AS doc_count
+              FROM ({_POINTS_SQL}) GROUP BY 1
+            )
+            SELECT ix, iy, COALESCE(doc_count, 0) AS doc_count
+            FROM (SELECT ix, iy, {hx.sql_cell('plat', 'plon', RASTER_RES)} AS pcell
+                  FROM pixels) p
+            LEFT JOIN zonal ON p.pcell = zonal.cell
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
+                   CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+                   CAST(ROUND(AVG(l_quantity), 6) AS DOUBLE) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_nationkey FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 200000)
         """,
         "sessionize": """
             SELECT user_id,

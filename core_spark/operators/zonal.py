@@ -64,6 +64,50 @@ def salted_counts(df, cell_col: str, salt_mod: int = 32, salt_src: str = "url"):
     return partial.groupBy(cell_col).agg(F.sum("n").alias("doc_count"))
 
 
+def rasterize(spark, zonal_df, res: int, pixel_deg: float = 2.0,
+              cell_col: str = "cell", value_col: str = "doc_count"):
+    """Raster half of G7: per-cell aggregates -> a regular equirectangular
+    pixel grid.
+
+    Every pixel center is assigned its hex cell with the same JVM-side
+    sql_cell arithmetic used for documents, then joined against the zonal
+    aggregate — so raster pixels and document assignments can NEVER disagree
+    (one shared cell function). Pixels whose cell has no documents carry 0.
+
+    Pure Column arithmetic + one broadcast-able join: at production raster
+    sizes (p=0.01 deg -> 648M pixels) the join key (cell id) is uniform and
+    the zonal side is the small one.
+    """
+    from pyspark.sql import functions as F
+
+    nx = int(round(360.0 / pixel_deg))
+    ny = int(round(180.0 / pixel_deg))
+    pixels = (
+        spark.range(0, nx * ny)
+        .selectExpr(
+            f"CAST(id % {nx} AS BIGINT) AS ix",
+            f"CAST(FLOOR(id / {nx}) AS BIGINT) AS iy",
+        )
+        .selectExpr(
+            "ix",
+            "iy",
+            f"-180.0 + (ix + 0.5) * {pixel_deg!r} AS plon",
+            f"-90.0 + (iy + 0.5) * {pixel_deg!r} AS plat",
+        )
+    )
+    from core_spark.functions import hexgrid as hx
+
+    pixels = hx.apply_steps(pixels, hx.cell_steps("plat", "plon", res, "pcell"))
+    return (
+        pixels.join(
+            zonal_df.select(F.col(cell_col).alias("pcell"), F.col(value_col)),
+            "pcell",
+            "left",
+        )
+        .selectExpr("ix", "iy", f"COALESCE({value_col}, 0) AS {value_col}")
+    )
+
+
 BOUNDARY_SCHEMA = "cell bigint, boundary_wkt string"
 
 
