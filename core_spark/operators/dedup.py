@@ -276,6 +276,72 @@ FROM bk a JOIN bk b
 
 
 # ---------------------------------------------------------------------------
+# Connected components over near-dup pairs -> cluster representatives
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iter: int = 20):
+    """Cluster the near-dup pair graph: (node, component) with component =
+    min node id reachable — the standard large-star/small-star-style
+    min-label propagation, expressed as symmetric-edge joins iterated to a
+    driver-checked fixpoint.
+
+    Each iteration: every node adopts min(own label, neighbors' labels).
+    Converges in O(graph diameter) rounds; near-dup graphs are
+    shallow clusters, so 3-5 rounds typical. All shuffles are on uniform
+    node ids. The iteration count and convergence check are deterministic
+    (no RNG) — resume-safe under the manifest.
+    """
+    from pyspark.sql import functions as F
+
+    edges = (
+        pairs.selectExpr(f"{id_a} AS src", f"{id_b} AS dst")
+        .union(pairs.selectExpr(f"{id_b} AS src", f"{id_a} AS dst"))
+        .distinct()
+    )
+    labels = edges.selectExpr("src AS node").distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter("n.component <> o.component")
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_representatives(df, pairs, id_col: str = "doc_id"):
+    """Drop every near-dup except the min-id representative per component.
+
+    Documents that appear in no pair are kept (left-anti on the drop set).
+    """
+    comp = connected_components(pairs)
+    drop = comp.filter("node <> component").selectExpr(f"node AS {id_col}")
+    return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash (64-bit, numpy UDF stage) + Hamming blocking
 # ---------------------------------------------------------------------------
 

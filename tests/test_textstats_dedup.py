@@ -243,3 +243,44 @@ class TestMultimodalStage:
         assert thumb["thumb"].iloc[0] is not None and len(thumb["thumb"].iloc[0]) == 4
         assert thumb["thumb"].iloc[1] is None  # stubbed codec -> error-as-data
         assert "no decoder" in thumb["decode_error"].iloc[1]
+
+
+@pytest.mark.spark
+class TestConnectedComponents:
+    def test_chains_and_singletons(self, spark):
+        from core_spark.operators.dedup import (
+            connected_components,
+            dedup_keep_representatives,
+        )
+
+        # two chains (1-2-3-4, 10-11) and an isolated pair graph node set
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+            "id_a bigint, id_b bigint",
+        )
+        comp = {r.node: r.component for r in connected_components(pairs).collect()}
+        assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+        assert comp[10] == comp[11] == 10
+        assert comp[20] == comp[21] == comp[22] == 20
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]],
+            "doc_id bigint, text string",
+        )
+        kept = sorted(
+            r.doc_id for r in dedup_keep_representatives(docs, pairs).collect()
+        )
+        assert kept == [1, 10, 20, 99]  # one per cluster + untouched 99
+
+    def test_end_to_end_minhash_cluster(self, spark):
+        """LSH pairs -> components -> representative set on the dup corpus."""
+        from core_spark.operators.dedup import (
+            dedup_keep_representatives,
+            minhash_lsh_pairs,
+        )
+
+        sdf = spark.createDataFrame(DOCS)
+        pairs = minhash_lsh_pairs(sdf, k=2, n_perm=8, bands=4)
+        kept = dedup_keep_representatives(sdf, pairs)
+        kept_ids = {r.doc_id for r in kept.collect()}
+        assert 0 in kept_ids and 1 not in kept_ids  # exact dup collapsed to min id
