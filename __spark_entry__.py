@@ -495,6 +495,32 @@ def q_s2_assign(spark, sf_dir):
     ).select("doc_id", "s2_cell")
 
 
+def q_dedup_cluster(spark, sf_dir):
+    """Near-dup clustering end-to-end (rows-only: iterative CC has no single
+    SQL equivalent): MinHash-LSH candidates -> exact Jaccard verify ->
+    connected components -> the kept representative set. Deterministic
+    (min-id labels)."""
+    docs = _docs(spark, sf_dir)
+    cands = dd.minhash_lsh_pairs(docs, k=2, n_perm=8, bands=4)
+    pairs = dd.verify_pairs_jaccard(cands, docs, k=3, threshold=0.5)
+    return dd.dedup_keep_representatives(docs, pairs).selectExpr("doc_id")
+
+
+def q_pipeline_stats(spark, sf_dir):
+    """G9 rows-only: run the checkpointed flagship pipeline on a tiny corpus
+    (resumes instantly on re-run — fingerprint cache) and return the
+    per-stage lineage metrics the manifest recorded."""
+    from core_spark.plans.pipeline import run_pipeline
+
+    out = run_pipeline(spark, "/tmp/spark_graft_entry_pipeline", n_docs=500,
+                       partitions=4)
+    rows = [
+        (m["stage"], m["row_count"], m["n_files"])
+        for m in out["_manifest"].metrics()
+    ]
+    return spark.createDataFrame(rows, "stage string, row_count bigint, n_files int")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup candidates (rows-only: 64-bit SimHash has no
     SQL-expressible equivalent; kernel golden-tested in pytest)."""
@@ -545,6 +571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_assign": q_s2_assign,
         "extract_invariant": q_extract_invariant,
         "simhash_pairs": q_simhash_pairs,
+        "dedup_cluster": q_dedup_cluster,
+        "pipeline_stats": q_pipeline_stats,
     }
 
 

@@ -275,6 +275,33 @@ FROM bk a JOIN bk b
 """
 
 
+def verify_pairs_jaccard(pairs, docs, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 3,
+                         threshold: float = 0.8):
+    """Exact-verify candidate pairs: word-k-gram Jaccard computed ONLY for
+    the candidates (array_intersect/array_union — JVM-side), keep pairs at
+    or above threshold. The cheap-filter-then-verify discipline: LSH
+    proposes, exact math disposes (reference analog: detection cascade's
+    cheap-predicate-first, SURVEY §4)."""
+    from pyspark.sql import functions as F
+
+    sh = docs.select(
+        F.col(id_col), F.expr(spark_shingles(text_col, k)).alias("_sh")
+    )
+    a = sh.selectExpr(f"{id_col} AS id_a", "_sh AS sh_a")
+    b = sh.selectExpr(f"{id_col} AS id_b", "_sh AS sh_b")
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Connected components over near-dup pairs -> cluster representatives
 # ---------------------------------------------------------------------------

@@ -284,3 +284,16 @@ class TestConnectedComponents:
         kept = dedup_keep_representatives(sdf, pairs)
         kept_ids = {r.doc_id for r in kept.collect()}
         assert 0 in kept_ids and 1 not in kept_ids  # exact dup collapsed to min id
+
+    def test_verify_pairs_jaccard(self, spark):
+        """LSH candidates + exact verify keeps only true near-dups."""
+        from core_spark.operators.dedup import minhash_lsh_pairs, verify_pairs_jaccard
+
+        sdf = spark.createDataFrame(DOCS)
+        cands = minhash_lsh_pairs(sdf, k=2, n_perm=8, bands=4)
+        verified = verify_pairs_jaccard(cands, sdf, k=3, threshold=0.5).toPandas()
+        got = set(zip(verified["id_a"], verified["id_b"]))
+        assert (0, 1) in got            # exact dup survives
+        assert all(j >= 0.5 for j in verified["jaccard"])
+        # unrelated docs never pass the exact verify even if LSH proposed them
+        assert (3, 4) not in got
