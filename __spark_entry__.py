@@ -501,7 +501,7 @@ def q_dedup_cluster(spark, sf_dir):
     connected components -> the kept representative set. Deterministic
     (min-id labels)."""
     docs = _docs(spark, sf_dir)
-    cands = dd.minhash_lsh_pairs(docs, k=2, n_perm=8, bands=4)
+    cands = dd.minhash_lsh_pairs(docs, k=3, n_perm=8, bands=4)
     pairs = dd.verify_pairs_jaccard(cands, docs, k=3, threshold=0.5)
     return dd.dedup_keep_representatives(docs, pairs).selectExpr("doc_id")
 
