@@ -1,0 +1,49 @@
+"""Bucketed document tables: co-located storage on the cell id.
+
+At 10^12 rows the zonal rollup's one shuffle — hash(cell) — is the dominant
+network cost. Bucketing the docs table BY CELL at write time moves that
+shuffle into the (one-off) ingestion job: a bucketed scan reports
+``HashPartitioning(cell)``, which satisfies the clustering requirement of
+any aggregate grouping on (cell, ...) and of equi-joins on cell — Catalyst
+plans NO Exchange (verified against the physical plan in
+tests/test_bucketed.py).
+
+This is the Spark-native equivalent of an Iceberg table partitioned by
+``bucket(N, cell)``; the write path here uses the session catalog
+(``saveAsTable`` — bucket metadata lives in the metastore, which is why a
+plain ``.parquet(path)`` write cannot express it).
+
+Scale sizing: buckets ~= target parallelism of downstream aggregations;
+cell ids are uniform (hex lattice), so buckets balance except for mega-cells
+— which the two-phase zonal aggregation already pre-combines map-side.
+"""
+
+from __future__ import annotations
+
+
+def write_bucketed_docs(df, table: str, n_buckets: int, cell_col: str,
+                        path: str | None = None, sort: bool = True):
+    """Write ``df`` bucketed (and optionally sorted) by ``cell_col``."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, cell_col)
+    if sort:
+        w = w.sortBy(cell_col)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def zonal_rollup_bucketed(spark, table: str, cell_col: str, lang_col: str = "lang"):
+    """Per-cell rollup over a bucketed table — plans with zero Exchange."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.table(table)
+        .groupBy(cell_col, lang_col)
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def has_exchange(df) -> bool:
+    """Does the physical plan contain a shuffle Exchange? (test/audit aid)"""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" in plan
