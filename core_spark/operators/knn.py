@@ -74,6 +74,18 @@ def sql_guaranteed_radius_m(res: int, ring: int, q_lat: str) -> str:
     )
 
 
+def sql_seam_safe(res: int, ring: int, q_lon: str) -> str:
+    """The hexgrid lattice is planar in lon/lat — NOT periodic across ±180
+    (a property shared by any unrolled planar grid; tested in
+    test_properties.py). A k-ring near the antimeridian cannot see
+    candidates just across the seam, so completeness additionally requires
+    the covered disk to stay clear of it. Queries failing this are flagged
+    incomplete; exact answers near the seam use brute force (tiny slice of
+    the globe: covered_deg/360 of all queries)."""
+    deg = covered_deg(res, ring)
+    return f"((180.0 - ABS({q_lon})) > {deg!r})"
+
+
 def knn_join(
     docs,
     queries,
@@ -119,8 +131,9 @@ def knn_join(
     w = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(), F.col(doc_id).asc())
     wall = Window.partitionBy(query_id)
     bound = F.expr(sql_guaranteed_radius_m(res, ring, q_lat))
-    # complete iff >= k candidates surfaced AND the kth distance is inside the
-    # provably-covered disk; callers rerun incomplete queries at larger ring
+    # complete iff >= k candidates surfaced AND the kth distance is inside
+    # the provably-covered disk AND the disk avoids the ±180 lattice seam;
+    # callers rerun incomplete queries at larger ring / brute force
     topk = (
         joined.withColumn("rank", F.row_number().over(w))
         .withColumn("_ncand", F.count("*").over(wall))
@@ -128,7 +141,8 @@ def knn_join(
         .withColumn(
             "complete",
             (F.col("_ncand") >= F.lit(k))
-            & (F.max("dist_m").over(wall) <= bound),
+            & (F.max("dist_m").over(wall) <= bound)
+            & F.expr(sql_seam_safe(res, ring, q_lon)),
         )
         .select(query_id, "rank", doc_id, "dist_m", "complete")
     )
