@@ -128,7 +128,7 @@ def q_knn(spark, sf_dir):
     (.claude/skills/verify gotcha); ordering is robust because lattice
     distances are well separated.
     """
-    from core_spark.operators.knn import knn_join
+    from core_spark.operators.knn import knn_adaptive
     from core_spark.operators.tiles import assign_tiles
 
     docs = assign_tiles(_points(spark, sf_dir), resolutions=(KNN_RES,))
@@ -136,8 +136,13 @@ def q_knn(spark, sf_dir):
         [(q, la, lo) for q, la, lo in KNN_QUERIES],
         "query_id bigint, qlat double, qlon double",
     )
-    return knn_join(
-        docs, queries, k=KNN_K, res=KNN_RES, ring=KNN_RING
+    # exact regardless of data density: ring pass keeps provably-complete
+    # queries; stragglers (sparse sf where the 5th neighbor exceeds the
+    # proven radius) fall through to a distributed brute-force pass, so the
+    # result always matches the brute-force oracle instead of relying on the
+    # conservative bound happening to hold
+    return knn_adaptive(
+        docs, queries, k=KNN_K, res=KNN_RES, ring=KNN_RING, max_rounds=1
     ).selectExpr("query_id", "rank", "doc_id")
 
 
@@ -662,7 +667,10 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "agg_histogram": """
-            SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+            -- CAST: DuckDB types SUM(INTEGER) as HUGEINT (int128) which lands in
+            -- pandas as float64; Spark SUM is BIGINT. Cast for hash portability.
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang, source
         """,
         "scan_filter_agg": """

@@ -160,11 +160,12 @@ def with_mentions(df, text_col: str = "text", key_cols: tuple[str, ...] = ("url"
     def run(batches):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                for i, m in enumerate(parse_mentions(row[text_col])):
+            key_arrays = [pdf[k].to_numpy() for k in keys]
+            for j, text in enumerate(pdf[text_col].to_numpy()):
+                kvals = tuple(a[j] for a in key_arrays)
+                for i, m in enumerate(parse_mentions(text)):
                     rows.append(
-                        tuple(row[k] for k in keys)
-                        + (i, m["lat"], m["lon"], m["kind"], m["start"], m["end"])
+                        kvals + (i, m["lat"], m["lon"], m["kind"], m["start"], m["end"])
                     )
             yield pd.DataFrame(
                 rows,

@@ -149,23 +149,55 @@ def knn_join(
     return topk
 
 
+def knn_bruteforce(
+    docs,
+    queries,
+    k: int,
+    doc_id: str = "doc_id",
+    query_id: str = "query_id",
+    doc_lat: str = "lat",
+    doc_lon: str = "lon",
+    q_lat: str = "qlat",
+    q_lon: str = "qlon",
+):
+    """Exact kNN by broadcast cross-join + window top-k. O(|q|*|d|) — only
+    for small query sets (the adaptive fallback's straggler remainder).
+    Always ``complete`` by construction (seam- and sparsity-immune)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    dist = F.expr(sql_haversine_m(q_lat, q_lon, doc_lat, doc_lon))
+    w = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(), F.col(doc_id).asc())
+    return (
+        F.broadcast(queries)
+        .crossJoin(docs)
+        .withColumn("dist_m", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("complete", F.lit(True))
+        .select(query_id, "rank", doc_id, "dist_m", "complete")
+    )
+
+
 def knn_adaptive(
     docs,
     queries,
     k: int,
     res: int = 5,
     ring: int = 2,
-    max_rounds: int = 4,
+    max_rounds: int = 2,
+    bruteforce: bool = True,
     **kw,
 ):
-    """Complete kNN: run knn_join, re-run provably-incomplete queries with a
-    doubled ring until every query is complete (or max_rounds).
+    """Exact kNN: run knn_join, re-run provably-incomplete queries with a
+    doubled ring, and (by default) finish the stragglers with a distributed
+    brute-force pass — so every returned row is ``complete``.
 
-    The per-round incomplete set is a driver-side list of query ids (queries
-    are small by definition); each round touches only the remaining ids, so
-    total work is the final ring's work for stragglers plus the cheap ring
-    for the bulk — the 'expand rings until the k-th distance is inside the
-    covered disk' rule of SURVEY.md §7(c).
+    Fully distributed: the per-round remainder is a left-anti join against
+    the completed query ids — no driver collect()/isin round-trip (that
+    pattern breaks at the 10^6-query design point: a driver bottleneck plus
+    a giant in-list filter). The 'complete' flag is uniform per query, so
+    filtering it keeps whole queries, never partial top-k lists.
     """
     from functools import reduce
 
@@ -175,26 +207,29 @@ def knn_adaptive(
     remaining = queries
     parts = []
     r = ring
-    for round_i in range(max_rounds):
+    for _ in range(max_rounds):
         topk = knn_join(docs, remaining, k, res=res, ring=r, **kw)
-        if round_i == max_rounds - 1:
-            parts.append(topk)  # last round: accept as-is (flag says so)
-            break
         done = topk.filter(F.col("complete"))
         parts.append(done)
-        bad_ids = [row[0] for row in topk.filter(~F.col("complete"))
-                   .select(query_id).distinct().collect()]
-        # queries with zero candidates never appear in topk — catch them too
-        seen_ids = [row[0] for row in topk.select(query_id).distinct().collect()]
-        lost = (
-            remaining.filter(~F.col(query_id).isin(seen_ids))
-            .select(query_id).distinct().collect()
-        )
-        bad_ids += [row[0] for row in lost]
-        if not bad_ids:
-            break
-        remaining = queries.filter(F.col(query_id).isin(bad_ids))
+        # distributed remainder: queries with no complete result this round
+        # (covers zero-candidate queries, which never appear in topk at all)
+        done_ids = done.select(query_id).distinct()
+        remaining = remaining.join(done_ids, on=query_id, how="left_anti")
         r *= 2
+    if bruteforce:
+        parts.append(
+            knn_bruteforce(
+                docs,
+                remaining,
+                k,
+                doc_id=kw.get("doc_id", "doc_id"),
+                query_id=query_id,
+                doc_lat=kw.get("doc_lat", "lat"),
+                doc_lon=kw.get("doc_lon", "lon"),
+                q_lat=kw.get("q_lat", "qlat"),
+                q_lon=kw.get("q_lon", "qlon"),
+            )
+        )
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 

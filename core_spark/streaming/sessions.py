@@ -36,18 +36,21 @@ def sessionize_batch(df, gap_minutes: int = 30, user_col: str = "user_id",
     from pyspark.sql import functions as F
 
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
-    gap_s = gap_minutes * 60
-    prev = F.lag(F.col(ts_col)).over(w)
+    # exact microsecond arithmetic (unix_timestamp truncates to whole seconds,
+    # which can split a 1800.5s gap differently from the fractional oracle);
+    # timestampdiff handles TIMESTAMP_NTZ, unix_micros does not
+    gap_us = gap_minutes * 60 * 1_000_000
     new_sess = F.when(
-        prev.isNull()
-        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)) > gap_s),
+        F.col("_prev").isNull()
+        | (F.expr(f"timestampdiff(MICROSECOND, _prev, {ts_col})") > gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
     sess_id = F.sum(new_sess).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.withColumn("_sess", sess_id)
+        df.withColumn("_prev", F.lag(F.col(ts_col)).over(w))
+        .withColumn("_sess", sess_id)
         .groupBy(user_col, "_sess")
         .agg(
             F.min(ts_col).alias("session_start"),
@@ -60,8 +63,8 @@ def sessionize_batch(df, gap_minutes: int = 30, user_col: str = "user_id",
 
 
 def sql_sessionize(events_table: str, gap_minutes: int = 30) -> str:
-    """DuckDB oracle: same window composition in ANSI SQL (epoch seconds)."""
-    gap_s = gap_minutes * 60
+    """DuckDB oracle: same window composition in ANSI SQL (microseconds)."""
+    gap_us = gap_minutes * 60 * 1_000_000
     return f"""
 SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
        COUNT(*) AS n_events, SUM(value) AS total_value
@@ -70,7 +73,7 @@ FROM (
                                 ROWS UNBOUNDED PRECEDING) AS sess
   FROM (
     SELECT *, CASE WHEN prev_ts IS NULL
-                     OR epoch(ts) - epoch(prev_ts) > {gap_s}
+                     OR epoch_us(ts) - epoch_us(prev_ts) > {gap_us}
               THEN 1 ELSE 0 END AS new_sess
     FROM (
       SELECT user_id, ts, event_id, value,

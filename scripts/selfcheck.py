@@ -19,6 +19,34 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _kind(dtype) -> str:
+    s = str(dtype)
+    if s.startswith(("int", "uint", "Int")):
+        return "int"
+    if s.startswith("float"):
+        return "float"
+    if s.startswith("datetime"):
+        return "datetime"
+    if s == "bool":
+        return "bool"
+    return "object"
+
+
+def dtype_mismatches(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    """Columns whose dtype KIND differs between Spark and oracle results.
+
+    The driver's value hash is type-aware: DuckDB HUGEINT/DECIMAL arriving
+    as float64/object vs Spark BIGINT renders differently and fails the hash
+    even when values compare equal elementwise (VERDICT r1: agg_histogram).
+    Never coerce across kinds — flag instead.
+    """
+    bad = []
+    for c in sorted(set(got.columns) & set(want.columns)):
+        if _kind(got[c].dtype) != _kind(want[c].dtype):
+            bad.append(f"{c}: spark={got[c].dtype} oracle={want[c].dtype}")
+    return bad
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -71,6 +99,11 @@ def main() -> int:
         except Exception as e:
             failures.append(name)
             print(f"{name:22s} ORACLE ERROR: {str(e)[:160]}")
+            continue
+        dt_bad = dtype_mismatches(got, want)
+        if dt_bad:
+            failures.append(name)
+            print(f"{name:22s} DTYPE MISMATCH (driver hash would fail): {dt_bad}")
             continue
         g, w = normalize(got), normalize(want)
         if list(g.columns) != list(w.columns):
