@@ -50,7 +50,15 @@ N_POLYGONS = 96
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the fixture is a single-file single-row-group table, so the scan is a
+    # 1-task stage and every per-doc kernel downstream would run serially;
+    # rebalance to the executor pool. At real scale the table has many
+    # files/row-groups and this branch never fires (keeping scan pushdown).
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,10 +535,15 @@ def q_pipeline_stats(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup candidates (rows-only: 64-bit SimHash has no
-    SQL-expressible equivalent; kernel golden-tested in pytest)."""
+    """SimHash near-dup pairs, Hamming <= 3 — the radius where 4-band
+    blocking is provably complete (pigeonhole), so the banded plan matches
+    the oracle's brute-force all-pairs scan exactly. Signatures come from
+    the vectorized numpy kernel; the oracle recomputes them independently
+    in DuckDB SQL (md5-derived bits are engine-portable)."""
     docs = _docs(spark, sf_dir).filter("text IS NOT NULL AND text <> ''")
-    return dd.simhash_candidates(dd.with_simhash(docs), max_hamming=12)
+    return dd.simhash_candidates(dd.with_simhash(docs), max_hamming=3).selectExpr(
+        "id_a", "id_b", "CAST(hamming AS BIGINT) AS hamming"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -646,6 +659,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dd.sql_exact_dedup("documents"),
         "dedup_ngram": dd.sql_ngram_jaccard_pairs("documents", k=3, threshold=0.4),
         "dedup_minhash": dd.sql_minhash_lsh_pairs("documents", k=2, n_perm=8, bands=4),
+        "simhash_pairs": dd.sql_simhash_pairs("documents", max_hamming=3),
         "text_quality": (
             "SELECT doc_id, "
             + ", ".join(f"{e} AS {k}" for k, e in ts.duck_quality_cols("text").items())
@@ -777,5 +791,5 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE token IN ({", ".join(f"'{t}'" for t in GAZ_TOKENS)})
         """,
-        # s2_assign, extract_invariant, simhash_pairs: rows-only (no SQL equivalent)
+        # s2_assign, extract_invariant: rows-only (no SQL equivalent)
     }

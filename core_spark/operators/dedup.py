@@ -97,6 +97,36 @@ SELECT {id_col}, unnest({shingles}) AS shingle FROM {docs_table}
 """
 
 
+def spark_hashed_shingles(text_col: str, k: int) -> str:
+    """Spark expr: distinct word k-grams hashed to 60-bit md5-derived BIGINTs.
+
+    Long comparisons make the inverted-index join key, the shuffle payload,
+    and the verify-stage array_intersect ~5x cheaper than 20-40 byte shingle
+    strings, and the hash is the engine-portable md5 recipe (identical in
+    DuckDB), so oracles reproduce it bit-for-bit. 60-bit collisions
+    (~n^2/2^61) are negligible and — because both engines hash identically —
+    could never cause a Spark/oracle mismatch.
+    """
+    h = "CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)"
+    return (
+        f"array_distinct(transform({spark_shingles(text_col, k)}, x -> {h}))"
+    )
+
+
+def duck_hashed_shingles(text_col: str, k: int) -> str:
+    """DuckDB twin of spark_hashed_shingles (same md5 arithmetic)."""
+    toks = f"string_split_regex(trim({text_col}), '\\s+')"
+    strings = (
+        f"CASE WHEN len({toks}) < {k} THEN [array_to_string({toks}, ' ')] "
+        f"ELSE list_distinct([array_to_string({toks}[i:i+{k}-1], ' ') "
+        f"for i in range(1, len({toks}) - {k} + 2)]) END"
+    )
+    return (
+        f"list_distinct([('0x' || substr(md5(x), 1, 15))::BIGINT "
+        f"for x in {strings}])"
+    )
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard dedup (inverted-index candidate join)
 # ---------------------------------------------------------------------------
@@ -105,75 +135,126 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3, threshold: float = 0.8):
     """Pairs (id_a < id_b, jaccard) with word-k-gram Jaccard >= threshold.
 
-    Plan: explode shingles -> self-equi-join on shingle (only docs sharing a
-    shingle ever meet — the inverted index) -> |A∩B| per pair ->
-    |A∪B| = |A|+|B|-|A∩B|. The shuffle key is the shingle: a stopword-like
-    mega-shingle would skew, so shingles above ``max_df`` postings are
-    dropped from candidate generation (they cannot be discriminative) —
-    standard prefix-filtering practice and our G8 skew discipline.
+    AllPairs/PPJoin-style EXACT plan (filters prune candidates, never
+    answers), over 60-bit hashed shingles (spark_hashed_shingles — cheap
+    long keys everywhere, engine-portable md5):
+
+      1. inverted index over each doc's PREFIX only: order shingles by
+         global rarity (df asc, hash asc — one canonical order for the
+         whole corpus) and keep the first |A| - ceil(t*|A|) + 1. Any pair
+         with J >= t shares >= ceil(t*max(|A|,|B|)) shingles, which cannot
+         all hide in either suffix, so both prefixes must collide.
+      2. size filter on colliding pairs: J >= t forces t*|A| <= |B| <= |A|/t.
+      3. positional filter (PPJoin): at the pair's first shared prefix
+         position (p_a, p_b), overlap <= 1 + min(|A|-p_a, |B|-p_b); require
+         that to reach ceil(t/(1+t) * (|A|+|B|)). The first-collision row
+         always passes for a true pair, so distinct-after-filter is exact.
+      4. exact verify on the FULL hashed sets (array_intersect/union, JVM).
+
+    The join shuffle key is the prefix shingle — by construction the rarest
+    of each doc (a stopword mega-shingle enters a prefix only when a doc has
+    nothing rarer), so posting lists stay short without the lossy df cap the
+    first version used. Run exact_dedup first at scale: identical boilerplate
+    docs would otherwise all share the same 'rare' prefix.
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     # set size BEFORE exploding so it rides along with every posting row —
     # a separate sizes aggregation would re-run the shingle computation
     # (branching DAGs recompute; no persist needed this way)
     sh = (
-        df.select(F.col(id_col), F.expr(spark_shingles(text_col, k)).alias("_shs"))
-        .select(F.col(id_col), F.size("_shs").alias("sz"), F.explode("_shs").alias("s"))
-    )
-    sizes = sh.select(id_col, "sz").distinct()
-    # drop non-discriminative mega-postings (see docstring)
-    max_df = 1000
-    postings = sh.join(
-        sh.groupBy("s").agg(F.count("*").alias("df_")).filter(F.col("df_") <= max_df),
-        "s",
-    ).select(id_col, "s")
-
-    a = postings.alias("a")
-    b = postings.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        df.select(
+            F.col(id_col), F.expr(spark_hashed_shingles(text_col, k)).alias("_shs")
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(F.col(id_col), F.size("_shs").alias("sz"), F.explode("_shs").alias("h"))
     )
-    return out
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df_"))
+    w = Window.partitionBy(id_col).orderBy(F.col("df_").asc(), F.col("h").asc())
+    # eager checkpoint: the prefix index feeds BOTH sides of the self-join
+    # (and each branch of a Spark self-join recomputes its input), so
+    # materializing it once halves the tokenize+hash+window work — the
+    # standard persist-the-index step of any AllPairs implementation;
+    # at scale this is O(corpus tokens), the same order as the shuffle
+    prefix = (
+        sh.join(dfreq, "h")
+        .withColumn("p", F.row_number().over(w))
+        .filter(
+            F.col("p")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(1)
+        )
+        .select(id_col, "sz", "h", "p")
+        .localCheckpoint(eager=True)
+    )
+    alpha = F.ceil(
+        F.lit(threshold) / (F.lit(1.0) + F.lit(threshold))
+        * (F.col("a.sz") + F.col("b.sz"))
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"))
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a.sz") - F.col("a.p"), F.col("b.sz") - F.col("b.p")
+                )
+                >= alpha
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return verify_pairs_jaccard(cand, df, text_col=text_col, id_col=id_col,
+                                k=k, threshold=threshold)
 
 
 def sql_ngram_jaccard_pairs(docs_table: str, text_col: str = "text",
                             id_col: str = "doc_id", k: int = 3,
                             threshold: float = 0.8) -> str:
-    """DuckDB oracle: identical inverted-index plan in SQL."""
-    shingle_rows = duck_shingles_rows(docs_table, text_col, k, id_col)
+    """DuckDB oracle: the same prefix + positional + size filter and
+    exact-verify plan in SQL, over the identical md5-hashed shingles.
+
+    The filters are exact (candidate pruning only, final jaccard computed on
+    the full hashed sets), so this matches the Spark plan bit-for-bit: the
+    prefix/size/positional arithmetic uses identical IEEE double literals on
+    both engines, and int/int division yields DOUBLE in both dialects.
+    """
+    hashed = duck_hashed_shingles(text_col, k)
     return f"""
-WITH sh AS ({shingle_rows}),
-sizes AS (SELECT {id_col}, COUNT(*) AS sz FROM sh GROUP BY {id_col}),
-posting AS (
-  SELECT sh.* FROM sh
-  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000) ok
-  USING (shingle)
+WITH sets AS (SELECT {id_col}, {hashed} AS shs FROM {docs_table}),
+sh AS (SELECT {id_col}, len(shs) AS sz, unnest(shs) AS h FROM sets),
+dfreq AS (SELECT h, COUNT(*) AS df_ FROM sh GROUP BY h),
+prefix AS (
+  SELECT {id_col}, sz, h, p FROM (
+    SELECT sh.{id_col}, sh.sz, sh.h,
+           ROW_NUMBER() OVER (PARTITION BY sh.{id_col}
+                              ORDER BY df_ ASC, sh.h ASC) AS p
+    FROM sh JOIN dfreq USING (h)
+  ) WHERE p <= sz - CEIL({threshold!r} * sz) + 1
 ),
-inter AS (
-  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, COUNT(*) AS n_inter
-  FROM posting a JOIN posting b
-    ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
-  GROUP BY 1, 2
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM prefix a JOIN prefix b
+    ON a.h = b.h AND a.{id_col} < b.{id_col}
+   AND b.sz >= {threshold!r} * a.sz AND a.sz >= {threshold!r} * b.sz
+   AND 1 + LEAST(a.sz - a.p, b.sz - b.p)
+       >= CEIL({threshold!r} / (1.0 + {threshold!r}) * (a.sz + b.sz))
 )
 SELECT id_a, id_b,
-       CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.{id_col} = id_a
-JOIN sizes sb ON sb.{id_col} = id_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {threshold}
+       len(list_intersect(sa.shs, sb.shs))
+         / len(list_distinct(list_concat(sa.shs, sb.shs))) AS jaccard
+FROM cand
+JOIN sets sa ON sa.{id_col} = id_a
+JOIN sets sb ON sb.{id_col} = id_b
+WHERE len(list_intersect(sa.shs, sb.shs))
+        / len(list_distinct(list_concat(sa.shs, sb.shs))) >= {threshold!r}
 """
 
 
@@ -279,15 +360,17 @@ def verify_pairs_jaccard(pairs, docs, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 3,
                          threshold: float = 0.8):
     """Exact-verify candidate pairs: word-k-gram Jaccard computed ONLY for
-    the candidates (array_intersect/array_union — JVM-side), keep pairs at
-    or above threshold. The cheap-filter-then-verify discipline: LSH
-    proposes, exact math disposes (reference analog: detection cascade's
+    the candidates (array_intersect/array_union — JVM-side, over 60-bit
+    hashed shingles for cheap long comparisons), keep pairs at or above
+    threshold. The cheap-filter-then-verify discipline: LSH proposes, exact
+    math disposes (reference analog: detection cascade's
     cheap-predicate-first, SURVEY §4)."""
     from pyspark.sql import functions as F
 
+    # checkpoint: the hashed-set table feeds both sides of the pair join
     sh = docs.select(
-        F.col(id_col), F.expr(spark_shingles(text_col, k)).alias("_sh")
-    )
+        F.col(id_col), F.expr(spark_hashed_shingles(text_col, k)).alias("_sh")
+    ).localCheckpoint(eager=True)
     a = sh.selectExpr(f"{id_col} AS id_a", "_sh AS sh_a")
     b = sh.selectExpr(f"{id_col} AS id_b", "_sh AS sh_b")
     return (
@@ -306,56 +389,92 @@ def verify_pairs_jaccard(pairs, docs, text_col: str = "text",
 # Connected components over near-dup pairs -> cluster representatives
 # ---------------------------------------------------------------------------
 
-def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
-                         max_iter: int = 20):
-    """Cluster the near-dup pair graph: (node, component) with component =
-    min node id reachable — the standard large-star/small-star-style
-    min-label propagation, expressed as symmetric-edge joins iterated to a
-    driver-checked fixpoint.
+def _large_star(edges):
+    """Large-star step (Kiveris et al., 'Connected Components in MapReduce
+    and Beyond'): for every node u, connect all strictly larger neighbors to
+    m = min(N(u) ∪ {u}). Output edges always satisfy src > dst."""
+    from pyspark.sql import functions as F
 
-    Each iteration: every node adopts min(own label, neighbors' labels).
-    Converges in O(graph diameter) rounds; near-dup graphs are
-    shallow clusters, so 3-5 rounds typical. All shuffles are on uniform
-    node ids. The iteration count and convergence check are deterministic
-    (no RNG) — resume-safe under the manifest.
+    sym = edges.union(edges.selectExpr("dst AS src", "src AS dst"))
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least("_mn", "src").alias("m"))
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .selectExpr("dst AS src", "m AS dst")
+        .distinct()
+    )
+
+
+def _small_star(edges):
+    """Small-star step: orient edges toward the larger endpoint, then for
+    every node u connect u and all its smaller neighbors to their minimum."""
+    from pyspark.sql import functions as F
+
+    oriented = edges.selectExpr(
+        "greatest(src, dst) AS src", "least(src, dst) AS dst"
+    ).filter("src <> dst")
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    joined = oriented.join(mins, "src")
+    return (
+        joined.filter(F.col("dst") != F.col("m"))
+        .selectExpr("dst AS src", "m AS dst")
+        .union(mins.selectExpr("src", "m AS dst"))
+        .distinct()
+    )
+
+
+def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iter: int = 12):
+    """Cluster the near-dup pair graph: (node, component) with component =
+    min node id reachable, via alternating large-star/small-star contraction
+    (Kiveris et al.) — O(log n) rounds instead of the O(diameter) of naive
+    min-label propagation, the difference between 3 and 20 shuffled
+    iterations on chain-shaped dup graphs.
+
+    Each round is one large-star + one small-star (two groupBy-min shuffles
+    on uniform node ids) followed by an eager localCheckpoint that cuts
+    lineage AND materializes the round, so the convergence probe is a
+    single cheap single-row aggregate over already-computed partitions (no
+    separate join+count job). Convergence = the edge multiset's signature
+    (count, sum(src), sum(dst), sum(xxhash64(src, dst))) repeating — the
+    xxhash64 term makes a false fixpoint a ~2^-64 event, and the whole
+    check is deterministic (no RNG), so resume under the manifest replays
+    identically.
     """
     from pyspark.sql import functions as F
 
     edges = (
         pairs.selectExpr(f"{id_a} AS src", f"{id_b} AS dst")
-        .union(pairs.selectExpr(f"{id_b} AS src", f"{id_a} AS dst"))
+        .filter("src <> dst")
         .distinct()
     )
-    labels = edges.selectExpr("src AS node").distinct().withColumn(
-        "component", F.col("node")
-    )
+    prev_sig = None
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("nmin"))
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # decimal(38,0) sums: BIGINT would overflow under ANSI mode
+        sig = tuple(
+            edges.agg(
+                F.count("*"),
+                F.sum(F.col("src").cast("decimal(38,0)")),
+                F.sum(F.col("dst").cast("decimal(38,0)")),
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+            ).first()
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
-            )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter("n.component <> o.component")
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if sig == prev_sig:
             break
-    return labels
+        prev_sig = sig
+    # fixpoint edges are stars (v, component_min); the min itself only
+    # appears as dst, so label it with itself
+    return (
+        edges.selectExpr("src AS node", "dst AS component")
+        .union(edges.selectExpr("dst AS node", "dst AS component"))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
 
 
 def dedup_keep_representatives(df, pairs, id_col: str = "doc_id"):
@@ -391,6 +510,66 @@ def simhash64(tokens: list[str]) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out  # two's complement BIGINT
 
 
+def simhash64_batch(texts) -> list[int | None]:
+    """Vectorized SimHash over a batch of texts (same math as simhash64).
+
+    Tokens are hashed ONCE per distinct token per batch (np.unique + gather
+    — near-dup corpora share most tokens, so this alone is ~10x), and the
+    per-token ±1 bit contributions are summed per document with a single
+    np.add.reduceat over the whole batch — no per-token Python in the
+    accumulation. Returns None for null texts, 0 for token-less texts
+    (matching the scalar kernel).
+    """
+    import hashlib
+
+    token_lists = [str(t).split() if t is not None else None for t in texts]
+    flat: list[str] = []
+    counts = []
+    for tl in token_lists:
+        if tl:
+            flat.extend(tl)
+            counts.append(len(tl))
+        else:
+            counts.append(0)
+    out: list[int | None] = []
+    if flat:
+        uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+        hv = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
+                for u in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        tok_h = hv[inv]
+        shifts = np.arange(64, dtype=np.uint64)
+        contrib = (
+            ((tok_h[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
+        )
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        nonzero = np.asarray(counts) > 0
+        # reduceat needs nonempty segments; sum only real ones, gather back
+        seg_starts = offsets[nonzero]
+        sums = np.add.reduceat(contrib, seg_starts, axis=0)
+        bits = sums > 0
+        sig = np.zeros(len(seg_starts), dtype=np.uint64)
+        for i in range(64):
+            sig |= bits[:, i].astype(np.uint64) << np.uint64(i)
+        signed = sig.view(np.int64)
+        it = iter(signed.tolist())
+    else:
+        it = iter(())
+    for tl in token_lists:
+        if tl is None:
+            out.append(None)
+        elif not tl:
+            out.append(0)
+        else:
+            out.append(next(it))
+    return out
+
+
 def with_simhash(df, text_col: str = "text", out_col: str = "simhash"):
     """Arrow-batched SimHash stage (the one Python stage in this module)."""
     import pandas as pd  # noqa: F811
@@ -399,15 +578,54 @@ def with_simhash(df, text_col: str = "text", out_col: str = "simhash"):
 
     def run(batches):
         for pdf in batches:
-            vals = [
-                simhash64(str(t).split()) if t is not None else None
-                for t in pdf[text_col]
-            ]
             out = pdf.copy()
-            out[out_col] = pd.array(vals, dtype="Int64")
+            out[out_col] = pd.array(
+                simhash64_batch(pdf[text_col].tolist()), dtype="Int64"
+            )
             yield out
 
     return df.mapInPandas(run, fields + f", {out_col} bigint")
+
+
+def sql_simhash_pairs(docs_table: str, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3) -> str:
+    """DuckDB oracle for simhash candidates: an independent SQL
+    reimplementation of simhash64 (md5-derived 64-bit token hashes — first
+    16 hex chars as UBIGINT == first 8 digest bytes big-endian — strict
+    majority vote per bit, two's-complement BIGINT) followed by brute-force
+    all-pairs Hamming. Deliberately a DIFFERENT plan than Spark's banded
+    blocking, which is guaranteed-complete only for max_hamming <= 3
+    (4-band pigeonhole), so callers must not pass a larger radius when
+    oracle-checking. Stepwise CTEs keep the generated SQL from inlining the
+    token-hash list into all 128 bit terms (the hexgrid emission lesson)."""
+    assert max_hamming <= 3, "banded blocking is only complete for <= 3 bits"
+    toks = f"string_split_regex(trim({text_col}), '\\s+')"
+    hs = f"[('0x' || substr(md5(t), 1, 16))::UBIGINT for t in {toks}]"
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len([h for h in _hs if (h >> {b}) & 1 = 1]) > len(_hs) "
+        f"THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    return f"""
+WITH hs AS (
+  SELECT {id_col}, {hs} AS _hs
+  FROM {docs_table}
+  WHERE {text_col} IS NOT NULL AND {text_col} <> ''
+),
+raw AS (SELECT {id_col}, _hs, ({bit_terms}) AS _sig FROM hs),
+sigs AS (
+  SELECT {id_col},
+         CASE WHEN len(_hs) = 0 THEN 0
+              WHEN _sig >= 9223372036854775808::HUGEINT
+              THEN (_sig - 18446744073709551616::HUGEINT)::BIGINT
+              ELSE _sig::BIGINT END AS simhash
+  FROM raw
+)
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.{id_col} < b.{id_col}
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
 
 
 def simhash_candidates(df, sim_col: str = "simhash", id_col: str = "doc_id",

@@ -208,7 +208,14 @@ def knn_adaptive(
     parts = []
     r = ring
     for _ in range(max_rounds):
-        topk = knn_join(docs, remaining, k, res=res, ring=r, **kw)
+        # eager checkpoint: the ring pass output is tiny (<= k rows per
+        # query) but its plan carries the full hexgrid expression tree —
+        # materializing it once means the output branch, the remainder
+        # anti-join, and the brute-force fallback all reuse the result
+        # instead of re-planning and re-executing the ring join per branch
+        topk = knn_join(docs, remaining, k, res=res, ring=r, **kw).localCheckpoint(
+            eager=True
+        )
         done = topk.filter(F.col("complete"))
         parts.append(done)
         # distributed remainder: queries with no complete result this round
