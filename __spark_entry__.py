@@ -463,6 +463,148 @@ def q_zonal_salted(spark, sf_dir):
     return salted_counts(pts, "h3_r5", salt_mod=8, salt_src="doc_id")
 
 
+# JS/TS test-file templates covering the P6 semantic space; <<I>> is the
+# doc id. The ORACLE does not run the kernel — it emits the EXPECTED
+# inventory rows straight from these generation rules, so any kernel
+# mis-parse breaks the hash (end-to-end extraction check, like
+# extract_invariant's byte-identity gate).
+_JS_TEMPLATES = [
+    # suite + active test + skipped test
+    "describe('Suite <<I>>', () => { it('alpha <<I>>', () => {}); "
+    "it.skip('beta <<I>>', () => {}); });",
+    # .each chained call -> single dynamic test (ADR-02)
+    "test.each([[1],[2]])('case %d of <<I>>', () => {});",
+    # loop body -> dynamic placeholder name
+    "for (const x of xs) { test('gen ' + x, () => {}); }",
+    # IIFE ternary callee -> active suite; fit -> focused test
+    ";(process.env.CI ? describe.skip : describe)('ternary <<I>>', "
+    "() => { fit('focus <<I>>', () => {}); });",
+    # forEach iterator -> dynamic test, template-literal name kept raw
+    "items.forEach(item => { it(`dyn ${item} <<I>>`, () => {}); });",
+    # var-declaration unwrap + RuleTester.run
+    "const t = xit('var <<I>>', () => {}); "
+    "ruleTester.run('rule <<I>>', rule, { valid: 1, invalid: 2 });",
+]
+
+_PY_TEMPLATES = [
+    # top-level tests, one skipped
+    "def test_top_<<I>>():\n    pass\n\n"
+    "@pytest.mark.skip(reason='x')\ndef test_skip_<<I>>():\n    pass\n",
+    # pytest class, xfail method
+    "class TestGroup<<I>>:\n    def test_m1(self):\n        pass\n"
+    "    @pytest.mark.xfail\n    def test_m2(self):\n        pass\n",
+    # unittest class with inherited skip + override
+    "import unittest\n@unittest.skip('c')\n"
+    "class TestU<<I>>(unittest.TestCase):\n"
+    "    def test_a(self):\n        pass\n"
+    "    @unittest.expectedFailure\n    def test_b(self):\n        pass\n",
+    # parametrize counts as one test
+    "@pytest.mark.parametrize('x', [1, 2])\ndef test_param_<<I>>(x):\n    pass\n",
+]
+
+
+def _inventory_query(spark, sf_dir, templates, ext):
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.inventory import extract_inventory
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    idstr = F.col("doc_id").cast("string")
+    src = F.lit(None).cast("string")
+    for k, tpl in enumerate(templates):
+        src = F.when(
+            F.col("doc_id") % len(templates) == k,
+            F.replace(F.lit(tpl), F.lit("<<I>>"), idstr),
+        ).otherwise(src)
+    gen = docs.select(
+        F.concat(idstr, F.lit(ext)).alias("path"), src.alias("source")
+    )
+    inv = extract_inventory(gen, source_col="source", path_col="path")
+    return inv.selectExpr(
+        "CAST(regexp_extract(path, '^[0-9]+', 0) AS BIGINT) AS doc_id",
+        "kind",
+        "concat_ws('/', suite_path) AS suite_path",
+        "name",
+        "status",
+        "modifier",
+    )
+
+
+def q_jstest_inventory(spark, sf_dir):
+    """P6: real JS/TS recursive-descent extraction kernel over
+    deterministically generated test files; oracle = expected rows from the
+    generation rules (not a reimplementation of the kernel)."""
+    return _inventory_query(spark, sf_dir, _JS_TEMPLATES, ".test.ts")
+
+
+def q_pytest_inventory(spark, sf_dir):
+    """P8/P9: pytest/unittest extraction (stdlib-ast kernels) with the
+    unittest split driven by the content signal; same oracle scheme."""
+    return _inventory_query(spark, sf_dir, _PY_TEMPLATES, ".py")
+
+
+def _sql_js_inventory_oracle() -> str:
+    i = "CAST(doc_id AS VARCHAR)"
+    arms = [
+        # k=0
+        f"SELECT doc_id, 'suite' AS kind, '' AS suite_path, 'Suite ' || {i} AS name,"
+        f" 'active' AS status, '' AS modifier FROM documents WHERE doc_id % 6 = 0",
+        f"SELECT doc_id, 'test', 'Suite ' || {i}, 'alpha ' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 6 = 0",
+        f"SELECT doc_id, 'test', 'Suite ' || {i}, 'beta ' || {i}, 'skipped', 'skip'"
+        f" FROM documents WHERE doc_id % 6 = 0",
+        # k=1
+        f"SELECT doc_id, 'test', '', 'case %d of ' || {i} || ' (dynamic cases)',"
+        f" 'active', '' FROM documents WHERE doc_id % 6 = 1",
+        # k=2
+        "SELECT doc_id, 'test', '', '(dynamic) (dynamic cases)', 'active', ''"
+        " FROM documents WHERE doc_id % 6 = 2",
+        # k=3
+        f"SELECT doc_id, 'suite', '', 'ternary ' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 6 = 3",
+        f"SELECT doc_id, 'test', 'ternary ' || {i}, 'focus ' || {i}, 'focused', 'fit'"
+        f" FROM documents WHERE doc_id % 6 = 3",
+        # k=4 (template literal kept raw; '$' || '{' avoids f-string noise)
+        f"SELECT doc_id, 'test', '', 'dyn ${{item}} ' || {i} || ' (dynamic cases)',"
+        f" 'active', '' FROM documents WHERE doc_id % 6 = 4",
+        # k=5
+        f"SELECT doc_id, 'test', '', 'var ' || {i}, 'skipped', 'xit'"
+        f" FROM documents WHERE doc_id % 6 = 5",
+        f"SELECT doc_id, 'test', '', 'rule ' || {i} || ' (dynamic cases)', 'active', ''"
+        f" FROM documents WHERE doc_id % 6 = 5",
+    ]
+    return " UNION ALL ".join(arms)
+
+
+def _sql_py_inventory_oracle() -> str:
+    i = "CAST(doc_id AS VARCHAR)"
+    arms = [
+        # k=0
+        f"SELECT doc_id, 'test' AS kind, '' AS suite_path, 'test_top_' || {i} AS name,"
+        f" 'active' AS status, '' AS modifier FROM documents WHERE doc_id % 4 = 0",
+        f"SELECT doc_id, 'test', '', 'test_skip_' || {i}, 'skipped', '@pytest.mark.skip'"
+        f" FROM documents WHERE doc_id % 4 = 0",
+        # k=1
+        f"SELECT doc_id, 'suite', '', 'TestGroup' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 1",
+        f"SELECT doc_id, 'test', 'TestGroup' || {i}, 'test_m1', 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 1",
+        f"SELECT doc_id, 'test', 'TestGroup' || {i}, 'test_m2', 'xfail',"
+        f" '@pytest.mark.xfail' FROM documents WHERE doc_id % 4 = 1",
+        # k=2
+        f"SELECT doc_id, 'suite', '', 'TestU' || {i}, 'skipped', '@unittest.skip'"
+        f" FROM documents WHERE doc_id % 4 = 2",
+        f"SELECT doc_id, 'test', 'TestU' || {i}, 'test_a', 'skipped', '@unittest.skip'"
+        f" FROM documents WHERE doc_id % 4 = 2",
+        f"SELECT doc_id, 'test', 'TestU' || {i}, 'test_b', 'xfail',"
+        f" '@unittest.expectedFailure' FROM documents WHERE doc_id % 4 = 2",
+        # k=3
+        f"SELECT doc_id, 'test', '', 'test_param_' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
+    ]
+    return " UNION ALL ".join(arms)
+
+
 def q_outline(spark, sf_dir):
     """P6/A1 rows-only: heading-tree inventory (flattened ancestry paths —
     no SQL equivalent for the stack walk). Heading-rich html is synthesized
@@ -591,6 +733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_cluster": q_dedup_cluster,
         "pipeline_stats": q_pipeline_stats,
+        "jstest_inventory": q_jstest_inventory,
+        "pytest_inventory": q_pytest_inventory,
     }
 
 
@@ -660,6 +804,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram": dd.sql_ngram_jaccard_pairs("documents", k=3, threshold=0.4),
         "dedup_minhash": dd.sql_minhash_lsh_pairs("documents", k=2, n_perm=8, bands=4),
         "simhash_pairs": dd.sql_simhash_pairs("documents", max_hamming=3),
+        "jstest_inventory": _sql_js_inventory_oracle(),
+        "pytest_inventory": _sql_py_inventory_oracle(),
         "text_quality": (
             "SELECT doc_id, "
             + ", ".join(f"{e} AS {k}" for k, e in ts.duck_quality_cols("text").items())

@@ -1,0 +1,111 @@
+"""Test-inventory extraction operator — the §2.4 per-document compute
+kernel family run as ONE Arrow stage (reference: the strategy registry of
+pkg/parser/framework/registry.go mapped to a Python dict of pure kernels,
+SURVEY.md §2.10 'pluggable strategy registry').
+
+Kernels are pure functions (core_spark/functions/jstest.py, pytest_ext.py)
+callable without Spark — the reference's §3.3 'direct strategy parse' seam,
+golden-tested in tests/test_jstest.py / test_pytest_ext.py against fixtures
+ported from the reference's own table-driven tests.
+
+Dispatch is by file extension, mirroring the reference's extension dispatch
+(pkg/parser/scanner.go:664-693); .py files split pytest/unittest on the
+``unittest.TestCase`` content signal (the reference resolves this via the
+detection cascade's import matcher — D2/D3 — which our detect.py models;
+here the two-way split is inlined for the single-stage path).
+
+Error-as-data: a kernel exception becomes one row with ``err`` set and the
+other columns null — the stage never fails (mandatory at 10^12 rows,
+SURVEY §4 last row).
+"""
+
+from __future__ import annotations
+
+INVENTORY_SCHEMA = (
+    "path string, kind string, suite_path array<string>, name string, "
+    "status string, modifier string, line int, err string"
+)
+
+
+def _dispatch(path: str, source: str) -> list[dict]:
+    from core_spark.functions import jstest, pytest_ext
+
+    low = path.lower()
+    if low.endswith((".js", ".jsx", ".ts", ".tsx", ".mjs", ".cjs")):
+        return jstest.parse_js_tests(source, filename=path)
+    if low.endswith(".py"):
+        if "unittest.TestCase" in source or "import unittest" in source:
+            return pytest_ext.parse_unittest_tests(source)
+        return pytest_ext.parse_pytest_tests(source)
+    return []
+
+
+def extract_inventory(df, source_col: str = "source", path_col: str = "path"):
+    """(path, source) rows -> flattened inventory rows (one per suite/test).
+
+    One mapInPandas stage; per-file kernels run inside the Arrow batch.
+    Files yielding no entities produce no rows; kernel errors produce one
+    err row per file.
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {
+                "path": [], "kind": [], "suite_path": [], "name": [],
+                "status": [], "modifier": [], "line": [], "err": [],
+            }
+            paths = pdf[path_col].to_numpy()
+            sources = pdf[source_col].to_numpy()
+            for j in range(len(pdf)):
+                path = str(paths[j])
+                try:
+                    rows = _dispatch(path, str(sources[j]))
+                except Exception as e:  # error-as-data, never fail the stage
+                    out["path"].append(path)
+                    out["kind"].append(None)
+                    out["suite_path"].append(None)
+                    out["name"].append(None)
+                    out["status"].append(None)
+                    out["modifier"].append(None)
+                    out["line"].append(None)
+                    out["err"].append(f"{type(e).__name__}: {e}"[:500])
+                    continue
+                for r in rows:
+                    out["path"].append(path)
+                    out["kind"].append(r["kind"])
+                    out["suite_path"].append(r["suite_path"])
+                    out["name"].append(r["name"])
+                    out["status"].append(r["status"])
+                    out["modifier"].append(r["modifier"])
+                    out["line"].append(r["line"])
+                    out["err"].append(None)
+            # suite_path must be an object Series: letting pandas infer the
+            # dtype of a list-of-lists column trips Arrow's NumPyConverter
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(v, dtype=object) if k == "suite_path" else v
+                    for k, v in out.items()
+                }
+            )
+
+    return df.select(path_col, source_col).mapInPandas(run, INVENTORY_SCHEMA)
+
+
+def inventory_counts(inv):
+    """A1/A2 analog over the real kernels: per-path suite/test/status
+    counts (recursive counts are flat counts after flattening)."""
+    from pyspark.sql import functions as F
+
+    return (
+        inv.filter("err IS NULL")
+        .groupBy("path")
+        .agg(
+            F.sum(F.when(F.col("kind") == "suite", 1).otherwise(0)).alias("n_suites"),
+            F.sum(F.when(F.col("kind") == "test", 1).otherwise(0)).alias("n_tests"),
+            F.sum(F.when(F.col("status") == "skipped", 1).otherwise(0)).alias("n_skipped"),
+            F.sum(F.when(F.col("status") == "focused", 1).otherwise(0)).alias("n_focused"),
+            F.sum(F.when(F.col("status") == "todo", 1).otherwise(0)).alias("n_todo"),
+            F.sum(F.when(F.col("status") == "xfail", 1).otherwise(0)).alias("n_xfail"),
+        )
+    )
