@@ -605,6 +605,70 @@ def _sql_py_inventory_oracle() -> str:
     return " UNION ALL ".join(arms)
 
 
+_HINT_TEMPLATES = [
+    # JS: ES6 import + require + member/plain calls
+    "import a from 'pkg<<I>>';\nconst b = require('req<<I>>');\n"
+    "svc<<I>>.run(1);\nplain<<I>>();\n",
+    # Python: dotted + from imports, blacklist filtering
+    "import mod<<I>>\nfrom pkg<<I>>.sub import thing\n\n"
+    "def test_x():\n    svc<<I>>.call(1)\n    helper<<I>>()\n"
+    "    pytest.raises(ValueError)\n",
+    # Go: import block + statement-position calls
+    'package p\n\nimport (\n\t"testing"\n\t"corp/lib<<I>>"\n)\n\n'
+    "func TestA(t *testing.T) {\n\tsvc<<I>>.Do(1)\n\thelp<<I>>()\n}\n",
+]
+_HINT_EXTS = [".test.ts", ".py", ".go"]
+
+
+def q_domain_hints(spark, sf_dir):
+    """P19: imports+calls extraction for JS/Python/Go over generated
+    sources; the oracle emits the expected hint rows from the generation
+    rules (2-segment normalization, framework-call blacklist, require->
+    import routing all gated by the value hash)."""
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.inventory import extract_hints_stage
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    idstr = F.col("doc_id").cast("string")
+    src = F.lit(None).cast("string")
+    path = F.lit(None).cast("string")
+    for k, tpl in enumerate(_HINT_TEMPLATES):
+        cond = F.col("doc_id") % len(_HINT_TEMPLATES) == k
+        src = F.when(cond, F.replace(F.lit(tpl), F.lit("<<I>>"), idstr)).otherwise(src)
+        path = F.when(cond, F.concat(idstr, F.lit(_HINT_EXTS[k]))).otherwise(path)
+    gen = docs.select(path.alias("path"), src.alias("source"))
+    hints = extract_hints_stage(gen)
+    exploded = hints.selectExpr(
+        "CAST(regexp_extract(path, '^[0-9]+', 0) AS BIGINT) AS doc_id",
+        "explode(concat(transform(imports, x -> struct('import' AS kind, x AS value)),"
+        " transform(calls, x -> struct('call' AS kind, x AS value)))) AS h",
+    )
+    return exploded.selectExpr("doc_id", "h.kind AS kind", "h.value AS value")
+
+
+def _sql_domain_hints_oracle() -> str:
+    i = "CAST(doc_id AS VARCHAR)"
+    arms = [
+        # k=0 JS
+        f"SELECT doc_id, 'import' AS kind, 'pkg' || {i} AS value FROM documents WHERE doc_id % 3 = 0",
+        f"SELECT doc_id, 'import', 'req' || {i} FROM documents WHERE doc_id % 3 = 0",
+        f"SELECT doc_id, 'call', 'svc' || {i} || '.run' FROM documents WHERE doc_id % 3 = 0",
+        f"SELECT doc_id, 'call', 'plain' || {i} FROM documents WHERE doc_id % 3 = 0",
+        # k=1 Python (pytest.raises blacklisted)
+        f"SELECT doc_id, 'import', 'mod' || {i} FROM documents WHERE doc_id % 3 = 1",
+        f"SELECT doc_id, 'import', 'pkg' || {i} || '.sub' FROM documents WHERE doc_id % 3 = 1",
+        f"SELECT doc_id, 'call', 'svc' || {i} || '.call' FROM documents WHERE doc_id % 3 = 1",
+        f"SELECT doc_id, 'call', 'helper' || {i} FROM documents WHERE doc_id % 3 = 1",
+        # k=2 Go
+        f"SELECT doc_id, 'import', 'testing' FROM documents WHERE doc_id % 3 = 2",
+        f"SELECT doc_id, 'import', 'corp/lib' || {i} FROM documents WHERE doc_id % 3 = 2",
+        f"SELECT doc_id, 'call', 'svc' || {i} || '.Do' FROM documents WHERE doc_id % 3 = 2",
+        f"SELECT doc_id, 'call', 'help' || {i} FROM documents WHERE doc_id % 3 = 2",
+    ]
+    return " UNION ALL ".join(arms)
+
+
 def q_outline(spark, sf_dir):
     """P6/A1 rows-only: heading-tree inventory (flattened ancestry paths —
     no SQL equivalent for the stack walk). Heading-rich html is synthesized
@@ -735,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_stats": q_pipeline_stats,
         "jstest_inventory": q_jstest_inventory,
         "pytest_inventory": q_pytest_inventory,
+        "domain_hints": q_domain_hints,
     }
 
 
@@ -806,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": dd.sql_simhash_pairs("documents", max_hamming=3),
         "jstest_inventory": _sql_js_inventory_oracle(),
         "pytest_inventory": _sql_py_inventory_oracle(),
+        "domain_hints": _sql_domain_hints_oracle(),
         "text_quality": (
             "SELECT doc_id, "
             + ", ".join(f"{e} AS {k}" for k, e in ts.duck_quality_cols("text").items())

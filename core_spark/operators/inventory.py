@@ -92,6 +92,43 @@ def extract_inventory(df, source_col: str = "source", path_col: str = "path"):
     return df.select(path_col, source_col).mapInPandas(run, INVENTORY_SCHEMA)
 
 
+HINTS_SCHEMA = "path string, imports array<string>, calls array<string>"
+
+
+def extract_hints_stage(df, source_col: str = "source", path_col: str = "path"):
+    """P19 — domain-hints extraction as one Arrow stage: (path, source) ->
+    (path, imports, calls); files with no hints produce no row (the
+    reference returns nil hints, domain_hints/extractor.go)."""
+    import pandas as pd
+
+    from core_spark.functions.domain_hints import extract_hints
+
+    def run(batches):
+        for pdf in batches:
+            paths, imps, calls = [], [], []
+            ps = pdf[path_col].to_numpy()
+            srcs = pdf[source_col].to_numpy()
+            for j in range(len(pdf)):
+                try:
+                    h = extract_hints(str(ps[j]), str(srcs[j]))
+                except Exception:
+                    h = None  # error-as-data: drop, never fail the stage
+                if h is None:
+                    continue
+                paths.append(str(ps[j]))
+                imps.append(h["imports"])
+                calls.append(h["calls"])
+            yield pd.DataFrame(
+                {
+                    "path": paths,
+                    "imports": pd.Series(imps, dtype=object),
+                    "calls": pd.Series(calls, dtype=object),
+                }
+            )
+
+    return df.select(path_col, source_col).mapInPandas(run, HINTS_SCHEMA)
+
+
 def inventory_counts(inv):
     """A1/A2 analog over the real kernels: per-path suite/test/status
     counts (recursive counts are flat counts after flattening)."""
