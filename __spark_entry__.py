@@ -670,10 +670,10 @@ def _sql_domain_hints_oracle() -> str:
 
 
 def q_outline(spark, sf_dir):
-    """P6/A1 rows-only: heading-tree inventory (flattened ancestry paths —
-    no SQL equivalent for the stack walk). Heading-rich html is synthesized
-    deterministically per doc_id; kernel is golden-tested in
-    tests/test_structure.py."""
+    """P6-analog/A1: heading-tree inventory counts. Heading-rich html is
+    synthesized deterministically per doc_id, so the oracle emits the
+    EXPECTED counts from the generation rules (the stack walk itself is
+    golden-tested in tests/test_structure.py)."""
     from core_spark.functions.structure import outline_counts, with_outline
 
     docs = _docs(spark, sf_dir).selectExpr(
@@ -715,10 +715,10 @@ def q_s2_assign(spark, sf_dir):
 
 
 def q_dedup_cluster(spark, sf_dir):
-    """Near-dup clustering end-to-end (rows-only: iterative CC has no single
-    SQL equivalent): MinHash-LSH candidates -> exact Jaccard verify ->
-    connected components -> the kept representative set. Deterministic
-    (min-id labels)."""
+    """Near-dup clustering end-to-end: MinHash-LSH candidates -> exact
+    Jaccard verify -> connected components (alternating star contraction)
+    -> the kept representative set. Oracled against an INDEPENDENT DuckDB
+    plan (recursive transitive-closure CTE + min label)."""
     docs = _docs(spark, sf_dir)
     cands = dd.minhash_lsh_pairs(docs, k=3, n_perm=8, bands=4)
     pairs = dd.verify_pairs_jaccard(cands, docs, k=3, threshold=0.5)
@@ -872,6 +872,26 @@ def oracle_sql() -> dict[str, str]:
         "jstest_inventory": _sql_js_inventory_oracle(),
         "pytest_inventory": _sql_py_inventory_oracle(),
         "domain_hints": _sql_domain_hints_oracle(),
+        "dedup_cluster": dd.sql_dedup_cluster(
+            "documents", k=3, n_perm=8, bands=4, threshold=0.5
+        ),
+        # expected outline counts straight from q_outline's generation rules:
+        # every doc has h1+intro(2 words); %2 adds h2+3 words; %3 adds
+        # h2>h3+2 words
+        "outline": """
+            SELECT doc_id,
+                   CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                          + CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END AS BIGINT)
+                     AS n_headings,
+                   CAST(1 AS BIGINT) AS n_top,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 3
+                             WHEN doc_id % 2 = 0 THEN 2
+                             ELSE 1 END AS INTEGER) AS max_depth,
+                   CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 0 END
+                          + CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END AS BIGINT)
+                     AS n_words_total
+            FROM documents
+        """,
         "text_quality": (
             "SELECT doc_id, "
             + ", ".join(f"{e} AS {k}" for k, e in ts.duck_quality_cols("text").items())

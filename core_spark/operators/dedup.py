@@ -477,6 +477,48 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
     )
 
 
+def sql_dedup_cluster(docs_table: str, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      n_perm: int = 8, bands: int = 4,
+                      threshold: float = 0.5) -> str:
+    """DuckDB oracle for the full clustering pipeline: minhash candidates ->
+    hashed-shingle exact-jaccard verify -> connected components via a
+    RECURSIVE transitive-closure CTE (min reachable label) -> kept
+    representative set. An independent plan for the same deterministic
+    answer: Spark runs alternating star contraction, the oracle runs
+    closure + GROUP BY MIN — agreement gates both."""
+    cand = sql_minhash_lsh_pairs(docs_table, text_col, id_col, k=k,
+                                 n_perm=n_perm, bands=bands)
+    hashed = duck_hashed_shingles(text_col, k)
+    jac = (
+        "len(list_intersect(sa.shs, sb.shs))"
+        " / len(list_distinct(list_concat(sa.shs, sb.shs)))"
+    )
+    return f"""
+WITH RECURSIVE cand AS ({cand}),
+sets AS (SELECT {id_col}, {hashed} AS shs FROM {docs_table}),
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  JOIN sets sa ON sa.{id_col} = id_a
+  JOIN sets sb ON sb.{id_col} = id_b
+  WHERE {jac} >= {threshold!r}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+),
+labels AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+SELECT {id_col} FROM {docs_table}
+WHERE {id_col} NOT IN (SELECT node FROM labels WHERE node <> comp)
+"""
+
+
 def dedup_keep_representatives(df, pairs, id_col: str = "doc_id"):
     """Drop every near-dup except the min-id representative per component.
 

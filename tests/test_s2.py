@@ -104,3 +104,76 @@ def test_spark_udf_matches_numpy(spark):
     df = spark.createDataFrame(pdf)
     out = assign_tiles(df, resolutions=(7,), s2_level=12).toPandas()
     assert (out["s2_cell"].values == s2.s2_cell(pdf.lat.values, pdf.lon.values, 12)).all()
+
+
+# ---------------------------------------------------------------------------
+# Second independent implementation (VERDICT r1 item 10): a pure-scalar
+# per-level bit-pair Hilbert walk with NO lookup tables — only the public
+# 4-entry base-case constants — cross-checked against the vectorized
+# 4-bit-block kernel on random points at several levels.
+# ---------------------------------------------------------------------------
+
+import math
+
+_IJ_TO_POS_SCALAR = [[0] * 4 for _ in range(4)]
+for _orient in range(4):
+    for _pos in range(4):
+        _IJ_TO_POS_SCALAR[_orient][int(s2._POS_TO_IJ[_orient][_pos])] = _pos
+
+
+def _s2_cell_scalar(lat: float, lon: float, level: int) -> int:
+    phi, lam = math.radians(lat), math.radians(lon)
+    cp = math.cos(phi)
+    x, y, z = cp * math.cos(lam), cp * math.sin(lam), math.sin(phi)
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax >= ay:
+        face = 0 if ax >= az else 2
+    else:
+        face = 1 if ay >= az else 2
+    comp = (x, y, z)[face]
+    if comp < 0:
+        face += 3
+    u, v = {
+        0: (y / x, z / x),
+        1: (-x / y, z / y),
+        2: (-x / z, -y / z),
+        3: (z / x, y / x),
+        4: (z / y, -x / y),
+        5: (-y / z, -x / z),
+    }[face]
+
+    def st(w: float) -> float:
+        return 0.5 * math.sqrt(1.0 + 3.0 * w) if w >= 0 else 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * w)
+
+    def ij(s: float) -> int:
+        return min(max(int(math.floor(s * (1 << 30))), 0), (1 << 30) - 1)
+
+    i, j = ij(st(u)), ij(st(v))
+    orient = face & s2._SWAP
+    pos = 0
+    for k in range(29, -1, -1):
+        cell_ij = (((i >> k) & 1) << 1) | ((j >> k) & 1)
+        sub = _IJ_TO_POS_SCALAR[orient][cell_ij]
+        pos = (pos << 2) | sub
+        orient ^= int(s2._POS_TO_ORIENT[sub])
+    n = (face << 60) | pos
+    leaf = n * 2 + 1
+    if level >= 30:
+        out = leaf
+    else:
+        lsb_ = 1 << (2 * (30 - level))
+        out = (leaf & ~(lsb_ - 1)) | lsb_
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def test_scalar_bitwalk_matches_vectorized_kernel():
+    rng = np.random.default_rng(20260817)
+    lat = rng.uniform(-89.9, 89.9, 3000)
+    lon = rng.uniform(-179.9, 179.9, 3000)
+    for level in (30, 12, 5):
+        vec = s2.s2_cell(lat, lon, level)
+        sca = np.array(
+            [_s2_cell_scalar(float(a), float(o), level) for a, o in zip(lat, lon)],
+            dtype=np.int64,
+        )
+        assert (vec == sca).all(), f"level {level}: {int((vec != sca).sum())} mismatches"
