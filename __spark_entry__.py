@@ -508,17 +508,16 @@ def _inventory_query(spark, sf_dir, templates, ext):
 
     from core_spark.operators.inventory import extract_inventory
 
+    exts = ext if isinstance(ext, list) else [ext] * len(templates)
     docs = _docs(spark, sf_dir).select("doc_id")
     idstr = F.col("doc_id").cast("string")
     src = F.lit(None).cast("string")
+    path = F.lit(None).cast("string")
     for k, tpl in enumerate(templates):
-        src = F.when(
-            F.col("doc_id") % len(templates) == k,
-            F.replace(F.lit(tpl), F.lit("<<I>>"), idstr),
-        ).otherwise(src)
-    gen = docs.select(
-        F.concat(idstr, F.lit(ext)).alias("path"), src.alias("source")
-    )
+        cond = F.col("doc_id") % len(templates) == k
+        src = F.when(cond, F.replace(F.lit(tpl), F.lit("<<I>>"), idstr)).otherwise(src)
+        path = F.when(cond, F.concat(idstr, F.lit(exts[k]))).otherwise(path)
+    gen = docs.select(path.alias("path"), src.alias("source"))
     inv = extract_inventory(gen, source_col="source", path_col="path")
     return inv.selectExpr(
         "CAST(regexp_extract(path, '^[0-9]+', 0) AS BIGINT) AS doc_id",
@@ -541,6 +540,64 @@ def q_pytest_inventory(spark, sf_dir):
     """P8/P9: pytest/unittest extraction (stdlib-ast kernels) with the
     unittest split driven by the content signal; same oracle scheme."""
     return _inventory_query(spark, sf_dir, _PY_TEMPLATES, ".py")
+
+
+_NATIVE_TEMPLATES = [
+    # Go: t.Run subtests make a suite; bare test + benchmark
+    'package p\n\nimport "testing"\n\n'
+    "func TestAlpha<<I>>(t *testing.T) {\n"
+    '\tt.Run("sub one", func(t *testing.T) {})\n'
+    '\tt.Run("sub two", func(t *testing.T) {})\n}\n\n'
+    "func TestBeta<<I>>(t *testing.T) {}\n\n"
+    "func BenchmarkGamma<<I>>(b *testing.B) {}\n",
+    # Rust: top-level + ignored + mod tests
+    "#[test]\nfn test_a_<<I>>() {}\n\n"
+    "#[test]\n#[ignore]\nfn test_b_<<I>>() {}\n\n"
+    "mod tests {\n    #[test]\n    fn test_in_mod_<<I>>() {}\n}\n",
+    # C++ gtest: DISABLED_ status
+    "TEST(Suite<<I>>, Works) {}\nTEST(Suite<<I>>, DISABLED_Slow) {}\n",
+]
+_NATIVE_EXTS = ["_test.go", ".rs", ".cc"]
+
+
+def q_native_inventory(spark, sf_dir):
+    """P7/P15/P16: Go/Rust/C++ test extraction over generated sources with
+    the expected-rows-from-generation-rules oracle."""
+    return _inventory_query(spark, sf_dir, _NATIVE_TEMPLATES, _NATIVE_EXTS)
+
+
+def _sql_native_inventory_oracle() -> str:
+    i = "CAST(doc_id AS VARCHAR)"
+    arms = [
+        # k=0 Go
+        f"SELECT doc_id, 'suite' AS kind, '' AS suite_path, 'TestAlpha' || {i} AS name,"
+        f" 'active' AS status, '' AS modifier FROM documents WHERE doc_id % 3 = 0",
+        f"SELECT doc_id, 'test', 'TestAlpha' || {i}, 'sub one', 'active', ''"
+        f" FROM documents WHERE doc_id % 3 = 0",
+        f"SELECT doc_id, 'test', 'TestAlpha' || {i}, 'sub two', 'active', ''"
+        f" FROM documents WHERE doc_id % 3 = 0",
+        f"SELECT doc_id, 'test', '', 'TestBeta' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 3 = 0",
+        f"SELECT doc_id, 'test', '', 'BenchmarkGamma' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 3 = 0",
+        # k=1 Rust
+        f"SELECT doc_id, 'test', '', 'test_a_' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 3 = 1",
+        f"SELECT doc_id, 'test', '', 'test_b_' || {i}, 'skipped', '#[ignore]'"
+        f" FROM documents WHERE doc_id % 3 = 1",
+        "SELECT doc_id, 'suite', '', 'tests', 'active', ''"
+        " FROM documents WHERE doc_id % 3 = 1",
+        f"SELECT doc_id, 'test', 'tests', 'test_in_mod_' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 3 = 1",
+        # k=2 C++
+        f"SELECT doc_id, 'suite', '', 'Suite' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 3 = 2",
+        f"SELECT doc_id, 'test', 'Suite' || {i}, 'Works', 'active', ''"
+        f" FROM documents WHERE doc_id % 3 = 2",
+        f"SELECT doc_id, 'test', 'Suite' || {i}, 'DISABLED_Slow', 'skipped', 'DISABLED_'"
+        f" FROM documents WHERE doc_id % 3 = 2",
+    ]
+    return " UNION ALL ".join(arms)
 
 
 def _sql_js_inventory_oracle() -> str:
@@ -800,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jstest_inventory": q_jstest_inventory,
         "pytest_inventory": q_pytest_inventory,
         "domain_hints": q_domain_hints,
+        "native_inventory": q_native_inventory,
     }
 
 
@@ -872,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
         "jstest_inventory": _sql_js_inventory_oracle(),
         "pytest_inventory": _sql_py_inventory_oracle(),
         "domain_hints": _sql_domain_hints_oracle(),
+        "native_inventory": _sql_native_inventory_oracle(),
         "dedup_cluster": dd.sql_dedup_cluster(
             "documents", k=3, n_perm=8, bands=4, threshold=0.5
         ),

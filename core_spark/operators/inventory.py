@@ -28,7 +28,7 @@ INVENTORY_SCHEMA = (
 
 
 def _dispatch(path: str, source: str) -> list[dict]:
-    from core_spark.functions import jstest, pytest_ext
+    from core_spark.functions import gotest, gtest, jstest, pytest_ext, rusttest
 
     low = path.lower()
     if low.endswith((".js", ".jsx", ".ts", ".tsx", ".mjs", ".cjs")):
@@ -37,6 +37,12 @@ def _dispatch(path: str, source: str) -> list[dict]:
         if "unittest.TestCase" in source or "import unittest" in source:
             return pytest_ext.parse_unittest_tests(source)
         return pytest_ext.parse_pytest_tests(source)
+    if low.endswith("_test.go"):
+        return gotest.parse_go_tests(source)
+    if low.endswith(".rs"):
+        return rusttest.parse_rust_tests(source)
+    if low.endswith((".cc", ".cpp", ".cxx", ".h", ".hpp")):
+        return gtest.parse_gtest(source)
     return []
 
 
