@@ -118,6 +118,93 @@ def write_snapshot(df, path: str, order_by: list[str], fmt: str = "parquet"):
     )
 
 
+_CLONE_MARKER = ".clone_complete"
+
+
+def sanitize_git_url(url: str) -> str:
+    """Strip userinfo (user:token@) from a git URL — the reference never
+    lets credentials leak into errors or lineage (pkg/source/git.go:284-310)."""
+    import re
+
+    return re.sub(r"^(\w+://)[^@/]+@", r"\1", url)
+
+
+class GitIngestError(RuntimeError):
+    """Clone/inspect failure with credentials scrubbed from the message."""
+
+
+def _git(args: list[str], cwd: str | None = None) -> str:
+    import subprocess
+
+    proc = subprocess.run(
+        ["git", *args], cwd=cwd, capture_output=True, text=True, timeout=300
+    )
+    if proc.returncode != 0:
+        raise GitIngestError(proc.stderr.strip())
+    return proc.stdout.strip()
+
+
+def git_ingest(
+    spark,
+    url: str,
+    cache_dir: str,
+    ref: str | None = None,
+    depth: int = 1,
+    glob: str | None = None,
+):
+    """S2 — GitSource ingestion job: shallow clone + SHA/branch/time capture
+    + binaryFile scan + lineage columns, with completion-marker caching.
+
+    Mirrors the reference (pkg/source/git.go:51-169, 224, 314;
+    tests/integration/clone.go:13-60):
+      * a ``.clone_complete`` marker makes re-ingestion resume from cache
+        (the FromCache flag); partial clones are cleaned up and retried
+      * ``--depth N`` shallow clone (default 1), optional ``--branch ref``
+      * clone errors surface with credentials scrubbed (sanitize_git_url)
+      * lineage columns commit_sha / committed_at / branch ride every row
+
+    The clone is driver-side (the discovery phase is sequential in the
+    reference too); the SCAN of the resulting tree is the distributed part.
+    At fleet scale you run one ingestion job per repo and land rows in the
+    corpus table — this is that job.
+    """
+    import os
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    safe = re.sub(r"[^a-zA-Z0-9._-]", "_", sanitize_git_url(url) + ("@" + ref if ref else ""))
+    repo_dir = os.path.join(cache_dir, safe)
+    marker = os.path.join(repo_dir, _CLONE_MARKER)
+
+    from_cache = os.path.exists(marker)
+    if not from_cache:
+        os.makedirs(cache_dir, exist_ok=True)
+        shutil.rmtree(repo_dir, ignore_errors=True)  # partial clone cleanup
+        args = ["clone", "--depth", str(depth)]
+        if ref:
+            args += ["--branch", ref]
+        try:
+            _git(args + [url, repo_dir])
+        except GitIngestError as e:
+            shutil.rmtree(repo_dir, ignore_errors=True)
+            # scrub userinfo ANYWHERE in the message (git echoes the URL
+            # with suffixes an exact string replace would miss)
+            clean = re.sub(r"(\w+://)[^@/\s]+@", r"\1", str(e))
+            raise GitIngestError(f"clone failed: {clean}") from None
+        with open(marker, "w", encoding="utf-8"):
+            pass
+
+    commit_sha = _git(["rev-parse", "HEAD"], cwd=repo_dir)
+    committed_at = _git(["log", "-1", "--format=%cI", "HEAD"], cwd=repo_dir)
+    branch = _git(["rev-parse", "--abbrev-ref", "HEAD"], cwd=repo_dir)
+
+    df = read_file_tree(spark, repo_dir, glob=glob)
+    out = with_git_lineage(df, commit_sha, committed_at, branch=branch)
+    return out.withColumn("from_cache", F.lit(from_cache))
+
+
 def with_git_lineage(df, commit_sha: str, committed_at, branch: str | None = None):
     """GitSource analog (S2): clone/fetch happens out-of-band (a driver-side
     ingestion job — cgo git is to Go what JGit/CLI is to Spark); the engine
