@@ -447,10 +447,14 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
     """
     from pyspark.sql import functions as F
 
+    # eager checkpoint the SEED edges: the star steps reference their input
+    # twice (symmetrize-union), which would recompute the whole upstream
+    # candidate+verify pipeline once per branch in round 1
     edges = (
         pairs.selectExpr(f"{id_a} AS src", f"{id_b} AS dst")
         .filter("src <> dst")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     prev_sig = None
     for _ in range(max_iter):
