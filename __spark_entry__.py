@@ -556,13 +556,24 @@ _NATIVE_TEMPLATES = [
     "mod tests {\n    #[test]\n    fn test_in_mod_<<I>>() {}\n}\n",
     # C++ gtest: DISABLED_ status
     "TEST(Suite<<I>>, Works) {}\nTEST(Suite<<I>>, DISABLED_Slow) {}\n",
+    # Java JUnit5: DisplayName rename, Disabled, @Nested recursion
+    "class Calc<<I>>Test {\n"
+    "    @Test\n    void adds<<I>>() {}\n"
+    "    @Test\n    @Disabled(\"flaky\")\n    void slow() {}\n"
+    "    @Test\n    @DisplayName(\"pretty name <<I>>\")\n    void ugly() {}\n"
+    "    @Nested\n    class Inner {\n        @Test\n        void deep() {}\n    }\n}\n",
+    # Ruby RSpec: nesting + xit + anonymous
+    "RSpec.describe \"Top <<I>>\" do\n"
+    "  it \"works <<I>>\" do\n  end\n"
+    "  xit \"skipped\" do\n  end\n"
+    "  context \"when ready\" do\n    it { is_expected.to be_valid }\n  end\nend\n",
 ]
-_NATIVE_EXTS = ["_test.go", ".rs", ".cc"]
+_NATIVE_EXTS = ["_test.go", ".rs", ".cc", ".java", ".rb"]
 
 
 def q_native_inventory(spark, sf_dir):
-    """P7/P15/P16: Go/Rust/C++ test extraction over generated sources with
-    the expected-rows-from-generation-rules oracle."""
+    """P7/P15/P16/P10/P13: Go/Rust/C++/Java/Ruby test extraction over
+    generated sources with the expected-rows-from-generation-rules oracle."""
     return _inventory_query(spark, sf_dir, _NATIVE_TEMPLATES, _NATIVE_EXTS)
 
 
@@ -571,31 +582,55 @@ def _sql_native_inventory_oracle() -> str:
     arms = [
         # k=0 Go
         f"SELECT doc_id, 'suite' AS kind, '' AS suite_path, 'TestAlpha' || {i} AS name,"
-        f" 'active' AS status, '' AS modifier FROM documents WHERE doc_id % 3 = 0",
+        f" 'active' AS status, '' AS modifier FROM documents WHERE doc_id % 5 = 0",
         f"SELECT doc_id, 'test', 'TestAlpha' || {i}, 'sub one', 'active', ''"
-        f" FROM documents WHERE doc_id % 3 = 0",
+        f" FROM documents WHERE doc_id % 5 = 0",
         f"SELECT doc_id, 'test', 'TestAlpha' || {i}, 'sub two', 'active', ''"
-        f" FROM documents WHERE doc_id % 3 = 0",
+        f" FROM documents WHERE doc_id % 5 = 0",
         f"SELECT doc_id, 'test', '', 'TestBeta' || {i}, 'active', ''"
-        f" FROM documents WHERE doc_id % 3 = 0",
+        f" FROM documents WHERE doc_id % 5 = 0",
         f"SELECT doc_id, 'test', '', 'BenchmarkGamma' || {i}, 'active', ''"
-        f" FROM documents WHERE doc_id % 3 = 0",
+        f" FROM documents WHERE doc_id % 5 = 0",
         # k=1 Rust
         f"SELECT doc_id, 'test', '', 'test_a_' || {i}, 'active', ''"
-        f" FROM documents WHERE doc_id % 3 = 1",
+        f" FROM documents WHERE doc_id % 5 = 1",
         f"SELECT doc_id, 'test', '', 'test_b_' || {i}, 'skipped', '#[ignore]'"
-        f" FROM documents WHERE doc_id % 3 = 1",
+        f" FROM documents WHERE doc_id % 5 = 1",
         "SELECT doc_id, 'suite', '', 'tests', 'active', ''"
-        " FROM documents WHERE doc_id % 3 = 1",
+        " FROM documents WHERE doc_id % 5 = 1",
         f"SELECT doc_id, 'test', 'tests', 'test_in_mod_' || {i}, 'active', ''"
-        f" FROM documents WHERE doc_id % 3 = 1",
+        f" FROM documents WHERE doc_id % 5 = 1",
         # k=2 C++
         f"SELECT doc_id, 'suite', '', 'Suite' || {i}, 'active', ''"
-        f" FROM documents WHERE doc_id % 3 = 2",
+        f" FROM documents WHERE doc_id % 5 = 2",
         f"SELECT doc_id, 'test', 'Suite' || {i}, 'Works', 'active', ''"
-        f" FROM documents WHERE doc_id % 3 = 2",
+        f" FROM documents WHERE doc_id % 5 = 2",
         f"SELECT doc_id, 'test', 'Suite' || {i}, 'DISABLED_Slow', 'skipped', 'DISABLED_'"
-        f" FROM documents WHERE doc_id % 3 = 2",
+        f" FROM documents WHERE doc_id % 5 = 2",
+        # k=3 Java JUnit5
+        f"SELECT doc_id, 'suite', '', 'Calc' || {i} || 'Test', 'active', ''"
+        f" FROM documents WHERE doc_id % 5 = 3",
+        f"SELECT doc_id, 'test', 'Calc' || {i} || 'Test', 'adds' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 5 = 3",
+        f"SELECT doc_id, 'test', 'Calc' || {i} || 'Test', 'slow', 'skipped', '@Disabled'"
+        f" FROM documents WHERE doc_id % 5 = 3",
+        f"SELECT doc_id, 'test', 'Calc' || {i} || 'Test', 'pretty name ' || {i},"
+        f" 'active', '' FROM documents WHERE doc_id % 5 = 3",
+        f"SELECT doc_id, 'suite', 'Calc' || {i} || 'Test', 'Inner', 'active', ''"
+        f" FROM documents WHERE doc_id % 5 = 3",
+        f"SELECT doc_id, 'test', 'Calc' || {i} || 'Test/Inner', 'deep', 'active', ''"
+        f" FROM documents WHERE doc_id % 5 = 3",
+        # k=4 Ruby RSpec
+        f"SELECT doc_id, 'suite', '', 'Top ' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 5 = 4",
+        f"SELECT doc_id, 'test', 'Top ' || {i}, 'works ' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 5 = 4",
+        f"SELECT doc_id, 'test', 'Top ' || {i}, 'skipped', 'skipped', 'xit'"
+        f" FROM documents WHERE doc_id % 5 = 4",
+        f"SELECT doc_id, 'suite', 'Top ' || {i}, 'when ready', 'active', ''"
+        f" FROM documents WHERE doc_id % 5 = 4",
+        f"SELECT doc_id, 'test', 'Top ' || {i} || '/when ready', '(anonymous)',"
+        f" 'active', '' FROM documents WHERE doc_id % 5 = 4",
     ]
     return " UNION ALL ".join(arms)
 

@@ -1,0 +1,290 @@
+"""P10 — Java JUnit5 inventory extraction (pure Python, Spark-free).
+
+Reimplements the reference's junit5 strategy
+(pkg/parser/strategies/junit5/definition.go:100-277,
+shared/javaast/ast.go:42-131) over the shared tokenizer (Java is
+C-family):
+
+  * test annotations: @Test/@ParameterizedTest/@RepeatedTest/@TestFactory/
+    @TestTemplate, plus ANY custom annotation ending in "Test"
+    (definition.go:229-243); scoped names (@org.junit...Test) use the last
+    segment (ast.go:52-60)
+  * @Disabled -> skipped with modifier "@Disabled" (method-level overrides,
+    class-level inherits, definition.go:232-234, 267-275)
+  * @DisplayName("...") replaces the method name — quotes stripped RAW, no
+    unescaping (ast.go:113-131)
+  * @Nested inner classes recurse (depth-capped 20); inner classes WITHOUT
+    @Nested are ignored entirely (definition.go:187-196)
+  * classes with no tests and no nested suites are dropped (:198-200)
+  * Java 21+ implicit classes: top-level annotated methods form a
+    synthetic suite named after the file (definition.go:118-149)
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from core_spark.functions.jstest import Tok, _match_bracket, tokenize
+
+STATUS_ACTIVE = "active"
+STATUS_SKIPPED = "skipped"
+
+TEST_ANNOTATIONS = {"Test", "ParameterizedTest", "RepeatedTest", "TestFactory", "TestTemplate"}
+MAX_NESTED_DEPTH = 20
+
+
+def _parse_annotation(toks: list[Tok], i: int, hi: int):
+    """'@' at i -> (name, first_string_arg_raw, next_index)."""
+    j = i + 1
+    if j >= hi or toks[j].kind != "id":
+        return None
+    parts = [toks[j].text]
+    j += 1
+    while (
+        j + 1 < hi
+        and toks[j].kind == "punct" and toks[j].text == "."
+        and toks[j + 1].kind == "id"
+    ):
+        parts.append(toks[j + 1].text)
+        j += 2
+    name = parts[-1]
+    arg = ""
+    if j < hi and toks[j].kind == "punct" and toks[j].text == "(":
+        close = _match_bracket(toks, j)
+        for k in range(j + 1, min(close, hi)):
+            if toks[k].kind == "str":
+                text = toks[k].text
+                if len(text) >= 2:
+                    arg = text[1:-1]  # raw strip, no unescape (ast.go:121-125)
+                break
+        j = min(close, hi) + 1
+    return name, arg, j
+
+
+class _JavaExtractor:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.rows: list[dict] = []
+
+    def _method_row(self, anns, name, line, class_status, class_modifier):
+        """parseTestMethod (definition.go:213-265)."""
+        is_test = False
+        display = ""
+        status, modifier = class_status, class_modifier
+        for a_name, a_arg in anns:
+            if a_name in TEST_ANNOTATIONS:
+                is_test = True
+            elif a_name == "Disabled":
+                status, modifier = STATUS_SKIPPED, "@Disabled"
+            elif a_name == "DisplayName":
+                display = a_arg
+            elif a_name.endswith("Test"):
+                is_test = True
+        if not is_test or not name:
+            return None
+        return {
+            "name": display if display else name,
+            "status": status,
+            "modifier": modifier,
+            "line": line,
+        }
+
+    def parse_class_body(self, lo, hi, path, class_status, class_modifier, depth):
+        """Scan a class body for annotated methods and @Nested classes.
+        Returns (tests, emitted_nested_suite_names) as flat rows appended
+        to self.rows by the CALLER (so empty suites can be dropped)."""
+        toks = self.toks
+        tests = []
+        nested_rows = []
+        pending: list[tuple[str, str]] = []
+        i = lo
+        while i < hi:
+            t = toks[i]
+            if t.kind == "punct" and t.text == "@":
+                got = _parse_annotation(toks, i, hi)
+                if got:
+                    pending.append((got[0], got[1]))
+                    i = got[2]
+                    continue
+                i += 1
+                continue
+            if t.kind == "id" and t.text == "class":
+                anns = pending
+                pending = []
+                j = i + 1
+                cname = toks[j].text if j < hi and toks[j].kind == "id" else ""
+                cline = t.line
+                while j < hi and not (toks[j].kind == "punct" and toks[j].text == "{"):
+                    j += 1
+                if j >= hi:
+                    break
+                close = _match_bracket(toks, j)
+                if any(a[0] == "Nested" for a in anns) and depth < MAX_NESTED_DEPTH and cname:
+                    n_status, n_modifier = STATUS_ACTIVE, ""
+                    if any(a[0] == "Disabled" for a in anns):
+                        n_status, n_modifier = STATUS_SKIPPED, "@Disabled"
+                    sub = self._parse_class(
+                        cname, cline, j + 1, min(close, hi),
+                        path, n_status, n_modifier, depth + 1,
+                    )
+                    nested_rows.extend(sub)
+                i = min(close, hi) + 1
+                continue
+            if (
+                t.kind == "id"
+                and i + 1 < hi
+                and toks[i + 1].kind == "punct"
+                and toks[i + 1].text == "("
+            ):
+                anns = pending
+                pending = []
+                name = t.text
+                line = t.line
+                close = _match_bracket(toks, i + 1)
+                j = min(close, hi) + 1
+                while j < hi and not (
+                    toks[j].kind == "punct" and toks[j].text in ("{", ";")
+                ):
+                    if toks[j].kind == "punct" and toks[j].text == "=":
+                        break  # field initializer, not a declaration
+                    j += 1
+                if j < hi and toks[j].kind == "punct" and toks[j].text == "{":
+                    body_close = _match_bracket(toks, j)
+                    j = min(body_close, hi) + 1
+                else:
+                    j = j + 1
+                row = self._method_row(
+                    anns, name, line, class_status, class_modifier
+                )
+                if row is not None:
+                    tests.append(row)
+                i = j
+                continue
+            if t.kind == "punct" and t.text == ";":
+                pending = []
+            i += 1
+        return tests, nested_rows
+
+    def _parse_class(self, name, line, lo, hi, path, status, modifier, depth):
+        """parseTestClassWithDepth: returns the flat rows for this class
+        (suite row + tests + nested), or [] if it holds nothing."""
+        child_path = path + (name,)
+        tests, nested_rows = self.parse_class_body(
+            lo, hi, child_path, status, modifier, depth
+        )
+        if not tests and not nested_rows:
+            return []
+        rows = [
+            {
+                "kind": "suite",
+                "suite_path": list(path),
+                "name": name,
+                "status": status,
+                "modifier": modifier,
+                "line": line,
+            }
+        ]
+        for tr in tests:
+            rows.append(
+                {
+                    "kind": "test",
+                    "suite_path": list(child_path),
+                    "name": tr["name"],
+                    "status": tr["status"],
+                    "modifier": tr["modifier"],
+                    "line": tr["line"],
+                }
+            )
+        rows.extend(nested_rows)
+        return rows
+
+
+def parse_java_tests(source: str, filename: str = "Test.java") -> list[dict]:
+    """Flattened inventory rows (same model as jstest.parse_js_tests)."""
+    toks = tokenize(source)
+    n = len(toks)
+    ex = _JavaExtractor(toks)
+    rows: list[dict] = []
+    implicit: list[dict] = []
+    pending: list[tuple[str, str]] = []
+    i = 0
+    while i < n:
+        t = toks[i]
+        if t.kind == "punct" and t.text == "@":
+            got = _parse_annotation(toks, i, n)
+            if got:
+                pending.append((got[0], got[1]))
+                i = got[2]
+                continue
+            i += 1
+            continue
+        if t.kind == "id" and t.text == "class":
+            anns = pending
+            pending = []
+            j = i + 1
+            cname = toks[j].text if j < n and toks[j].kind == "id" else ""
+            cline = t.line
+            while j < n and not (toks[j].kind == "punct" and toks[j].text == "{"):
+                j += 1
+            if j >= n:
+                break
+            close = _match_bracket(toks, j)
+            status, modifier = STATUS_ACTIVE, ""
+            if any(a[0] == "Disabled" for a in anns):
+                status, modifier = STATUS_SKIPPED, "@Disabled"
+            if cname:
+                rows.extend(
+                    ex._parse_class(cname, cline, j + 1, close, (), status, modifier, 0)
+                )
+            i = close + 1
+            continue
+        # Java 21+ implicit class: annotated top-level method
+        if (
+            t.kind == "id"
+            and i + 1 < n
+            and toks[i + 1].kind == "punct"
+            and toks[i + 1].text == "("
+            and pending
+        ):
+            anns = pending
+            pending = []
+            close = _match_bracket(toks, i + 1)
+            j = close + 1
+            while j < n and not (toks[j].kind == "punct" and toks[j].text in ("{", ";")):
+                j += 1
+            if j < n and toks[j].text == "{":
+                j = _match_bracket(toks, j) + 1
+            row = ex._method_row(anns, t.text, t.line, STATUS_ACTIVE, "")
+            if row is not None:
+                implicit.append(row)
+            i = j
+            continue
+        if t.kind == "punct" and t.text == ";":
+            pending = []
+        i += 1
+    if implicit:
+        suite_name = posixpath.basename(filename)
+        if suite_name.endswith(".java"):
+            suite_name = suite_name[:-5]
+        rows.append(
+            {
+                "kind": "suite",
+                "suite_path": [],
+                "name": suite_name,
+                "status": STATUS_ACTIVE,
+                "modifier": "",
+                "line": 1,
+            }
+        )
+        for tr in implicit:
+            rows.append(
+                {
+                    "kind": "test",
+                    "suite_path": [suite_name],
+                    "name": tr["name"],
+                    "status": tr["status"],
+                    "modifier": tr["modifier"],
+                    "line": tr["line"],
+                }
+            )
+    return rows

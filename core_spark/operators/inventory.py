@@ -28,9 +28,21 @@ INVENTORY_SCHEMA = (
 
 
 def _dispatch(path: str, source: str) -> list[dict]:
-    from core_spark.functions import gotest, gtest, jstest, pytest_ext, rusttest
+    from core_spark.functions import (
+        gotest,
+        gtest,
+        javatest,
+        jstest,
+        pytest_ext,
+        rubytest,
+        rusttest,
+    )
 
     low = path.lower()
+    if low.endswith(".java"):
+        return javatest.parse_java_tests(source, filename=path)
+    if low.endswith(".rb"):
+        return rubytest.parse_rspec_tests(source)
     if low.endswith((".js", ".jsx", ".ts", ".tsx", ".mjs", ".cjs")):
         return jstest.parse_js_tests(source, filename=path)
     if low.endswith(".py"):
