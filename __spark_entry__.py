@@ -577,6 +577,69 @@ def q_native_inventory(spark, sf_dir):
     return _inventory_query(spark, sf_dir, _NATIVE_TEMPLATES, _NATIVE_EXTS)
 
 
+_MANAGED_TEMPLATES = [
+    # C# xUnit: Fact + Theory/InlineData + Skip
+    "using Xunit;\n\npublic class Suite<<I>> {\n"
+    "    [Fact]\n    public void Works<<I>>() {}\n"
+    "    [Theory]\n    [InlineData(1)]\n    [InlineData(2)]\n"
+    "    public void Param(int x) {}\n"
+    "    [Fact(Skip = \"broken\")]\n    public void Broken() {}\n}\n",
+    # Swift XCTest: skip + async modifiers
+    "import XCTest\n\nclass Case<<I>>Tests: XCTestCase {\n"
+    "    func testAlpha<<I>>() {}\n"
+    "    func testSkip() throws { throw XCTSkip(\"na\") }\n"
+    "    func testAsync() async { await f() }\n}\n",
+    # PHP PHPUnit: prefix + @test docblock + #[Test]/#[Skip]
+    "<?php\nclass Web<<I>>Test extends TestCase {\n"
+    "    public function testAdd<<I>>(): void {}\n"
+    "    /** @test */\n    public function annotated(): void {}\n"
+    "    #[Test]\n    #[Skip]\n    public function offline(): void {}\n}\n",
+]
+_MANAGED_EXTS = [".cs", ".swift", ".php"]
+
+
+def q_managed_inventory(spark, sf_dir):
+    """P12/P17/P14: C#/Swift/PHP test extraction over generated sources
+    with the expected-rows-from-generation-rules oracle."""
+    return _inventory_query(spark, sf_dir, _MANAGED_TEMPLATES, _MANAGED_EXTS)
+
+
+def _sql_managed_inventory_oracle() -> str:
+    i = "CAST(doc_id AS VARCHAR)"
+    arms = [
+        # k=0 C# xUnit
+        f"SELECT doc_id, 'suite' AS kind, '' AS suite_path, 'Suite' || {i} AS name,"
+        f" 'active' AS status, '' AS modifier FROM documents WHERE doc_id % 3 = 0",
+        f"SELECT doc_id, 'test', 'Suite' || {i}, 'Works' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 3 = 0",
+        f"SELECT doc_id, 'test', 'Suite' || {i}, 'Param', 'active', ''"
+        f" FROM documents WHERE doc_id % 3 = 0",
+        f"SELECT doc_id, 'test', 'Suite' || {i}, 'Param', 'active', ''"
+        f" FROM documents WHERE doc_id % 3 = 0",
+        f"SELECT doc_id, 'test', 'Suite' || {i}, 'Broken', 'skipped', 'Skip'"
+        f" FROM documents WHERE doc_id % 3 = 0",
+        # k=1 Swift XCTest
+        f"SELECT doc_id, 'suite', '', 'Case' || {i} || 'Tests', 'active', ''"
+        f" FROM documents WHERE doc_id % 3 = 1",
+        f"SELECT doc_id, 'test', 'Case' || {i} || 'Tests', 'testAlpha' || {i},"
+        f" 'active', '' FROM documents WHERE doc_id % 3 = 1",
+        f"SELECT doc_id, 'test', 'Case' || {i} || 'Tests', 'testSkip', 'skipped',"
+        f" 'XCTSkip' FROM documents WHERE doc_id % 3 = 1",
+        f"SELECT doc_id, 'test', 'Case' || {i} || 'Tests', 'testAsync', 'active',"
+        f" 'async' FROM documents WHERE doc_id % 3 = 1",
+        # k=2 PHP PHPUnit
+        f"SELECT doc_id, 'suite', '', 'Web' || {i} || 'Test', 'active', ''"
+        f" FROM documents WHERE doc_id % 3 = 2",
+        f"SELECT doc_id, 'test', 'Web' || {i} || 'Test', 'testAdd' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 3 = 2",
+        f"SELECT doc_id, 'test', 'Web' || {i} || 'Test', 'annotated', 'active', ''"
+        f" FROM documents WHERE doc_id % 3 = 2",
+        f"SELECT doc_id, 'test', 'Web' || {i} || 'Test', 'offline', 'skipped', '#[Skip]'"
+        f" FROM documents WHERE doc_id % 3 = 2",
+    ]
+    return " UNION ALL ".join(arms)
+
+
 def _sql_native_inventory_oracle() -> str:
     i = "CAST(doc_id AS VARCHAR)"
     arms = [
@@ -893,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pytest_inventory": q_pytest_inventory,
         "domain_hints": q_domain_hints,
         "native_inventory": q_native_inventory,
+        "managed_inventory": q_managed_inventory,
     }
 
 
@@ -966,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         "pytest_inventory": _sql_py_inventory_oracle(),
         "domain_hints": _sql_domain_hints_oracle(),
         "native_inventory": _sql_native_inventory_oracle(),
+        "managed_inventory": _sql_managed_inventory_oracle(),
         "dedup_cluster": dd.sql_dedup_cluster(
             "documents", k=3, n_perm=8, bands=4, threshold=0.5
         ),

@@ -29,13 +29,16 @@ INVENTORY_SCHEMA = (
 
 def _dispatch(path: str, source: str) -> list[dict]:
     from core_spark.functions import (
+        dotnettest,
         gotest,
         gtest,
         javatest,
         jstest,
+        phptest,
         pytest_ext,
         rubytest,
         rusttest,
+        swifttest,
     )
 
     low = path.lower()
@@ -43,6 +46,12 @@ def _dispatch(path: str, source: str) -> list[dict]:
         return javatest.parse_java_tests(source, filename=path)
     if low.endswith(".rb"):
         return rubytest.parse_rspec_tests(source)
+    if low.endswith(".cs"):
+        return dotnettest.parse_csharp_tests(source)
+    if low.endswith(".swift"):
+        return swifttest.parse_swift_tests(source)
+    if low.endswith(".php"):
+        return phptest.parse_phpunit_tests(source)
     if low.endswith((".js", ".jsx", ".ts", ".tsx", ".mjs", ".cjs")):
         return jstest.parse_js_tests(source, filename=path)
     if low.endswith(".py"):
