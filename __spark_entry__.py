@@ -594,8 +594,13 @@ _MANAGED_TEMPLATES = [
     "    public function testAdd<<I>>(): void {}\n"
     "    /** @test */\n    public function annotated(): void {}\n"
     "    #[Test]\n    #[Skip]\n    public function offline(): void {}\n}\n",
+    # Kotlin Kotest FunSpec: nesting + xtest skip
+    "class Spec<<I>> : FunSpec({\n"
+    "    test(\"adds <<I>>\") {}\n"
+    "    xtest(\"later\") {}\n"
+    "    context(\"edge\") {\n        test(\"deep\") {}\n    }\n})\n",
 ]
-_MANAGED_EXTS = [".cs", ".swift", ".php"]
+_MANAGED_EXTS = [".cs", ".swift", ".php", ".kt"]
 
 
 def q_managed_inventory(spark, sf_dir):
@@ -609,33 +614,44 @@ def _sql_managed_inventory_oracle() -> str:
     arms = [
         # k=0 C# xUnit
         f"SELECT doc_id, 'suite' AS kind, '' AS suite_path, 'Suite' || {i} AS name,"
-        f" 'active' AS status, '' AS modifier FROM documents WHERE doc_id % 3 = 0",
+        f" 'active' AS status, '' AS modifier FROM documents WHERE doc_id % 4 = 0",
         f"SELECT doc_id, 'test', 'Suite' || {i}, 'Works' || {i}, 'active', ''"
-        f" FROM documents WHERE doc_id % 3 = 0",
+        f" FROM documents WHERE doc_id % 4 = 0",
         f"SELECT doc_id, 'test', 'Suite' || {i}, 'Param', 'active', ''"
-        f" FROM documents WHERE doc_id % 3 = 0",
+        f" FROM documents WHERE doc_id % 4 = 0",
         f"SELECT doc_id, 'test', 'Suite' || {i}, 'Param', 'active', ''"
-        f" FROM documents WHERE doc_id % 3 = 0",
+        f" FROM documents WHERE doc_id % 4 = 0",
         f"SELECT doc_id, 'test', 'Suite' || {i}, 'Broken', 'skipped', 'Skip'"
-        f" FROM documents WHERE doc_id % 3 = 0",
+        f" FROM documents WHERE doc_id % 4 = 0",
         # k=1 Swift XCTest
         f"SELECT doc_id, 'suite', '', 'Case' || {i} || 'Tests', 'active', ''"
-        f" FROM documents WHERE doc_id % 3 = 1",
+        f" FROM documents WHERE doc_id % 4 = 1",
         f"SELECT doc_id, 'test', 'Case' || {i} || 'Tests', 'testAlpha' || {i},"
-        f" 'active', '' FROM documents WHERE doc_id % 3 = 1",
+        f" 'active', '' FROM documents WHERE doc_id % 4 = 1",
         f"SELECT doc_id, 'test', 'Case' || {i} || 'Tests', 'testSkip', 'skipped',"
-        f" 'XCTSkip' FROM documents WHERE doc_id % 3 = 1",
+        f" 'XCTSkip' FROM documents WHERE doc_id % 4 = 1",
         f"SELECT doc_id, 'test', 'Case' || {i} || 'Tests', 'testAsync', 'active',"
-        f" 'async' FROM documents WHERE doc_id % 3 = 1",
+        f" 'async' FROM documents WHERE doc_id % 4 = 1",
         # k=2 PHP PHPUnit
         f"SELECT doc_id, 'suite', '', 'Web' || {i} || 'Test', 'active', ''"
-        f" FROM documents WHERE doc_id % 3 = 2",
+        f" FROM documents WHERE doc_id % 4 = 2",
         f"SELECT doc_id, 'test', 'Web' || {i} || 'Test', 'testAdd' || {i}, 'active', ''"
-        f" FROM documents WHERE doc_id % 3 = 2",
+        f" FROM documents WHERE doc_id % 4 = 2",
         f"SELECT doc_id, 'test', 'Web' || {i} || 'Test', 'annotated', 'active', ''"
-        f" FROM documents WHERE doc_id % 3 = 2",
+        f" FROM documents WHERE doc_id % 4 = 2",
         f"SELECT doc_id, 'test', 'Web' || {i} || 'Test', 'offline', 'skipped', '#[Skip]'"
-        f" FROM documents WHERE doc_id % 3 = 2",
+        f" FROM documents WHERE doc_id % 4 = 2",
+        # k=3 Kotlin Kotest
+        f"SELECT doc_id, 'suite', '', 'Spec' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'test', 'Spec' || {i}, 'adds ' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'test', 'Spec' || {i}, 'later', 'skipped', 'xtest'"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'suite', 'Spec' || {i}, 'edge', 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'test', 'Spec' || {i} || '/edge', 'deep', 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
     ]
     return " UNION ALL ".join(arms)
 
@@ -694,6 +710,17 @@ def _sql_native_inventory_oracle() -> str:
         f" FROM documents WHERE doc_id % 5 = 4",
         f"SELECT doc_id, 'test', 'Top ' || {i} || '/when ready', '(anonymous)',"
         f" 'active', '' FROM documents WHERE doc_id % 5 = 4",
+        # k=3 Kotlin Kotest
+        f"SELECT doc_id, 'suite', '', 'Spec' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'test', 'Spec' || {i}, 'adds ' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'test', 'Spec' || {i}, 'later', 'skipped', 'xtest'"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'suite', 'Spec' || {i}, 'edge', 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'test', 'Spec' || {i} || '/edge', 'deep', 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
     ]
     return " UNION ALL ".join(arms)
 
@@ -727,6 +754,17 @@ def _sql_js_inventory_oracle() -> str:
         f" FROM documents WHERE doc_id % 6 = 5",
         f"SELECT doc_id, 'test', '', 'rule ' || {i} || ' (dynamic cases)', 'active', ''"
         f" FROM documents WHERE doc_id % 6 = 5",
+        # k=3 Kotlin Kotest
+        f"SELECT doc_id, 'suite', '', 'Spec' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'test', 'Spec' || {i}, 'adds ' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'test', 'Spec' || {i}, 'later', 'skipped', 'xtest'"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'suite', 'Spec' || {i}, 'edge', 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'test', 'Spec' || {i} || '/edge', 'deep', 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
     ]
     return " UNION ALL ".join(arms)
 
@@ -755,6 +793,17 @@ def _sql_py_inventory_oracle() -> str:
         f" '@unittest.expectedFailure' FROM documents WHERE doc_id % 4 = 2",
         # k=3
         f"SELECT doc_id, 'test', '', 'test_param_' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        # k=3 Kotlin Kotest
+        f"SELECT doc_id, 'suite', '', 'Spec' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'test', 'Spec' || {i}, 'adds ' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'test', 'Spec' || {i}, 'later', 'skipped', 'xtest'"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'suite', 'Spec' || {i}, 'edge', 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'test', 'Spec' || {i} || '/edge', 'deep', 'active', ''"
         f" FROM documents WHERE doc_id % 4 = 3",
     ]
     return " UNION ALL ".join(arms)
@@ -806,20 +855,31 @@ def _sql_domain_hints_oracle() -> str:
     i = "CAST(doc_id AS VARCHAR)"
     arms = [
         # k=0 JS
-        f"SELECT doc_id, 'import' AS kind, 'pkg' || {i} AS value FROM documents WHERE doc_id % 3 = 0",
-        f"SELECT doc_id, 'import', 'req' || {i} FROM documents WHERE doc_id % 3 = 0",
-        f"SELECT doc_id, 'call', 'svc' || {i} || '.run' FROM documents WHERE doc_id % 3 = 0",
-        f"SELECT doc_id, 'call', 'plain' || {i} FROM documents WHERE doc_id % 3 = 0",
+        f"SELECT doc_id, 'import' AS kind, 'pkg' || {i} AS value FROM documents WHERE doc_id % 4 = 0",
+        f"SELECT doc_id, 'import', 'req' || {i} FROM documents WHERE doc_id % 4 = 0",
+        f"SELECT doc_id, 'call', 'svc' || {i} || '.run' FROM documents WHERE doc_id % 4 = 0",
+        f"SELECT doc_id, 'call', 'plain' || {i} FROM documents WHERE doc_id % 4 = 0",
         # k=1 Python (pytest.raises blacklisted)
-        f"SELECT doc_id, 'import', 'mod' || {i} FROM documents WHERE doc_id % 3 = 1",
-        f"SELECT doc_id, 'import', 'pkg' || {i} || '.sub' FROM documents WHERE doc_id % 3 = 1",
-        f"SELECT doc_id, 'call', 'svc' || {i} || '.call' FROM documents WHERE doc_id % 3 = 1",
-        f"SELECT doc_id, 'call', 'helper' || {i} FROM documents WHERE doc_id % 3 = 1",
+        f"SELECT doc_id, 'import', 'mod' || {i} FROM documents WHERE doc_id % 4 = 1",
+        f"SELECT doc_id, 'import', 'pkg' || {i} || '.sub' FROM documents WHERE doc_id % 4 = 1",
+        f"SELECT doc_id, 'call', 'svc' || {i} || '.call' FROM documents WHERE doc_id % 4 = 1",
+        f"SELECT doc_id, 'call', 'helper' || {i} FROM documents WHERE doc_id % 4 = 1",
         # k=2 Go
-        f"SELECT doc_id, 'import', 'testing' FROM documents WHERE doc_id % 3 = 2",
-        f"SELECT doc_id, 'import', 'corp/lib' || {i} FROM documents WHERE doc_id % 3 = 2",
-        f"SELECT doc_id, 'call', 'svc' || {i} || '.Do' FROM documents WHERE doc_id % 3 = 2",
-        f"SELECT doc_id, 'call', 'help' || {i} FROM documents WHERE doc_id % 3 = 2",
+        f"SELECT doc_id, 'import', 'testing' FROM documents WHERE doc_id % 4 = 2",
+        f"SELECT doc_id, 'import', 'corp/lib' || {i} FROM documents WHERE doc_id % 4 = 2",
+        f"SELECT doc_id, 'call', 'svc' || {i} || '.Do' FROM documents WHERE doc_id % 4 = 2",
+        f"SELECT doc_id, 'call', 'help' || {i} FROM documents WHERE doc_id % 4 = 2",
+        # k=3 Kotlin Kotest
+        f"SELECT doc_id, 'suite', '', 'Spec' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'test', 'Spec' || {i}, 'adds ' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'test', 'Spec' || {i}, 'later', 'skipped', 'xtest'"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'suite', 'Spec' || {i}, 'edge', 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'test', 'Spec' || {i} || '/edge', 'deep', 'active', ''"
+        f" FROM documents WHERE doc_id % 4 = 3",
     ]
     return " UNION ALL ".join(arms)
 

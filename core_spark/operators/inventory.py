@@ -34,6 +34,7 @@ def _dispatch(path: str, source: str) -> list[dict]:
         gtest,
         javatest,
         jstest,
+        kotlintest,
         phptest,
         pytest_ext,
         rubytest,
@@ -52,6 +53,8 @@ def _dispatch(path: str, source: str) -> list[dict]:
         return swifttest.parse_swift_tests(source)
     if low.endswith(".php"):
         return phptest.parse_phpunit_tests(source)
+    if low.endswith((".kt", ".kts")):
+        return kotlintest.parse_kotlin_tests(source)
     if low.endswith((".js", ".jsx", ".ts", ".tsx", ".mjs", ".cjs")):
         return jstest.parse_js_tests(source, filename=path)
     if low.endswith(".py"):
