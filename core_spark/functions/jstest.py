@@ -528,6 +528,12 @@ def parse_function_name(desc) -> tuple[str, str, str]:
         obj, prop = ids
         if prop == "concurrent":
             return obj, STATUS_ACTIVE, ""
+        if prop == "describe":
+            # Playwright's test.describe(...) (playwright/definition.go:420-440)
+            return "describe", STATUS_ACTIVE, ""
+        if prop == "fixme":
+            # Playwright's .fixme -> skipped (playwright/definition.go:378-379)
+            return obj, STATUS_SKIPPED, "fixme"
         if prop in ("each", "for"):
             return f"{obj}.{prop}", STATUS_ACTIVE, ""
         if prop in ("only", "skip", "todo"):
@@ -541,6 +547,14 @@ def parse_function_name(desc) -> tuple[str, str, str]:
             return f"{obj}.{prop}", STATUS_ACTIVE, ""
         status = parse_modifier_status(prop)
         return obj, status, prop if status != STATUS_ACTIVE else ""
+    if middle == "describe":
+        # test.describe.skip / .only / .fixme / .each (Playwright chains)
+        if prop in ("each", "for"):
+            return "describe.each", STATUS_ACTIVE, ""
+        if prop == "fixme":
+            return "describe", STATUS_SKIPPED, "fixme"
+        status = parse_modifier_status(prop)
+        return "describe", status, prop if status != STATUS_ACTIVE else ""
     status = parse_modifier_status(middle)
     modifier = middle if status != STATUS_ACTIVE else ""
     if prop in ("each", "for"):

@@ -674,3 +674,43 @@ def test_count_tests():
         "it('c', () => {});"
     )
     assert count_tests(rows) == 3
+
+
+# -- Playwright specials (playwright/definition.go:370-440) -----------------
+
+def test_playwright_fixme():
+    got = tops(parse_js_tests("test.fixme('needs fix', async ({ page }) => {});"), "test")
+    assert len(got) == 1
+    assert got[0]["status"] == "skipped" and got[0]["modifier"] == "fixme"
+
+
+def test_playwright_test_describe():
+    rows = parse_js_tests(
+        "test.describe('Auth', () => {\n"
+        "  test('login', async ({ page }) => {});\n"
+        "  test.fixme('broken test', async ({ page }) => {});\n"
+        "});\n"
+        "test('top-level test', async ({ page }) => {});"
+    )
+    assert [s["name"] for s in tops(rows, "suite")] == ["Auth"]
+    got = children(rows, ["Auth"], "test")
+    assert [(t["name"], t["status"]) for t in got] == [
+        ("login", "active"), ("broken test", "skipped"),
+    ]
+    assert [t["name"] for t in tops(rows, "test")] == ["top-level test"]
+
+
+def test_playwright_test_describe_skip_chain():
+    rows = parse_js_tests(
+        "test.describe.skip('skipped suite', () => { test('t', () => {}); });"
+    )
+    s = tops(rows, "suite")[0]
+    assert s["name"] == "skipped suite" and s["status"] == "skipped"
+
+    rows = parse_js_tests("test.describe.only('focused', () => {});")
+    assert tops(rows, "suite")[0]["status"] == "focused"
+
+
+def test_playwright_conditional_fixme_not_a_test():
+    rows = parse_js_tests("test.fixme(process.env.CI, 'reason');")
+    assert not tops(rows, "test")
