@@ -710,17 +710,6 @@ def _sql_native_inventory_oracle() -> str:
         f" FROM documents WHERE doc_id % 5 = 4",
         f"SELECT doc_id, 'test', 'Top ' || {i} || '/when ready', '(anonymous)',"
         f" 'active', '' FROM documents WHERE doc_id % 5 = 4",
-        # k=3 Kotlin Kotest
-        f"SELECT doc_id, 'suite', '', 'Spec' || {i}, 'active', ''"
-        f" FROM documents WHERE doc_id % 4 = 3",
-        f"SELECT doc_id, 'test', 'Spec' || {i}, 'adds ' || {i}, 'active', ''"
-        f" FROM documents WHERE doc_id % 4 = 3",
-        f"SELECT doc_id, 'test', 'Spec' || {i}, 'later', 'skipped', 'xtest'"
-        f" FROM documents WHERE doc_id % 4 = 3",
-        f"SELECT doc_id, 'suite', 'Spec' || {i}, 'edge', 'active', ''"
-        f" FROM documents WHERE doc_id % 4 = 3",
-        f"SELECT doc_id, 'test', 'Spec' || {i} || '/edge', 'deep', 'active', ''"
-        f" FROM documents WHERE doc_id % 4 = 3",
     ]
     return " UNION ALL ".join(arms)
 
@@ -754,17 +743,6 @@ def _sql_js_inventory_oracle() -> str:
         f" FROM documents WHERE doc_id % 6 = 5",
         f"SELECT doc_id, 'test', '', 'rule ' || {i} || ' (dynamic cases)', 'active', ''"
         f" FROM documents WHERE doc_id % 6 = 5",
-        # k=3 Kotlin Kotest
-        f"SELECT doc_id, 'suite', '', 'Spec' || {i}, 'active', ''"
-        f" FROM documents WHERE doc_id % 4 = 3",
-        f"SELECT doc_id, 'test', 'Spec' || {i}, 'adds ' || {i}, 'active', ''"
-        f" FROM documents WHERE doc_id % 4 = 3",
-        f"SELECT doc_id, 'test', 'Spec' || {i}, 'later', 'skipped', 'xtest'"
-        f" FROM documents WHERE doc_id % 4 = 3",
-        f"SELECT doc_id, 'suite', 'Spec' || {i}, 'edge', 'active', ''"
-        f" FROM documents WHERE doc_id % 4 = 3",
-        f"SELECT doc_id, 'test', 'Spec' || {i} || '/edge', 'deep', 'active', ''"
-        f" FROM documents WHERE doc_id % 4 = 3",
     ]
     return " UNION ALL ".join(arms)
 
@@ -793,17 +771,6 @@ def _sql_py_inventory_oracle() -> str:
         f" '@unittest.expectedFailure' FROM documents WHERE doc_id % 4 = 2",
         # k=3
         f"SELECT doc_id, 'test', '', 'test_param_' || {i}, 'active', ''"
-        f" FROM documents WHERE doc_id % 4 = 3",
-        # k=3 Kotlin Kotest
-        f"SELECT doc_id, 'suite', '', 'Spec' || {i}, 'active', ''"
-        f" FROM documents WHERE doc_id % 4 = 3",
-        f"SELECT doc_id, 'test', 'Spec' || {i}, 'adds ' || {i}, 'active', ''"
-        f" FROM documents WHERE doc_id % 4 = 3",
-        f"SELECT doc_id, 'test', 'Spec' || {i}, 'later', 'skipped', 'xtest'"
-        f" FROM documents WHERE doc_id % 4 = 3",
-        f"SELECT doc_id, 'suite', 'Spec' || {i}, 'edge', 'active', ''"
-        f" FROM documents WHERE doc_id % 4 = 3",
-        f"SELECT doc_id, 'test', 'Spec' || {i} || '/edge', 'deep', 'active', ''"
         f" FROM documents WHERE doc_id % 4 = 3",
     ]
     return " UNION ALL ".join(arms)
@@ -855,31 +822,20 @@ def _sql_domain_hints_oracle() -> str:
     i = "CAST(doc_id AS VARCHAR)"
     arms = [
         # k=0 JS
-        f"SELECT doc_id, 'import' AS kind, 'pkg' || {i} AS value FROM documents WHERE doc_id % 4 = 0",
-        f"SELECT doc_id, 'import', 'req' || {i} FROM documents WHERE doc_id % 4 = 0",
-        f"SELECT doc_id, 'call', 'svc' || {i} || '.run' FROM documents WHERE doc_id % 4 = 0",
-        f"SELECT doc_id, 'call', 'plain' || {i} FROM documents WHERE doc_id % 4 = 0",
+        f"SELECT doc_id, 'import' AS kind, 'pkg' || {i} AS value FROM documents WHERE doc_id % 3 = 0",
+        f"SELECT doc_id, 'import', 'req' || {i} FROM documents WHERE doc_id % 3 = 0",
+        f"SELECT doc_id, 'call', 'svc' || {i} || '.run' FROM documents WHERE doc_id % 3 = 0",
+        f"SELECT doc_id, 'call', 'plain' || {i} FROM documents WHERE doc_id % 3 = 0",
         # k=1 Python (pytest.raises blacklisted)
-        f"SELECT doc_id, 'import', 'mod' || {i} FROM documents WHERE doc_id % 4 = 1",
-        f"SELECT doc_id, 'import', 'pkg' || {i} || '.sub' FROM documents WHERE doc_id % 4 = 1",
-        f"SELECT doc_id, 'call', 'svc' || {i} || '.call' FROM documents WHERE doc_id % 4 = 1",
-        f"SELECT doc_id, 'call', 'helper' || {i} FROM documents WHERE doc_id % 4 = 1",
+        f"SELECT doc_id, 'import', 'mod' || {i} FROM documents WHERE doc_id % 3 = 1",
+        f"SELECT doc_id, 'import', 'pkg' || {i} || '.sub' FROM documents WHERE doc_id % 3 = 1",
+        f"SELECT doc_id, 'call', 'svc' || {i} || '.call' FROM documents WHERE doc_id % 3 = 1",
+        f"SELECT doc_id, 'call', 'helper' || {i} FROM documents WHERE doc_id % 3 = 1",
         # k=2 Go
-        f"SELECT doc_id, 'import', 'testing' FROM documents WHERE doc_id % 4 = 2",
-        f"SELECT doc_id, 'import', 'corp/lib' || {i} FROM documents WHERE doc_id % 4 = 2",
-        f"SELECT doc_id, 'call', 'svc' || {i} || '.Do' FROM documents WHERE doc_id % 4 = 2",
-        f"SELECT doc_id, 'call', 'help' || {i} FROM documents WHERE doc_id % 4 = 2",
-        # k=3 Kotlin Kotest
-        f"SELECT doc_id, 'suite', '', 'Spec' || {i}, 'active', ''"
-        f" FROM documents WHERE doc_id % 4 = 3",
-        f"SELECT doc_id, 'test', 'Spec' || {i}, 'adds ' || {i}, 'active', ''"
-        f" FROM documents WHERE doc_id % 4 = 3",
-        f"SELECT doc_id, 'test', 'Spec' || {i}, 'later', 'skipped', 'xtest'"
-        f" FROM documents WHERE doc_id % 4 = 3",
-        f"SELECT doc_id, 'suite', 'Spec' || {i}, 'edge', 'active', ''"
-        f" FROM documents WHERE doc_id % 4 = 3",
-        f"SELECT doc_id, 'test', 'Spec' || {i} || '/edge', 'deep', 'active', ''"
-        f" FROM documents WHERE doc_id % 4 = 3",
+        f"SELECT doc_id, 'import', 'testing' FROM documents WHERE doc_id % 3 = 2",
+        f"SELECT doc_id, 'import', 'corp/lib' || {i} FROM documents WHERE doc_id % 3 = 2",
+        f"SELECT doc_id, 'call', 'svc' || {i} || '.Do' FROM documents WHERE doc_id % 3 = 2",
+        f"SELECT doc_id, 'call', 'help' || {i} FROM documents WHERE doc_id % 3 = 2",
     ]
     return " UNION ALL ".join(arms)
 
