@@ -116,9 +116,15 @@ def ivf_topk(spark, vectors, queries_pd, k: int = 10, n_centroids: int = 16,
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    # deterministic UNIFORM sample: top-n by md5(vec_id) is a pseudo-random
+    # but reproducible ordering, and orderBy+limit compiles to
+    # TakeOrderedAndProject (per-partition heaps + driver merge of n rows —
+    # no global sort), so this scans once at any table size. The previous
+    # orderBy(vec_id) was equally cheap but biased the centroid sample to
+    # the lowest ids (VERDICT r1 nit).
     sample_pd = (
         vectors.select(vec_id, vec_col)
-        .orderBy(vec_id)
+        .orderBy(F.md5(F.col(vec_id).cast("string")))
         .limit(sample_size)
         .toPandas()
     )
