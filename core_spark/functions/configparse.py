@@ -127,6 +127,8 @@ def _new_scope(cfg_path: str, root: str, framework: str) -> dict:
         "roots": [],
         "include": [],
         "exclude": [],
+        "test_patterns": [],
+        "exclude_patterns": [],
         "globals_mode": False,
         "projects": [],
     }
@@ -256,6 +258,54 @@ def parse_playwright_config(cfg_path: str, content: str) -> dict:
     return scope
 
 
+_MOCHA_SPEC_SINGLE = re.compile(r"[\"']?spec[\"']?\s*:\s*['\"]([^'\"]+)['\"]")
+_MOCHA_SPEC_ARRAY = re.compile(r"[\"']?spec[\"']?\s*:\s*\[([^\]]+)\]")
+
+
+def parse_mocha_config(cfg_path: str, content: str) -> dict:
+    """Mocha (.mocharc.*): root is the config dir, globals on, spec ->
+    test_patterns (mocha/definition.go:87-114)."""
+    scope = _new_scope(cfg_path, "", "mocha")
+    scope["globals_mode"] = True
+    m = _MOCHA_SPEC_SINGLE.search(content)
+    if m:
+        scope["test_patterns"] = [m.group(1)]
+    else:
+        m = _MOCHA_SPEC_ARRAY.search(content)
+        scope["test_patterns"] = _STR_ITEM.findall(m.group(1)) if m else []
+    return scope
+
+
+def _cy_pattern(content: str, single: re.Pattern, array: re.Pattern) -> list[str]:
+    m = single.search(content)
+    if m:
+        return [m.group(1)]
+    m = array.search(content)
+    return _STR_ITEM.findall(m.group(1)) if m else []
+
+
+_CY_E2E_SINGLE = re.compile(r"e2e\s*:\s*\{[\s\S]*?specPattern\s*:\s*['\"]([^'\"]+)['\"]", re.S)
+_CY_E2E_ARRAY = re.compile(r"e2e\s*:\s*\{[\s\S]*?specPattern\s*:\s*\[([^\]]+)\]", re.S)
+_CY_COMP_SINGLE = re.compile(r"component\s*:\s*\{[\s\S]*?specPattern\s*:\s*['\"]([^'\"]+)['\"]", re.S)
+_CY_COMP_ARRAY = re.compile(r"component\s*:\s*\{[\s\S]*?specPattern\s*:\s*\[([^\]]+)\]", re.S)
+_CY_EXCL_SINGLE = re.compile(r"excludeSpecPattern\s*:\s*['\"]([^'\"]+)['\"]")
+_CY_EXCL_ARRAY = re.compile(r"excludeSpecPattern\s*:\s*\[([^\]]+)\]")
+
+
+def parse_cypress_config(cfg_path: str, content: str) -> dict:
+    """Cypress: e2e/component specPattern -> test_patterns,
+    excludeSpecPattern -> exclude_patterns; globals on
+    (cypress/definition.go:98-145)."""
+    scope = _new_scope(cfg_path, "", "cypress")
+    scope["globals_mode"] = True  # cy/Cypress injected
+    scope["test_patterns"] = (
+        _cy_pattern(content, _CY_E2E_SINGLE, _CY_E2E_ARRAY)
+        + _cy_pattern(content, _CY_COMP_SINGLE, _CY_COMP_ARRAY)
+    )
+    scope["exclude_patterns"] = _cy_pattern(content, _CY_EXCL_SINGLE, _CY_EXCL_ARRAY)
+    return scope
+
+
 # -- config-file dispatch (scanner.go:275-309 filename patterns subset) -----
 
 _CONFIG_DISPATCH = [
@@ -263,6 +313,8 @@ _CONFIG_DISPATCH = [
     (re.compile(r"(^|/)vitest\.config\.(js|ts|mjs|cts|mts)$"), parse_vitest_config),
     (re.compile(r"(^|/)vite\.config\.(js|ts|mjs)$"), parse_vitest_config),
     (re.compile(r"(^|/)playwright\.config\.(js|ts|mjs)$"), parse_playwright_config),
+    (re.compile(r"(^|/)\.mocharc\.(js|cjs|json|yml|yaml)$"), parse_mocha_config),
+    (re.compile(r"(^|/)cypress\.config\.(js|ts|mjs)$"), parse_cypress_config),
 ]
 
 

@@ -285,3 +285,41 @@ def test_config_bytes_to_resolved_scope(spark):
     # nested config wins by depth
     assert got["proj/apps/web/src/b.test.ts"] == ("proj/apps/web/jest.config.js", "jest")
     assert got["proj/e2e/specs/c.spec.ts"] == ("proj/e2e/playwright.config.ts", "playwright")
+
+
+# -- mocha / cypress (mocha/definition.go:87-114, cypress/definition.go:98-145)
+
+def test_mocha_config():
+    from core_spark.functions.configparse import parse_mocha_config
+
+    scope = parse_mocha_config("/p/.mocharc.json", '{"spec": "test/**/*.spec.js"}')
+    assert scope["framework"] == "mocha"
+    assert scope["globals_mode"] is True
+    assert scope["base_dir"] == "/p"
+    assert scope["test_patterns"] == ["test/**/*.spec.js"]
+
+    scope = parse_mocha_config(
+        "/p/.mocharc.js", "module.exports = { spec: ['a/**/*.js', 'b/**/*.js'] };"
+    )
+    assert scope["test_patterns"] == ["a/**/*.js", "b/**/*.js"]
+
+
+def test_cypress_config():
+    from core_spark.functions.configparse import parse_cypress_config
+
+    scope = parse_cypress_config(
+        "/p/cypress.config.ts",
+        "export default defineConfig({\n"
+        "  e2e: {\n    specPattern: 'cypress/e2e/**/*.cy.ts',\n"
+        "    excludeSpecPattern: '*.hot-update.js',\n  },\n"
+        "  component: {\n    specPattern: ['src/**/*.cy.tsx'],\n  },\n});",
+    )
+    assert scope["framework"] == "cypress"
+    assert scope["globals_mode"] is True
+    assert scope["test_patterns"] == ["cypress/e2e/**/*.cy.ts", "src/**/*.cy.tsx"]
+    assert scope["exclude_patterns"] == ["*.hot-update.js"]
+
+
+def test_dispatch_mocha_cypress():
+    assert parse_config("a/.mocharc.json", '{"spec": "t/*.js"}')["framework"] == "mocha"
+    assert parse_config("a/cypress.config.ts", "")["framework"] == "cypress"
