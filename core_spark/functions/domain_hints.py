@@ -297,6 +297,223 @@ def extract_go_hints(source: str):
     return _hints_or_none(imports, calls)
 
 
+# -- Java (domain_hints/java.go) --------------------------------------------
+
+JAVA_TEST_CALLS = {
+    "assertEquals", "assertNotEquals", "assertTrue", "assertFalse",
+    "assertNull", "assertNotNull", "assertSame", "assertNotSame",
+    "assertArrayEquals", "assertThrows", "assertDoesNotThrow",
+    "assertAll", "assertTimeout", "assertTimeoutPreemptively",
+    "fail", "assumeTrue", "assumeFalse", "Assertions",
+    "assertThat", "is", "equalTo", "hasSize", "contains",
+    "containsString", "startsWith", "endsWith", "MatcherAssert",
+    "mock", "spy", "when", "verify", "doReturn", "doThrow", "doNothing",
+    "times", "never", "any", "eq", "anyString", "anyInt", "anyLong",
+    "Mockito", "isEqualTo", "isNotNull",
+}
+
+_JAVA_KEYWORDS = {"if", "while", "for", "switch", "catch", "return", "new", "super", "this"}
+
+
+def extract_java_hints(source: str):
+    toks = tokenize(source)
+    n = len(toks)
+    imports: list[str] = []
+    calls: list[str] = []
+    seen_i: set[str] = set()
+    seen_c: set[str] = set()
+    i = 0
+    while i < n:
+        t = toks[i]
+        if t.kind == "id" and t.text == "import":
+            j = i + 1
+            if j < n and toks[j].kind == "id" and toks[j].text == "static":
+                j += 1
+            parts = []
+            star = False
+            while j < n and not (toks[j].kind == "punct" and toks[j].text == ";"):
+                if toks[j].kind == "id":
+                    parts.append(toks[j].text)
+                elif toks[j].kind == "punct" and toks[j].text == "*":
+                    star = True
+                j += 1
+            if parts:
+                path = ".".join(parts) + (".*" if star else "")
+                if path not in seen_i:
+                    seen_i.add(path)
+                    imports.append(path)
+            i = j + 1
+            continue
+        got = _js_id_chain(toks, i)
+        if got is not None:
+            names, j = got
+            if (
+                j < n
+                and toks[j].kind == "punct" and toks[j].text == "("
+                and names[0] not in _JAVA_KEYWORDS
+                and not (i > 0 and toks[i - 1].kind == "id" and toks[i - 1].text == "new")
+            ):
+                call = normalize_call(".".join(names))
+                if (
+                    call and not is_noise(call)
+                    and not _blacklisted(call, JAVA_TEST_CALLS)
+                    and call not in seen_c
+                ):
+                    seen_c.add(call)
+                    calls.append(call)
+            i = j
+            continue
+        i += 1
+    return _hints_or_none(imports, calls)
+
+
+# -- Rust (domain_hints/rust.go) --------------------------------------------
+
+RUST_TEST_CALLS = {
+    "assert", "assert_eq", "assert_ne", "debug_assert", "panic",
+    "unreachable", "todo", "unimplemented",
+    "println", "print", "eprintln", "eprint", "dbg", "format", "vec",
+    "tokio.test", "proptest", "prop_assert", "prop_assert_eq",
+    "Ok", "Err", "Some", "None",
+}
+
+
+def extract_rust_hints(source: str):
+    from core_spark.functions.rusttest import tokenize_rust
+
+    toks = tokenize_rust(source)
+    n = len(toks)
+    imports: list[str] = []
+    calls: list[str] = []
+    seen_i: set[str] = set()
+    seen_c: set[str] = set()
+    i = 0
+    while i < n:
+        t = toks[i]
+        if t.kind == "id" and t.text == "use":
+            # rust.go:137-166: drop {lists}, ' as ' aliases and '::*' globs,
+            # then render :: as / (cross-language consistency)
+            j = i + 1
+            segs: list[str] = []
+            while j < n and not (toks[j].kind == "punct" and toks[j].text == ";"):
+                tj = toks[j]
+                if tj.kind == "punct" and tj.text == "{":
+                    break
+                if tj.kind == "id" and tj.text == "as":
+                    break
+                if tj.kind == "id":
+                    segs.append(tj.text)
+                elif tj.kind == "punct" and tj.text == "*":
+                    pass  # glob dropped
+                j += 1
+            while j < n and not (toks[j].kind == "punct" and toks[j].text == ";"):
+                j += 1
+            path = "/".join(segs)
+            if path and path not in seen_i:
+                seen_i.add(path)
+                imports.append(path)
+            i = j + 1
+            continue
+        if t.kind == "id" and t.text == "mod" and i + 1 < n and toks[i + 1].kind == "id":
+            name = toks[i + 1].text
+            if name not in seen_i:
+                seen_i.add(name)
+                imports.append(name)
+            i += 2
+            continue
+        # call: ident / a::b / a.b followed by '(' (skip macros: '!')
+        if t.kind == "id":
+            parts = [t.text]
+            j = i + 1
+            while j + 1 < n and toks[j].kind == "punct" and toks[j].text in (".",) and toks[j + 1].kind == "id":
+                parts.append("." + toks[j + 1].text)
+                j += 2
+            while (
+                j + 2 < n
+                and toks[j].kind == "punct" and toks[j].text == ":"
+                and toks[j + 1].kind == "punct" and toks[j + 1].text == ":"
+                and toks[j + 2].kind == "id"
+            ):
+                parts.append("::" + toks[j + 2].text)
+                j += 3
+            if (
+                j < n
+                and toks[j].kind == "punct" and toks[j].text == "("
+                and not (j >= 1 and toks[j - 1].kind == "punct" and toks[j - 1].text == "!")
+                and len("".join(parts)) > 0
+            ):
+                text = "".join(parts)
+                call = normalize_call(text.replace("::", "."))
+                if (
+                    call and not is_noise(call)
+                    and not _blacklisted(call, RUST_TEST_CALLS)
+                    and call not in RUST_TEST_CALLS
+                    and call not in seen_c
+                ):
+                    seen_c.add(call)
+                    calls.append(call)
+            i = j
+            continue
+        i += 1
+    return _hints_or_none(imports, calls)
+
+
+# -- Ruby (domain_hints/ruby.go) --------------------------------------------
+
+RUBY_TEST_CALLS = {
+    "RSpec", "describe", "context", "it", "specify", "example", "expect",
+    "allow", "before", "after", "let", "let!", "subject",
+    "shared_examples", "include_examples", "shared_context", "include_context",
+    "assert", "refute", "assert_equal", "refute_equal", "must_equal", "wont_equal",
+    "FactoryBot", "factory", "build", "create",
+    "puts", "print", "raise", "p", "pp",
+}
+
+
+def extract_ruby_hints(source: str):
+    from core_spark.functions.rubytest import tokenize_ruby
+
+    toks = tokenize_ruby(source)
+    n = len(toks)
+    imports: list[str] = []
+    calls: list[str] = []
+    seen_i: set[str] = set()
+    seen_c: set[str] = set()
+    i = 0
+    while i < n:
+        t = toks[i]
+        if t.kind == "id" and t.text in ("require", "require_relative"):
+            j = i + 1
+            if j < n and toks[j].kind == "punct" and toks[j].text == "(":
+                j += 1
+            if j < n and toks[j].kind == "str":
+                path = toks[j].text[1:-1] if len(toks[j].text) >= 2 else toks[j].text
+                if path and path not in seen_i:
+                    seen_i.add(path)
+                    imports.append(path)
+            i = j + 1
+            continue
+        # receiver.method (identifier or Constant receiver)
+        if (
+            t.kind in ("id", "const")
+            and i + 2 < n
+            and toks[i + 1].kind == "punct" and toks[i + 1].text == "."
+            and toks[i + 2].kind == "id"
+        ):
+            call = normalize_call(f"{t.text}.{toks[i + 2].text}")
+            if (
+                call and not is_noise(call)
+                and not _blacklisted(call, RUBY_TEST_CALLS)
+                and call not in seen_c
+            ):
+                seen_c.add(call)
+                calls.append(call)
+            i += 3
+            continue
+        i += 1
+    return _hints_or_none(imports, calls)
+
+
 # -- dispatch ----------------------------------------------------------------
 
 
@@ -308,4 +525,10 @@ def extract_hints(path: str, source: str):
         return extract_py_hints(source)
     if low.endswith(".go"):
         return extract_go_hints(source)
+    if low.endswith(".java"):
+        return extract_java_hints(source)
+    if low.endswith(".rs"):
+        return extract_rust_hints(source)
+    if low.endswith(".rb"):
+        return extract_ruby_hints(source)
     return None

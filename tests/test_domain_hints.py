@@ -172,4 +172,127 @@ def test_dispatch():
     assert extract_hints("a.ts", "import x from 'y';")["imports"] == ["y"]
     assert extract_hints("a.py", "import y\n")["imports"] == ["y"]
     assert extract_hints("a.go", 'import "y"\n')["imports"] == ["y"]
-    assert extract_hints("a.rb", "require 'y'") is None
+    assert extract_hints("a.rb", "require 'y'")["imports"] == ["y"]
+    assert extract_hints("a.cpp", "anything") is None
+
+
+# -- java_test.go ------------------------------------------------------------
+
+def test_java_imports():
+    from core_spark.functions.domain_hints import extract_java_hints
+
+    hints = extract_java_hints(
+        "package com.example;\n\n"
+        "import org.junit.jupiter.api.Test;\n"
+        "import static org.junit.jupiter.api.Assertions.assertEquals;\n"
+        "import com.example.service.*;\n\n"
+        "class T {}\n"
+    )
+    got = set(hints["imports"])
+    assert {"org.junit.jupiter.api.Test",
+            "org.junit.jupiter.api.Assertions.assertEquals",
+            "com.example.service.*"} <= got
+
+
+def test_java_calls_with_blacklist():
+    from core_spark.functions.domain_hints import extract_java_hints
+
+    hints = extract_java_hints(
+        "class T {\n    @Test\n    void t() {\n"
+        "        calculator.add(1, 2);\n"
+        "        userService.findById(1);\n"
+        "        paymentGateway.process(order);\n"
+        "        assertEquals(3, result);\n"
+        "        Mockito.verify(mock);\n    }\n}\n"
+    )
+    got = set(hints["calls"])
+    assert {"calculator.add", "userService.findById", "paymentGateway.process"} <= got
+    assert not any(c.split(".")[0] in ("assertEquals", "Mockito") for c in got)
+
+
+# -- rust_test.go ------------------------------------------------------------
+
+def test_rust_imports():
+    from core_spark.functions.domain_hints import extract_rust_hints
+
+    hints = extract_rust_hints(
+        "use std::collections::HashMap;\n"
+        "use crate::models::User;\n"
+        "use super::helpers;\n"
+        "use tokio::sync::mpsc;\n"
+    )
+    assert set(hints["imports"]) == {
+        "std/collections/HashMap", "crate/models/User",
+        "super/helpers", "tokio/sync/mpsc",
+    }
+
+
+def test_rust_use_lists_globs_aliases():
+    from core_spark.functions.domain_hints import extract_rust_hints
+
+    hints = extract_rust_hints(
+        "use std::collections::{HashMap, HashSet};\n"
+        "use crate::{models, services};\n"
+        "use std::prelude::*;\n"
+        "use crate::models::User as UserModel;\n"
+    )
+    got = set(hints["imports"])
+    assert {"std/collections", "crate", "std/prelude", "crate/models/User"} <= got
+
+
+def test_rust_calls():
+    from core_spark.functions.domain_hints import extract_rust_hints
+
+    hints = extract_rust_hints(
+        "fn handle() {\n"
+        "    user_service.create(user);\n"
+        "    PaymentGateway::process(order);\n"
+        "    assert_eq!(1, 1);\n"
+        "    println!(\"x\");\n"
+        "    Ok(())\n}\n"
+    )
+    got = set(hints["calls"])
+    assert {"user_service.create", "PaymentGateway.process"} <= got
+    assert not any(c.startswith(("assert", "println", "Ok")) for c in got)
+
+
+def test_rust_mod_imports():
+    from core_spark.functions.domain_hints import extract_rust_hints
+
+    hints = extract_rust_hints("mod tests;\nmod handlers;\n")
+    assert set(hints["imports"]) == {"tests", "handlers"}
+
+
+# -- ruby_test.go ------------------------------------------------------------
+
+def test_ruby_requires():
+    from core_spark.functions.domain_hints import extract_ruby_hints
+
+    hints = extract_ruby_hints(
+        "require 'json'\nrequire \"net/http\"\nrequire_relative 'helpers'\n"
+    )
+    assert set(hints["imports"]) == {"json", "net/http", "helpers"}
+
+
+def test_ruby_calls_with_blacklist():
+    from core_spark.functions.domain_hints import extract_ruby_hints
+
+    hints = extract_ruby_hints(
+        "RSpec.describe 'Order' do\n"
+        "  it 'processes' do\n"
+        "    gateway.process(order)\n"
+        "    Order.create(attrs)\n"
+        "    notification_service.send_confirmation\n"
+        "    expect(result).to be_truthy\n"
+        "  end\nend\n"
+    )
+    got = set(hints["calls"])
+    assert {"gateway.process", "Order.create",
+            "notification_service.send_confirmation"} <= got
+    assert not any(c.split(".")[0] in ("RSpec", "expect") for c in got)
+
+
+def test_dispatch_new_languages():
+    assert extract_hints("A.java", "import a.b;\n")["imports"] == ["a.b"]
+    assert extract_hints("a.rs", "use a::b;\n")["imports"] == ["a/b"]
+    assert extract_hints("a.rb", "require 'x'\n")["imports"] == ["x"]
