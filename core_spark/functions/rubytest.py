@@ -304,3 +304,123 @@ def parse_rspec_tests(source: str) -> list[dict]:
     ex = _RubyExtractor(tokenize_ruby(source))
     ex.scan(0, len(ex.toks), ())
     return ex.rows
+
+
+# ---------------------------------------------------------------------------
+# Minitest (pkg/parser/strategies/minitest/definition.go:159-290)
+# ---------------------------------------------------------------------------
+
+_MINITEST_SKIP_DEPTH = 10
+
+
+def _qualifies_minitest(superclass: str) -> bool:
+    """definition.go:186-191."""
+    return (
+        "Minitest::Test" in superclass
+        or "Minitest::Spec" in superclass
+        or superclass.endswith("Test")
+    )
+
+
+class _MinitestExtractor:
+    def __init__(self, toks: list[RbTok]):
+        self.toks = toks
+        self.rows: list[dict] = []
+
+    def emit(self, kind, path, name, status, line):
+        self.rows.append(
+            {
+                "kind": kind,
+                "suite_path": list(path),
+                "name": name,
+                "status": status,
+                "modifier": "",
+                "line": line,
+            }
+        )
+
+    def scan(self, lo: int, hi: int, path: tuple):
+        toks = self.toks
+        i = lo
+        while i < hi:
+            t = toks[i]
+            if t.kind == "id" and t.text == "class" and t.stmt_start:
+                j = i + 1
+                cname = toks[j].text if j < hi and toks[j].kind == "const" else ""
+                cline = t.line
+                # superclass: '<' tokens to end of line
+                k = j + 1
+                superclass = ""
+                if k < hi and toks[k].kind == "punct" and toks[k].text == "<":
+                    parts = []
+                    k += 1
+                    while k < hi and toks[k].line == t.line:
+                        parts.append(toks[k].text)
+                        k += 1
+                    superclass = "".join(parts)
+                end = _find_end(toks, i)
+                if cname and superclass and _qualifies_minitest(superclass):
+                    self.emit("suite", path, cname, STATUS_ACTIVE, cline)
+                    self.scan(k, min(end, hi), path + (cname,))
+                else:
+                    self.scan(k, min(end, hi), path)
+                i = min(end, hi) + 1
+                continue
+            if t.kind == "id" and t.text == "def" and t.stmt_start:
+                j = i + 1
+                mname = toks[j].text if j < hi and toks[j].kind == "id" else ""
+                end = _find_end(toks, i)
+                if mname.startswith("test_"):
+                    body = toks[i:min(end, hi)]
+                    skipped = any(x.kind == "id" and x.text == "skip" for x in body)
+                    self.emit(
+                        "test", path, mname,
+                        STATUS_SKIPPED if skipped else STATUS_ACTIVE, t.line,
+                    )
+                i = min(end, hi) + 1
+                continue
+            # spec DSL: describe "name" do / it "name" do
+            if t.kind == "id" and t.text in ("describe", "it"):
+                j = i + 1
+                name = ""
+                if j < hi and toks[j].kind == "str":
+                    name = _strip_quotes(toks[j].text)
+                    j += 1
+                elif j < hi and toks[j].kind == "const":
+                    parts = [toks[j].text]
+                    j += 1
+                    while (
+                        j + 1 < hi
+                        and toks[j].kind == "punct" and toks[j].text == "::"
+                        and toks[j + 1].kind == "const"
+                    ):
+                        parts.append(toks[j + 1].text)
+                        j += 2
+                    name = "::".join(parts)
+                if j < hi and toks[j].kind == "id" and toks[j].text == "do" and name:
+                    end = _find_end(toks, j)
+                    if t.text == "describe":
+                        self.emit("suite", path, name, STATUS_ACTIVE, t.line)
+                        self.scan(j + 1, min(end, hi), path + (name,))
+                    else:
+                        self.emit("test", path, name, STATUS_ACTIVE, t.line)
+                    i = min(end, hi) + 1
+                    continue
+            i += 1
+
+
+def parse_minitest_tests(source: str) -> list[dict]:
+    """Flattened Minitest inventory: Minitest::Test/Spec or *Test classes ->
+    suites, def test_* methods (runtime `skip` -> skipped), describe/it
+    spec DSL."""
+    ex = _MinitestExtractor(tokenize_ruby(source))
+    ex.scan(0, len(ex.toks), ())
+    return ex.rows
+
+
+def parse_ruby_tests(source: str) -> list[dict]:
+    """Dispatch: Minitest when its class/method conventions appear, else
+    RSpec (the reference routes via the detection cascade)."""
+    if "Minitest" in source or re.search(r"\bdef\s+test_\w", source):
+        return parse_minitest_tests(source)
+    return parse_rspec_tests(source)

@@ -46,7 +46,7 @@ def _dispatch(path: str, source: str) -> list[dict]:
     if low.endswith(".java"):
         return javatest.parse_java_tests(source, filename=path)
     if low.endswith(".rb"):
-        return rubytest.parse_rspec_tests(source)
+        return rubytest.parse_ruby_tests(source)
     if low.endswith(".cs"):
         return dotnettest.parse_csharp_tests(source)
     if low.endswith(".swift"):

@@ -138,3 +138,57 @@ def test_anonymous_it():
 def test_scope_resolution_name():
     rows = parse_rspec_tests("describe MyApp::Utils do\n  it \"works\" do\n  end\nend\n")
     assert suites(rows)[0]["name"] == "MyApp::Utils"
+
+
+# -- Minitest (minitest/definition.go:159-290) -------------------------------
+
+def test_minitest_class_methods():
+    from core_spark.functions.rubytest import parse_minitest_tests
+
+    rows = parse_minitest_tests(
+        "require 'minitest/autorun'\n\n"
+        "class UserTest < Minitest::Test\n"
+        "  def test_valid\n    assert true\n  end\n\n"
+        "  def test_skipped\n    skip 'not ready'\n    assert false\n  end\n\n"
+        "  def helper\n  end\nend\n"
+    )
+    assert [s["name"] for s in suites(rows)] == ["UserTest"]
+    got = _tests(rows, ["UserTest"])
+    assert [(t["name"], t["status"]) for t in got] == [
+        ("test_valid", "active"), ("test_skipped", "skipped"),
+    ]
+
+
+def test_minitest_superclass_filter():
+    from core_spark.functions.rubytest import parse_minitest_tests
+
+    rows = parse_minitest_tests(
+        "class Helper < Struct\n  def test_like\n  end\nend\n\n"
+        "class RealTest < ActiveSupport::Test\n  def test_real\n  end\nend\n"
+    )
+    # Struct superclass doesn't qualify -> method floats to top level;
+    # *Test suffix superclass qualifies
+    assert [s["name"] for s in suites(rows)] == ["RealTest"]
+    assert [t["name"] for t in _tests(rows, ["RealTest"])] == ["test_real"]
+
+
+def test_minitest_spec_dsl():
+    from core_spark.functions.rubytest import parse_minitest_tests
+
+    rows = parse_minitest_tests(
+        "describe 'Array' do\n"
+        "  it 'starts empty' do\n    _([]).must_be_empty\n  end\nend\n"
+    )
+    assert [s["name"] for s in suites(rows)] == ["Array"]
+    assert [t["name"] for t in _tests(rows, ["Array"])] == ["starts empty"]
+
+
+def test_ruby_dispatch():
+    from core_spark.functions.rubytest import parse_ruby_tests
+
+    mt = parse_ruby_tests(
+        "class T < Minitest::Test\n  def test_a\n  end\nend\n"
+    )
+    assert [t["name"] for t in _tests(mt, ["T"])] == ["test_a"]
+    rs = parse_ruby_tests("RSpec.describe 'S' do\n  it 'works' do\n  end\nend\n")
+    assert [t["name"] for t in _tests(rs, ["S"])] == ["works"]
