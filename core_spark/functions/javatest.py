@@ -23,6 +23,7 @@ C-family):
 from __future__ import annotations
 
 import posixpath
+import re
 
 from core_spark.functions.jstest import Tok, _match_bracket, tokenize
 
@@ -34,7 +35,7 @@ MAX_NESTED_DEPTH = 20
 
 
 def _parse_annotation(toks: list[Tok], i: int, hi: int):
-    """'@' at i -> (name, first_string_arg_raw, next_index)."""
+    """'@' at i -> ((name, first_string_arg_raw, raw_args), next_index)."""
     j = i + 1
     if j >= hi or toks[j].kind != "id":
         return None
@@ -49,8 +50,10 @@ def _parse_annotation(toks: list[Tok], i: int, hi: int):
         j += 2
     name = parts[-1]
     arg = ""
+    raw = ""
     if j < hi and toks[j].kind == "punct" and toks[j].text == "(":
         close = _match_bracket(toks, j)
+        raw = "".join(t.text for t in toks[j + 1:min(close, hi)])
         for k in range(j + 1, min(close, hi)):
             if toks[k].kind == "str":
                 text = toks[k].text
@@ -58,24 +61,45 @@ def _parse_annotation(toks: list[Tok], i: int, hi: int):
                     arg = text[1:-1]  # raw strip, no unescape (ast.go:121-125)
                 break
         j = min(close, hi) + 1
-    return name, arg, j
+    return (name, arg, raw), j
+
+
+TESTNG_CONFIG_ANNOTATIONS = {
+    "BeforeMethod", "AfterMethod", "BeforeClass", "AfterClass",
+    "BeforeSuite", "AfterSuite", "BeforeTest", "AfterTest",
+    "BeforeGroups", "AfterGroups", "DataProvider", "Factory",
+}
+
+_ENABLED_FALSE = re.compile(r"enabled\s*=\s*false")
+_TESTNG_DESC = re.compile(r'description\s*=\s*"([^"]*)"')
 
 
 class _JavaExtractor:
-    def __init__(self, toks: list[Tok]):
+    def __init__(self, toks: list[Tok], dialect: str = "junit"):
         self.toks = toks
+        self.dialect = dialect
         self.rows: list[dict] = []
 
-    def _method_row(self, anns, name, line, class_status, class_modifier):
-        """parseTestMethod (definition.go:213-265)."""
+    def _method_row(self, anns, name, line, class_status, class_modifier,
+                    mods=(), class_has_test=False, cname=""):
+        """parseTestMethod (junit5/definition.go:213-265; junit4 adds @Ignore;
+        testng delegates to _method_row_testng)."""
+        if self.dialect == "testng":
+            return self._method_row_testng(
+                anns, name, line, class_status, class_modifier,
+                mods, class_has_test, cname,
+            )
         is_test = False
         display = ""
         status, modifier = class_status, class_modifier
-        for a_name, a_arg in anns:
+        for a_name, a_arg, _raw in anns:
             if a_name in TEST_ANNOTATIONS:
                 is_test = True
             elif a_name == "Disabled":
                 status, modifier = STATUS_SKIPPED, "@Disabled"
+            elif a_name == "Ignore":
+                # JUnit4 (junit4/definition.go:193-195)
+                status, modifier = STATUS_SKIPPED, "@Ignore"
             elif a_name == "DisplayName":
                 display = a_arg
             elif a_name.endswith("Test"):
@@ -89,7 +113,36 @@ class _JavaExtractor:
             "line": line,
         }
 
-    def parse_class_body(self, lo, hi, path, class_status, class_modifier, depth):
+    def _method_row_testng(self, anns, name, line, class_status, class_modifier,
+                           mods, class_has_test, cname):
+        """TestNG (testng/definition.go:235-287): class-level @Test makes
+        PUBLIC methods tests except config-annotated ones; enabled=false ->
+        skipped; description= renames."""
+        has_method_test = False
+        description = ""
+        status, modifier = class_status, class_modifier
+        for a_name, _arg, raw in anns:
+            if a_name in TESTNG_CONFIG_ANNOTATIONS:
+                return None
+            if a_name == "Test":
+                has_method_test = True
+                if _ENABLED_FALSE.search(raw):
+                    status, modifier = STATUS_SKIPPED, "@Test(enabled=false)"
+                m = _TESTNG_DESC.search(raw)
+                if m:
+                    description = m.group(1)
+        is_test = has_method_test or (class_has_test and "public" in mods)
+        if not is_test or not name or name == cname:
+            return None
+        return {
+            "name": description if description else name,
+            "status": status,
+            "modifier": modifier,
+            "line": line,
+        }
+
+    def parse_class_body(self, lo, hi, path, class_status, class_modifier, depth,
+                         class_has_test=False, cname=""):
         """Scan a class body for annotated methods and @Nested classes.
         Returns (tests, emitted_nested_suite_names) as flat rows appended
         to self.rows by the CALLER (so empty suites can be dropped)."""
@@ -103,8 +156,8 @@ class _JavaExtractor:
             if t.kind == "punct" and t.text == "@":
                 got = _parse_annotation(toks, i, hi)
                 if got:
-                    pending.append((got[0], got[1]))
-                    i = got[2]
+                    pending.append(got[0])
+                    i = got[1]
                     continue
                 i += 1
                 continue
@@ -112,20 +165,24 @@ class _JavaExtractor:
                 anns = pending
                 pending = []
                 j = i + 1
-                cname = toks[j].text if j < hi and toks[j].kind == "id" else ""
+                ncname = toks[j].text if j < hi and toks[j].kind == "id" else ""
                 cline = t.line
                 while j < hi and not (toks[j].kind == "punct" and toks[j].text == "{"):
                     j += 1
                 if j >= hi:
                     break
                 close = _match_bracket(toks, j)
-                if any(a[0] == "Nested" for a in anns) and depth < MAX_NESTED_DEPTH and cname:
+                nested_ok = (
+                    self.dialect == "testng"  # TestNG recurses into ALL nested
+                    or any(a[0] == "Nested" for a in anns)
+                )
+                if nested_ok and depth < MAX_NESTED_DEPTH and ncname:
                     n_status, n_modifier = STATUS_ACTIVE, ""
                     if any(a[0] == "Disabled" for a in anns):
                         n_status, n_modifier = STATUS_SKIPPED, "@Disabled"
                     sub = self._parse_class(
-                        cname, cline, j + 1, min(close, hi),
-                        path, n_status, n_modifier, depth + 1,
+                        ncname, cline, j + 1, min(close, hi),
+                        path, n_status, n_modifier, depth + 1, class_anns=anns,
                     )
                     nested_rows.extend(sub)
                 i = min(close, hi) + 1
@@ -153,8 +210,14 @@ class _JavaExtractor:
                     j = min(body_close, hi) + 1
                 else:
                     j = j + 1
+                mods = []
+                k = i - 1
+                while k >= 0 and toks[k].kind == "id":
+                    mods.append(toks[k].text)
+                    k -= 1
                 row = self._method_row(
-                    anns, name, line, class_status, class_modifier
+                    anns, name, line, class_status, class_modifier,
+                    mods=mods, class_has_test=class_has_test, cname=cname,
                 )
                 if row is not None:
                     tests.append(row)
@@ -165,12 +228,21 @@ class _JavaExtractor:
             i += 1
         return tests, nested_rows
 
-    def _parse_class(self, name, line, lo, hi, path, status, modifier, depth):
+    def _parse_class(self, name, line, lo, hi, path, status, modifier, depth,
+                     class_anns=()):
         """parseTestClassWithDepth: returns the flat rows for this class
         (suite row + tests + nested), or [] if it holds nothing."""
+        class_has_test = False
+        if self.dialect == "testng":
+            for a_name, _arg, raw in class_anns:
+                if a_name == "Test":
+                    class_has_test = True
+                    if _ENABLED_FALSE.search(raw):
+                        status, modifier = STATUS_SKIPPED, "@Test(enabled=false)"
         child_path = path + (name,)
         tests, nested_rows = self.parse_class_body(
-            lo, hi, child_path, status, modifier, depth
+            lo, hi, child_path, status, modifier, depth,
+            class_has_test=class_has_test, cname=name,
         )
         if not tests and not nested_rows:
             return []
@@ -200,10 +272,14 @@ class _JavaExtractor:
 
 
 def parse_java_tests(source: str, filename: str = "Test.java") -> list[dict]:
-    """Flattened inventory rows (same model as jstest.parse_js_tests)."""
+    """Flattened inventory rows (same model as jstest.parse_js_tests).
+    Dialect: TestNG when org.testng appears (the reference routes via the
+    priority registry — TestNG outranks JUnit5 on the shared @Test), else
+    the JUnit5/JUnit4 annotation path."""
+    dialect = "testng" if "org.testng" in source else "junit"
     toks = tokenize(source)
     n = len(toks)
-    ex = _JavaExtractor(toks)
+    ex = _JavaExtractor(toks, dialect=dialect)
     rows: list[dict] = []
     implicit: list[dict] = []
     pending: list[tuple[str, str]] = []
@@ -213,8 +289,8 @@ def parse_java_tests(source: str, filename: str = "Test.java") -> list[dict]:
         if t.kind == "punct" and t.text == "@":
             got = _parse_annotation(toks, i, n)
             if got:
-                pending.append((got[0], got[1]))
-                i = got[2]
+                pending.append(got[0])
+                i = got[1]
                 continue
             i += 1
             continue
@@ -234,7 +310,8 @@ def parse_java_tests(source: str, filename: str = "Test.java") -> list[dict]:
                 status, modifier = STATUS_SKIPPED, "@Disabled"
             if cname:
                 rows.extend(
-                    ex._parse_class(cname, cline, j + 1, close, (), status, modifier, 0)
+                    ex._parse_class(cname, cline, j + 1, close, (), status,
+                                    modifier, 0, class_anns=anns)
                 )
             i = close + 1
             continue

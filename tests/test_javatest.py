@@ -140,3 +140,59 @@ def test_implicit_class_java21():
     )
     assert [s["name"] for s in suites(rows)] == ["ImplicitTest"]
     assert [t["name"] for t in _tests(rows, ["ImplicitTest"])] == ["topLevel"]
+
+
+# -- TestNG (testng/definition.go:183-287) + JUnit4 @Ignore ------------------
+
+def test_junit4_ignore():
+    rows = parse_java_tests(
+        "class T {\n    @Test\n    @Ignore(\"flaky\")\n    void old() {}\n}\n"
+    )
+    got = _tests(rows, ["T"])
+    assert [(t["name"], t["status"], t["modifier"]) for t in got] == [
+        ("old", "skipped", "@Ignore"),
+    ]
+
+
+TESTNG_HEADER = "import org.testng.annotations.Test;\n\n"
+
+
+def test_testng_class_level_test():
+    rows = parse_java_tests(
+        TESTNG_HEADER
+        + "@Test\npublic class AccountTests {\n"
+        "    public void verifyBalance() {}\n"
+        "    public void verifyTransfer() {}\n"
+        "    private void helper() {}\n"
+        "    @BeforeMethod\n    public void setUp() {}\n}\n"
+    )
+    got = _tests(rows, ["AccountTests"])
+    assert [t["name"] for t in got] == ["verifyBalance", "verifyTransfer"]
+
+
+def test_testng_enabled_false():
+    rows = parse_java_tests(
+        TESTNG_HEADER
+        + "public class T {\n"
+        "    @Test\n    public void active() {}\n"
+        "    @Test(enabled = false)\n    public void disabled() {}\n"
+        "    @Test(description = \"transfers money\")\n    public void named() {}\n}\n"
+    )
+    got = _tests(rows, ["T"])
+    assert [(t["name"], t["status"]) for t in got] == [
+        ("active", "active"),
+        ("disabled", "skipped"),
+        ("transfers money", "active"),
+    ]
+    assert got[1]["modifier"] == "@Test(enabled=false)"
+
+
+def test_testng_class_enabled_false_inherited():
+    rows = parse_java_tests(
+        TESTNG_HEADER
+        + "@Test(enabled = false)\npublic class T {\n"
+        "    public void a() {}\n}\n"
+    )
+    s = suites(rows)[0]
+    assert s["status"] == "skipped"
+    assert _tests(rows, ["T"])[0]["status"] == "skipped"
