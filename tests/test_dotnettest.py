@@ -180,3 +180,54 @@ def test_expression_bodied_members_skipped_over():
         dialect="nunit",
     )
     assert [t["name"] for t in _tests(rows, ["T"])] == ["Real"]
+
+
+# -- preprocessor-directive tolerance (ADR core/15; xunit fixtures) ----------
+
+def test_preprocessor_wrapping_nested_class():
+    rows = parse_csharp_tests(
+        "using Xunit;\n\npublic class Specs\n{\n"
+        "#if NET6_0_OR_GREATER\n"
+        "    public class NonGeneric\n    {\n"
+        "        [Fact]\n        public void Test1() { }\n\n"
+        "        [Fact]\n        public void Test2() { }\n    }\n"
+        "#endif\n\n"
+        "    public class Generic\n    {\n"
+        "        [Fact]\n        public void Test3() { }\n    }\n}\n",
+        dialect="xunit",
+    )
+    assert [s["name"] for s in suites(rows)] == ["Specs"]
+    assert [s["name"] for s in suites(rows, ["Specs"])] == ["NonGeneric", "Generic"]
+    assert len(_tests(rows, ["Specs", "NonGeneric"])) == 2
+    assert len(_tests(rows, ["Specs", "Generic"])) == 1
+
+
+def test_preprocessor_wrapping_methods():
+    rows = parse_csharp_tests(
+        "using Xunit;\n\npublic class Specs\n{\n"
+        "    [Fact]\n    public void CommonTest1() { }\n\n"
+        "#if NET6_0_OR_GREATER\n"
+        "    [Fact]\n    public void Net6Test1() { }\n\n"
+        "    [Fact]\n    public void Net6Test2() { }\n"
+        "#endif\n\n"
+        "    [Fact]\n    public void CommonTest2() { }\n}\n",
+        dialect="xunit",
+    )
+    assert [t["name"] for t in _tests(rows, ["Specs"])] == [
+        "CommonTest1", "Net6Test1", "Net6Test2", "CommonTest2",
+    ]
+
+
+def test_preprocessor_if_else_both_counted():
+    rows = parse_csharp_tests(
+        "using Xunit;\n\npublic class ConditionalTests\n{\n"
+        "#if NETFRAMEWORK\n"
+        "    [Fact]\n    public void FrameworkOnlyTest() { }\n"
+        "#else\n"
+        "    [Fact]\n    public void CoreOnlyTest() { }\n"
+        "#endif\n}\n",
+        dialect="xunit",
+    )
+    assert [t["name"] for t in _tests(rows, ["ConditionalTests"])] == [
+        "FrameworkOnlyTest", "CoreOnlyTest",
+    ]
