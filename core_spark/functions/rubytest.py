@@ -310,7 +310,6 @@ def parse_rspec_tests(source: str) -> list[dict]:
 # Minitest (pkg/parser/strategies/minitest/definition.go:159-290)
 # ---------------------------------------------------------------------------
 
-_MINITEST_SKIP_DEPTH = 10
 
 
 def _qualifies_minitest(superclass: str) -> bool:
