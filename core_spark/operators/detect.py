@@ -129,18 +129,27 @@ def _veto_cond(F, text_col: str, path_col: str, d: Definition):
 
 
 def detect(df, registry: list[Definition], path_col: str = "url",
-           text_col: str = "text", imports_col_name: str | None = None):
+           text_col: str = "text", imports_col_name: str | None = None,
+           lang_col_name: str | None = None):
     """Append (framework, detect_source, confidence) via the full cascade.
 
     Early-return is encoded by ONE when-chain whose arm order is:
     every import arm (priority order), then every strong-filename arm, then
     every content arm — first true arm wins, exactly detector.go:42-78.
-    Negative patterns guard their definition's arms (D8).
+    Negative patterns guard their definition's arms (D8). When
+    ``lang_col_name`` is given, definitions with a language list only
+    compete for matching rows (registry.go FindByLanguage — minitest's
+    `def test_*` must never beat pytest's on a Python file).
     """
     from pyspark.sql import functions as F
 
     defs = sort_registry(registry)
     arms: list[tuple] = []  # (cond, name, source, confidence)
+
+    def lang_guard(d, cond):
+        if lang_col_name and d.languages:
+            return cond & F.col(lang_col_name).isin(*d.languages)
+        return cond
 
     for d in defs:
         veto = _veto_cond(F, text_col, path_col, d)
@@ -157,14 +166,14 @@ def detect(df, registry: list[Definition], path_col: str = "url",
                 cond = c if cond is None else (cond | c)
             if veto is not None:
                 cond = cond & ~veto
-            arms.append((cond, d.name, "import", 90))
+            arms.append((lang_guard(d, cond), d.name, "import", 90))
     for d in defs:
         veto = _veto_cond(F, text_col, path_col, d)
         for p in d.filename_patterns:
             cond = F.col(path_col).rlike(p)
             if veto is not None:
                 cond = cond & ~veto
-            arms.append((cond, d.name, "strong-filename", 100))
+            arms.append((lang_guard(d, cond), d.name, "strong-filename", 100))
     for d in defs:
         veto = _veto_cond(F, text_col, path_col, d)
         cond = _content_cond(F, text_col, d)
@@ -172,7 +181,7 @@ def detect(df, registry: list[Definition], path_col: str = "url",
             continue
         if veto is not None:
             cond = cond & ~veto
-        arms.append((cond, d.name, "content-pattern", 40))
+        arms.append((lang_guard(d, cond), d.name, "content-pattern", 40))
 
     fw = F.lit(None).cast("string")
     src = F.lit("unknown")
@@ -236,3 +245,171 @@ def confidence_dist(df):
     from pyspark.sql import functions as F
 
     return df.groupBy("detect_source").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# The real framework registry (D6/D7): all 23 strategies with the
+# reference's actual import/filename/content patterns (each strategy's
+# NewDefinition + content matcher battery; representative subset per
+# framework, Java-regex-safe). Priorities mirror framework/constants.go:
+# Specialized=200 (vitest, rspec, swift-testing, testng) > E2E=150
+# (cypress, playwright) > Generic=100.
+# ---------------------------------------------------------------------------
+
+def default_registry() -> list[Definition]:
+    return [
+        # -- JS/TS ----------------------------------------------------------
+        Definition(
+            name="vitest", priority=PRIORITY_SPECIALIZED,
+            languages=("javascript", "typescript"),
+            import_patterns=("vitest", "vitest/"),
+            content_patterns=(r"\bvi\.fn\s*\(", r"\bvi\.mock\s*\(",
+                              r"import\s*\{[^}]*\}\s*from\s*['\"]vitest['\"]"),
+        ),
+        Definition(
+            name="jest", priority=PRIORITY_GENERIC,
+            languages=("javascript", "typescript"),
+            import_patterns=("@jest/globals", "@jest/", "jest"),
+            content_patterns=(r"\bjest\.fn\s*\(", r"\bjest\.mock\s*\(",
+                              r"\bjest\.spyOn\s*\(", r"\bjest\.clearAllMocks\s*\("),
+        ),
+        Definition(
+            name="playwright", priority=PRIORITY_E2E,
+            languages=("javascript", "typescript"),
+            import_patterns=("@playwright/test", "@playwright/test/"),
+            content_patterns=(r"\btest\.describe\s*\(", r"\bpage\.goto\s*\(",
+                              r"\bexpect\s*\(\s*page\s*[\).]"),
+        ),
+        Definition(
+            name="cypress", priority=PRIORITY_E2E,
+            languages=("javascript", "typescript"),
+            import_patterns=("cypress", "cypress/"),
+            filename_patterns=(r"\.cy\.(js|ts|jsx|tsx)$",),
+            content_patterns=(r"\bcy\.visit\s*\(", r"\bcy\.get\s*\(",
+                              r"\bcy\.intercept\s*\("),
+        ),
+        Definition(
+            name="mocha", priority=PRIORITY_GENERIC,
+            languages=("javascript", "typescript"),
+            import_patterns=("mocha", "mocha/"),
+            content_patterns=(r"\bthis\.timeout\s*\(", r"\bthis\.retries\s*\(",
+                              r"\bmocha\.setup\s*\("),
+        ),
+        # -- Python ---------------------------------------------------------
+        Definition(
+            name="pytest", priority=PRIORITY_GENERIC, languages=("python",),
+            import_patterns=("pytest",),
+            content_patterns=(r"@pytest\.mark\.\w+", r"@pytest\.fixture",
+                              r"pytest\.raises\s*\(", r"pytest\.param\s*\("),
+        ),
+        Definition(
+            name="unittest", priority=PRIORITY_GENERIC, languages=("python",),
+            import_patterns=("unittest",),
+            content_patterns=(r"unittest\.TestCase", r"self\.assertEqual\s*\(",
+                              r"@unittest\.skip"),
+        ),
+        # -- Go / Rust / C++ ------------------------------------------------
+        Definition(
+            name="go-testing", priority=PRIORITY_GENERIC, languages=("go",),
+            import_patterns=("testing",),
+            filename_patterns=(r"_test\.go$",),
+            content_patterns=(r"func\s+Test[A-Z_]\w*\s*\(t\s+\*testing\.T\)",
+                              r"\bt\.Run\s*\("),
+        ),
+        Definition(
+            name="cargo-test", priority=PRIORITY_GENERIC, languages=("rust",),
+            content_patterns=(r"#\[test\]", r"#\[cfg\(test\)\]",
+                              r"#\[should_panic", r"\w*test\w*!\s*\("),
+        ),
+        Definition(
+            name="gtest", priority=PRIORITY_GENERIC, languages=("cpp",),
+            import_patterns=("gtest/gtest.h",),
+            content_patterns=(r"#include\s*<gtest/gtest\.h>", r"\bTEST\s*\(",
+                              r"\bTEST_F\s*\(", r"\bTEST_P\s*\(",
+                              r"::testing::Test"),
+        ),
+        # -- JVM ------------------------------------------------------------
+        Definition(
+            name="testng", priority=PRIORITY_SPECIALIZED, languages=("java",),
+            import_patterns=("org.testng.annotations.Test", "org.testng.annotations.",
+                             "org.testng."),
+            content_patterns=(r"import\s+org\.testng", r"@Test\s*\([^)]*enabled\s*=",
+                              r"@DataProvider"),
+        ),
+        Definition(
+            name="junit5", priority=PRIORITY_GENERIC, languages=("java", "kotlin"),
+            import_patterns=("org.junit.jupiter.api.Test", "org.junit.jupiter.api.",
+                             "org.junit.jupiter.params."),
+            content_patterns=(r"@ParameterizedTest", r"@RepeatedTest",
+                              r"@TestFactory", r"@Nested",
+                              r"org\.junit\.jupiter"),
+        ),
+        Definition(
+            name="junit4", priority=PRIORITY_GENERIC, languages=("java",),
+            import_patterns=("org.junit.Test", "org.junit.Before", "org.junit.After",
+                             "org.junit.Ignore"),
+            content_patterns=(r"import\s+org\.junit\.Test\s*;", r"@BeforeClass",
+                              r"@RunWith"),
+        ),
+        Definition(
+            name="kotest", priority=PRIORITY_GENERIC, languages=("kotlin",),
+            import_patterns=("io.kotest.core", "io.kotest.core.spec",
+                             "io.kotest.core.spec.style"),
+            content_patterns=(r":\s*FunSpec\s*\(", r":\s*StringSpec\s*\(",
+                              r":\s*BehaviorSpec\s*\(", r":\s*DescribeSpec\s*\(",
+                              r":\s*WordSpec\s*\(", r":\s*FreeSpec\s*\("),
+        ),
+        # -- .NET -----------------------------------------------------------
+        Definition(
+            name="nunit", priority=PRIORITY_GENERIC, languages=("csharp",),
+            import_patterns=("NUnit.Framework",),
+            content_patterns=(r"\[TestFixture\]", r"\[TestCase\(",
+                              r"using\s+NUnit\.Framework\s*;"),
+        ),
+        Definition(
+            name="xunit", priority=PRIORITY_GENERIC, languages=("csharp",),
+            import_patterns=("Xunit",),
+            content_patterns=(r"\[Fact\]", r"\[Theory\]", r"\[InlineData\(",
+                              r"using\s+Xunit\s*;"),
+        ),
+        Definition(
+            name="mstest", priority=PRIORITY_GENERIC, languages=("csharp",),
+            import_patterns=("Microsoft.VisualStudio.TestTools.UnitTesting",),
+            content_patterns=(r"\[TestMethod\]", r"\[TestClass\]",
+                              r"\[DataTestMethod\]",
+                              r"using\s+Microsoft\.VisualStudio\.TestTools\.UnitTesting\s*;"),
+        ),
+        # -- Ruby -----------------------------------------------------------
+        Definition(
+            name="rspec", priority=PRIORITY_SPECIALIZED, languages=("ruby",),
+            import_patterns=("rspec", "rspec/"),
+            filename_patterns=(r"_spec\.rb$",),
+            content_patterns=(r"RSpec\.describe\b", r"RSpec\.configure\b",
+                              r"\bshared_examples\b"),
+        ),
+        Definition(
+            name="minitest", priority=PRIORITY_GENERIC, languages=("ruby",),
+            import_patterns=("minitest", "minitest/"),
+            content_patterns=(r"Minitest::Test", r"\bdef\s+test_\w+",
+                              r"\bmust_equal\b"),
+        ),
+        # -- PHP / Swift ----------------------------------------------------
+        Definition(
+            name="phpunit", priority=PRIORITY_GENERIC, languages=("php",),
+            import_patterns=("PHPUnit\\Framework\\TestCase",),
+            content_patterns=(r"extends\s+TestCase", r"#\[Test\]",
+                              r"\$this->assert\w+\("),
+        ),
+        Definition(
+            name="swift-testing", priority=PRIORITY_SPECIALIZED, languages=("swift",),
+            import_patterns=("import Testing",),
+            content_patterns=(r"#expect\(", r"#require\(", r"import\s+Testing",
+                              r"@Suite\b"),
+        ),
+        Definition(
+            name="xctest", priority=PRIORITY_GENERIC, languages=("swift",),
+            content_patterns=(r"class\s+\w+\s*:\s*XCTestCase",
+                              r"\bfunc\s+test[A-Z]\w*\s*\(", r"\bXCTAssert",
+                              r"\bXCTSkip\b"),
+        ),
+    ]
