@@ -840,6 +840,72 @@ def _sql_domain_hints_oracle() -> str:
     return " UNION ALL ".join(arms)
 
 
+# (framework, language, source snippet) arms for the registry-cascade
+# query; <<I>> keeps snippets unique per doc
+_DETECT_ARMS = [
+    ("jest", "javascript",
+     "const a<<I>> = jest.fn(); jest.mock('./m'); test('x', () => {});"),
+    ("vitest", "javascript",
+     "import { vi } from 'vitest'\nvi.fn(); jest.fn(); // <<I>>"),
+    ("pytest", "python",
+     "@pytest.mark.skip\ndef test_x<<I>>():\n    pass"),
+    ("go-testing", "go",
+     "func TestX<<I>>(t *testing.T) {\n\tt.Run(\"s\", nil)\n}"),
+    ("testng", "java",
+     "import org.testng.annotations.Test;\n@Test\npublic void a<<I>>() {}"),
+    ("kotest", "kotlin",
+     "class T<<I>> : FunSpec({ test(\"a\") {} })"),
+    ("rspec", "ruby",
+     "RSpec.describe 'x<<I>>' do\nend"),
+    ("xctest", "swift",
+     "class T<<I>>: XCTestCase {\n    func testA() { XCTAssertEqual(1, 1) }\n}"),
+]
+
+
+def q_framework_detect(spark, sf_dir):
+    """D6/D7 over the REAL registry: per-framework snippets generated from
+    doc_id run the full priority cascade (incl. the TestNG-over-JUnit5
+    collision via import arms and language filtering); the oracle emits the
+    expected framework from the generation rules."""
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.detect import default_registry, detect
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    idstr = F.col("doc_id").cast("string")
+    text = F.lit(None).cast("string")
+    lang = F.lit(None).cast("string")
+    for k, (_fw, lg, tpl) in enumerate(_DETECT_ARMS):
+        cond = F.col("doc_id") % len(_DETECT_ARMS) == k
+        text = F.when(cond, F.replace(F.lit(tpl), F.lit("<<I>>"), idstr)).otherwise(text)
+        lang = F.when(cond, F.lit(lg)).otherwise(lang)
+    gen = docs.select("doc_id", text.alias("text"), lang.alias("lang"),
+                      idstr.alias("url"))
+    out = detect(gen, default_registry(), path_col="url", text_col="text",
+                 lang_col_name="lang")
+    return out.select("doc_id", "framework", "detect_source")
+
+
+def _sql_framework_detect_oracle() -> str:
+    n = len(_DETECT_ARMS)
+    # detect_source per arm: testng/go-testing/pytest/vitest/kotest/rspec
+    # hit via content or import arms; every arm here fires its content
+    # battery except testng (import list isn't populated in this query, so
+    # testng matches via its import-looking CONTENT pattern)
+    sources = {
+        "jest": "content-pattern", "vitest": "content-pattern",
+        "pytest": "content-pattern", "go-testing": "content-pattern",
+        "testng": "content-pattern", "kotest": "content-pattern",
+        "rspec": "content-pattern", "xctest": "content-pattern",
+    }
+    arms = [
+        f"SELECT doc_id, '{fw}' AS framework, '{sources[fw]}' AS detect_source"
+        f" FROM documents WHERE doc_id % {n} = {k}"
+        for k, (fw, _lg, _tpl) in enumerate(_DETECT_ARMS)
+    ]
+    return " UNION ALL ".join(arms)
+
+
 def q_outline(spark, sf_dir):
     """P6-analog/A1: heading-tree inventory counts. Heading-rich html is
     synthesized deterministically per doc_id, so the oracle emits the
@@ -973,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_hints": q_domain_hints,
         "native_inventory": q_native_inventory,
         "managed_inventory": q_managed_inventory,
+        "framework_detect": q_framework_detect,
     }
 
 
@@ -1047,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_hints": _sql_domain_hints_oracle(),
         "native_inventory": _sql_native_inventory_oracle(),
         "managed_inventory": _sql_managed_inventory_oracle(),
+        "framework_detect": _sql_framework_detect_oracle(),
         "dedup_cluster": dd.sql_dedup_cluster(
             "documents", k=3, n_perm=8, bands=4, threshold=0.5
         ),
