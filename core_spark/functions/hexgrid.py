@@ -243,10 +243,19 @@ def cell_to_boundary(cell: int) -> list[tuple[float, float]]:
 # ---------------------------------------------------------------------------
 
 def _lit(x: float) -> str:
-    """Parenthesized repr of a double: round-trips exactly in both Spark SQL
-    and DuckDB. Parens are load-bearing: a negative literal after a ``-``
-    would otherwise emit ``--`` — a SQL line comment."""
-    return f"({float(x)!r})"
+    """Parenthesized DOUBLE literal in EXPONENT form: bit-exact round-trip
+    in both Spark SQL and DuckDB.
+
+    Two rules are load-bearing: (a) parens keep a negative literal after
+    ``-`` from emitting ``--`` (a SQL line comment); (b) the ``e``-notation
+    is what forces BOTH engines to lex the literal directly as DOUBLE —
+    a bare decimal like ``0.9089479456629677`` is lexed as DECIMAL and the
+    decimal->double conversion can land one ulp off the nearest double
+    (DuckDB does exactly that for this value), which made the generated SQL
+    diverge from the numpy kernel at cell-boundary points (hypothesis
+    found lat=0.5, lon=2.2e-16, res=6). ``%.17e`` round-trips every finite
+    double on both engines (verified over random bit patterns)."""
+    return f"(CAST({float(x):.17e} AS DOUBLE))"
 
 
 def sql_cell(lat_sql: str, lon_sql: str, res: int) -> str:
