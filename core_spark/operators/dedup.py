@@ -68,6 +68,13 @@ GROUP BY {duck_fingerprint(text_col)}
 # Word shingles (shared by ngram + minhash)
 # ---------------------------------------------------------------------------
 
+
+def _flit(x: float) -> str:
+    """Exponent-form DOUBLE literal — lexed directly as DOUBLE by both
+    engines (bare decimals are lexed as DECIMAL and DuckDB's
+    decimal->double conversion can be 1 ulp off; see hexgrid._lit)."""
+    return f"CAST({float(x):.17e} AS DOUBLE)"
+
 def spark_shingles(text_col: str, k: int) -> str:
     """Spark expr: array of word k-gram strings (distinct, order-free).
 
@@ -237,15 +244,15 @@ prefix AS (
            ROW_NUMBER() OVER (PARTITION BY sh.{id_col}
                               ORDER BY df_ ASC, sh.h ASC) AS p
     FROM sh JOIN dfreq USING (h)
-  ) WHERE p <= sz - CEIL({threshold!r} * sz) + 1
+  ) WHERE p <= sz - CEIL({_flit(threshold)} * sz) + 1
 ),
 cand AS (
   SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
   FROM prefix a JOIN prefix b
     ON a.h = b.h AND a.{id_col} < b.{id_col}
-   AND b.sz >= {threshold!r} * a.sz AND a.sz >= {threshold!r} * b.sz
+   AND b.sz >= {_flit(threshold)} * a.sz AND a.sz >= {_flit(threshold)} * b.sz
    AND 1 + LEAST(a.sz - a.p, b.sz - b.p)
-       >= CEIL({threshold!r} / (1.0 + {threshold!r}) * (a.sz + b.sz))
+       >= CEIL({_flit(threshold)} / (1.0 + {_flit(threshold)}) * (a.sz + b.sz))
 )
 SELECT id_a, id_b,
        len(list_intersect(sa.shs, sb.shs))
@@ -254,7 +261,7 @@ FROM cand
 JOIN sets sa ON sa.{id_col} = id_a
 JOIN sets sb ON sb.{id_col} = id_b
 WHERE len(list_intersect(sa.shs, sb.shs))
-        / len(list_distinct(list_concat(sa.shs, sb.shs))) >= {threshold!r}
+        / len(list_distinct(list_concat(sa.shs, sb.shs))) >= {_flit(threshold)}
 """
 
 
@@ -505,7 +512,7 @@ pairs AS (
   SELECT id_a, id_b FROM cand
   JOIN sets sa ON sa.{id_col} = id_a
   JOIN sets sb ON sb.{id_col} = id_b
-  WHERE {jac} >= {threshold!r}
+  WHERE {jac} >= {_flit(threshold)}
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
