@@ -906,6 +906,55 @@ def _sql_framework_detect_oracle() -> str:
     return " UNION ALL ".join(arms)
 
 
+_PATH_ARMS = [
+    "concat('pkg/mod', CAST(doc_id AS STRING), '_test.go')",
+    "concat('pkg/mod', CAST(doc_id AS STRING), '.go')",
+    "concat('src/app', CAST(doc_id AS STRING), '.test.ts')",
+    "concat('src/__fixtures__/f', CAST(doc_id AS STRING), '.ts')",
+    "concat('src/main/java/Big', CAST(doc_id AS STRING), 'Test.java')",
+    "concat('src/test/java/Big', CAST(doc_id AS STRING), 'Test.java')",
+    "concat('tests/test_mod', CAST(doc_id AS STRING), '.py')",
+    "concat('spec/models/m', CAST(doc_id AS STRING), '_spec.rb')",
+    "concat('spec/support/h', CAST(doc_id AS STRING), '.rb')",
+    "concat('crates/c', CAST(doc_id AS STRING), '/src/lib.rs')",
+    "concat('bench/geo', CAST(doc_id AS STRING), '_test.cc')",
+    "concat('docs/readme', CAST(doc_id AS STRING), '.md')",
+]
+
+
+def _path_gen_sql() -> str:
+    """Deterministic per-doc path — SAME CASE expression on both engines."""
+    cases = " ".join(
+        f"WHEN doc_id % {len(_PATH_ARMS)} = {k} THEN {arm}"
+        for k, arm in enumerate(_PATH_ARMS)
+    )
+    return f"(CASE {cases} END)"
+
+
+def q_test_file_filter(spark, sf_dir):
+    """F1: the 11-language candidate-file predicate over generated paths.
+    The ORACLE runs the IDENTICAL generated SQL in DuckDB (portable
+    POSITION/LEFT/RIGHT/LOWER string ops) — exact cross-engine parity of
+    the scan-level pushdown predicate."""
+    from core_spark.sources.ingest import sql_test_file_candidate
+
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"{_path_gen_sql()} AS path",
+        f"{sql_test_file_candidate(_path_gen_sql())} AS is_candidate",
+    )
+
+
+def _sql_test_file_filter_oracle() -> str:
+    from core_spark.sources.ingest import sql_test_file_candidate
+
+    return (
+        f"SELECT doc_id, {_path_gen_sql()} AS path, "
+        f"{sql_test_file_candidate(_path_gen_sql())} AS is_candidate "
+        f"FROM documents"
+    )
+
+
 def q_outline(spark, sf_dir):
     """P6-analog/A1: heading-tree inventory counts. Heading-rich html is
     synthesized deterministically per doc_id, so the oracle emits the
@@ -1040,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "native_inventory": q_native_inventory,
         "managed_inventory": q_managed_inventory,
         "framework_detect": q_framework_detect,
+        "test_file_filter": q_test_file_filter,
     }
 
 
@@ -1115,6 +1165,7 @@ def oracle_sql() -> dict[str, str]:
         "native_inventory": _sql_native_inventory_oracle(),
         "managed_inventory": _sql_managed_inventory_oracle(),
         "framework_detect": _sql_framework_detect_oracle(),
+        "test_file_filter": _sql_test_file_filter_oracle(),
         "dedup_cluster": dd.sql_dedup_cluster(
             "documents", k=3, n_perm=8, bands=4, threshold=0.5
         ),

@@ -150,3 +150,56 @@ class TestGitIngest:
         with pytest.raises(GitIngestError) as ei:
             git_ingest(spark, url, str(tmp_path / "c2"))
         assert "sekrit" not in str(ei.value)
+
+
+class TestCandidatePredicate:
+    """F1 — the 11-language test-file candidate predicate as one portable
+    SQL boolean (scanner.go:664-951); same string runs on Spark and DuckDB."""
+
+    CASES = [
+        ("pkg/parser_test.go", True), ("pkg/parser.go", False),
+        ("src/app.test.ts", True), ("src/app.ts", False),
+        ("src/__tests__/x.ts", True), ("a/__fixtures__/x.ts", False),
+        ("src/__fixtures__/x.test.ts", True),
+        ("a/cypress/e2e/x.js", True), ("e2e/login.setup.ts", True),
+        ("src/main/java/FooTest.java", False), ("src/test/java/FooTest.java", True),
+        ("x/CalculatorTest.java", True), ("x/Calculator.java", False),
+        ("tests/test_core.py", True), ("pkg/conftest.py", False),
+        ("tests/util.py", True), ("a/helper.py", False),
+        ("spec/models/user_spec.rb", True), ("spec/support/helper.rb", False),
+        ("src/lib.rs", True), ("docs/x.rs", False),
+        ("geo_test.cc", True), ("contest.cc", False), ("DatabaseTest.cc", True),
+        ("x/WebTest.php", True), ("Tests/CaseTests.swift", True),
+        ("Sources/x.swift", False), ("x/ThingSpec.kt", True),
+        ("x/SpecThing.kt", False), ("X.Tests/Foo.cs", True),
+        ("x/readme.md", False), ("crates/core/src/lib.rs", True),
+    ]
+
+    def test_spark_matches_duckdb_and_expectations(self, spark):
+        import duckdb
+
+        from core_spark.sources.ingest import sql_test_file_candidate
+
+        sql = sql_test_file_candidate("p")
+        df = spark.createDataFrame([(p,) for p, _ in self.CASES], "p string")
+        from pyspark.sql import functions as F
+
+        got_spark = {
+            r["p"]: bool(r["ok"])
+            for r in df.withColumn("ok", F.expr(sql)).collect()
+        }
+        for path, want in self.CASES:
+            assert got_spark[path] is want, f"spark: {path}"
+            duck = duckdb.sql(
+                f"SELECT {sql} FROM (SELECT '{path}' AS p)"
+            ).fetchone()[0]
+            assert bool(duck) is want, f"duckdb: {path}"
+
+    def test_predicate_is_pushed_to_scan(self, spark, tmp_path):
+        from core_spark.sources.ingest import read_file_tree, test_file_candidates
+
+        (tmp_path / "a_test.go").write_text("package a")
+        (tmp_path / "a.go").write_text("package a")
+        df = test_file_candidates(read_file_tree(spark, str(tmp_path)))
+        rows = [r["path"] for r in df.select("path").collect()]
+        assert len(rows) == 1 and rows[0].endswith("a_test.go")
