@@ -139,7 +139,12 @@ def q_knn(spark, sf_dir):
     from core_spark.operators.knn import knn_adaptive
     from core_spark.operators.tiles import assign_tiles
 
-    docs = assign_tiles(_points(spark, sf_dir), resolutions=(KNN_RES,))
+    # eager checkpoint: the tiled docs feed the ring join AND the
+    # brute-force fallback — materializing once means the hexgrid
+    # expression tree is planned and executed a single time
+    docs = assign_tiles(
+        _points(spark, sf_dir), resolutions=(KNN_RES,)
+    ).localCheckpoint(eager=True)
     queries = spark.createDataFrame(
         [(q, la, lo) for q, la, lo in KNN_QUERIES],
         "query_id bigint, qlat double, qlon double",
