@@ -792,8 +792,25 @@ _HINT_TEMPLATES = [
     # Go: import block + statement-position calls
     'package p\n\nimport (\n\t"testing"\n\t"corp/lib<<I>>"\n)\n\n'
     "func TestA(t *testing.T) {\n\tsvc<<I>>.Do(1)\n\thelp<<I>>()\n}\n",
+    # C++: system + local includes, ::-qualified call, gtest blacklist
+    '#include <iostream>\n#include "hdr<<I>>.h"\n\nvoid run() {\n'
+    "    svc<<I>>.go(1);\n    ns<<I>>::util::fire(2);\n    EXPECT_EQ(1, 1);\n}\n",
+    # C#: usings, member + plain calls, Assert blacklist
+    "using System;\nusing Corp<<I>>.Services;\n\nclass T {\n    void M() {\n"
+    "        svc<<I>>.Find(1);\n        Plain<<I>>();\n"
+    "        Assert.True(1 == 1);\n    }\n}\n",
+    # Kotlin: dotted imports, navigation + simple calls, kotest blacklist
+    "import com.corp<<I>>.Service\nimport io.kotest.matchers.shouldBe\n\n"
+    "fun main() {\n    svc<<I>>.deliver(1)\n    maker<<I>>()\n    shouldBe(1)\n}\n",
+    # PHP: use + require imports, ->/:: calls, $this blacklist
+    "<?php\nuse App\\Svc<<I>>;\nrequire 'boot<<I>>.php';\n\nclass W {\n"
+    "    public function go(): void {\n        $repo<<I>>->save(1);\n"
+    "        Gate<<I>>::open(2);\n        $this->assertTrue(true);\n    }\n}\n",
+    # Swift: @testable import, navigation-only calls (plain + XCTest dropped)
+    "import Foundation\n@testable import Core<<I>>\n\nfunc check() {\n"
+    "    svc<<I>>.emit(1)\n    lone<<I>>()\n    XCTAssertEqual(1, 1)\n}\n",
 ]
-_HINT_EXTS = [".test.ts", ".py", ".go"]
+_HINT_EXTS = [".test.ts", ".py", ".go", ".cc", ".cs", ".kt", ".php", ".swift"]
 
 
 def q_domain_hints(spark, sf_dir):
@@ -827,20 +844,44 @@ def _sql_domain_hints_oracle() -> str:
     i = "CAST(doc_id AS VARCHAR)"
     arms = [
         # k=0 JS
-        f"SELECT doc_id, 'import' AS kind, 'pkg' || {i} AS value FROM documents WHERE doc_id % 3 = 0",
-        f"SELECT doc_id, 'import', 'req' || {i} FROM documents WHERE doc_id % 3 = 0",
-        f"SELECT doc_id, 'call', 'svc' || {i} || '.run' FROM documents WHERE doc_id % 3 = 0",
-        f"SELECT doc_id, 'call', 'plain' || {i} FROM documents WHERE doc_id % 3 = 0",
+        f"SELECT doc_id, 'import' AS kind, 'pkg' || {i} AS value FROM documents WHERE doc_id % 8 = 0",
+        f"SELECT doc_id, 'import', 'req' || {i} FROM documents WHERE doc_id % 8 = 0",
+        f"SELECT doc_id, 'call', 'svc' || {i} || '.run' FROM documents WHERE doc_id % 8 = 0",
+        f"SELECT doc_id, 'call', 'plain' || {i} FROM documents WHERE doc_id % 8 = 0",
         # k=1 Python (pytest.raises blacklisted)
-        f"SELECT doc_id, 'import', 'mod' || {i} FROM documents WHERE doc_id % 3 = 1",
-        f"SELECT doc_id, 'import', 'pkg' || {i} || '.sub' FROM documents WHERE doc_id % 3 = 1",
-        f"SELECT doc_id, 'call', 'svc' || {i} || '.call' FROM documents WHERE doc_id % 3 = 1",
-        f"SELECT doc_id, 'call', 'helper' || {i} FROM documents WHERE doc_id % 3 = 1",
+        f"SELECT doc_id, 'import', 'mod' || {i} FROM documents WHERE doc_id % 8 = 1",
+        f"SELECT doc_id, 'import', 'pkg' || {i} || '.sub' FROM documents WHERE doc_id % 8 = 1",
+        f"SELECT doc_id, 'call', 'svc' || {i} || '.call' FROM documents WHERE doc_id % 8 = 1",
+        f"SELECT doc_id, 'call', 'helper' || {i} FROM documents WHERE doc_id % 8 = 1",
         # k=2 Go
-        f"SELECT doc_id, 'import', 'testing' FROM documents WHERE doc_id % 3 = 2",
-        f"SELECT doc_id, 'import', 'corp/lib' || {i} FROM documents WHERE doc_id % 3 = 2",
-        f"SELECT doc_id, 'call', 'svc' || {i} || '.Do' FROM documents WHERE doc_id % 3 = 2",
-        f"SELECT doc_id, 'call', 'help' || {i} FROM documents WHERE doc_id % 3 = 2",
+        f"SELECT doc_id, 'import', 'testing' FROM documents WHERE doc_id % 8 = 2",
+        f"SELECT doc_id, 'import', 'corp/lib' || {i} FROM documents WHERE doc_id % 8 = 2",
+        f"SELECT doc_id, 'call', 'svc' || {i} || '.Do' FROM documents WHERE doc_id % 8 = 2",
+        f"SELECT doc_id, 'call', 'help' || {i} FROM documents WHERE doc_id % 8 = 2",
+        # k=3 C++ (EXPECT_EQ blacklisted; ns::util::fire -> 2-segment)
+        f"SELECT doc_id, 'import', 'iostream' FROM documents WHERE doc_id % 8 = 3",
+        f"SELECT doc_id, 'import', 'hdr' || {i} || '.h' FROM documents WHERE doc_id % 8 = 3",
+        f"SELECT doc_id, 'call', 'svc' || {i} || '.go' FROM documents WHERE doc_id % 8 = 3",
+        f"SELECT doc_id, 'call', 'ns' || {i} || '.util' FROM documents WHERE doc_id % 8 = 3",
+        # k=4 C# (Assert.True blacklisted)
+        f"SELECT doc_id, 'import', 'System' FROM documents WHERE doc_id % 8 = 4",
+        f"SELECT doc_id, 'import', 'Corp' || {i} || '.Services' FROM documents WHERE doc_id % 8 = 4",
+        f"SELECT doc_id, 'call', 'svc' || {i} || '.Find' FROM documents WHERE doc_id % 8 = 4",
+        f"SELECT doc_id, 'call', 'Plain' || {i} FROM documents WHERE doc_id % 8 = 4",
+        # k=5 Kotlin (shouldBe blacklisted)
+        f"SELECT doc_id, 'import', 'com.corp' || {i} || '.Service' FROM documents WHERE doc_id % 8 = 5",
+        f"SELECT doc_id, 'import', 'io.kotest.matchers.shouldBe' FROM documents WHERE doc_id % 8 = 5",
+        f"SELECT doc_id, 'call', 'svc' || {i} || '.deliver' FROM documents WHERE doc_id % 8 = 5",
+        f"SELECT doc_id, 'call', 'maker' || {i} FROM documents WHERE doc_id % 8 = 5",
+        # k=6 PHP ($this->assertTrue blacklisted)
+        f"SELECT doc_id, 'import', 'App\\Svc' || {i} FROM documents WHERE doc_id % 8 = 6",
+        f"SELECT doc_id, 'import', 'boot' || {i} || '.php' FROM documents WHERE doc_id % 8 = 6",
+        f"SELECT doc_id, 'call', 'repo' || {i} || '.save' FROM documents WHERE doc_id % 8 = 6",
+        f"SELECT doc_id, 'call', 'Gate' || {i} || '.open' FROM documents WHERE doc_id % 8 = 6",
+        # k=7 Swift (plain lone()/XCTAssertEqual not navigation -> dropped)
+        f"SELECT doc_id, 'import', 'Foundation' FROM documents WHERE doc_id % 8 = 7",
+        f"SELECT doc_id, 'import', 'Core' || {i} FROM documents WHERE doc_id % 8 = 7",
+        f"SELECT doc_id, 'call', 'svc' || {i} || '.emit' FROM documents WHERE doc_id % 8 = 7",
     ]
     return " UNION ALL ".join(arms)
 

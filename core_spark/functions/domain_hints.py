@@ -514,6 +514,564 @@ def extract_ruby_hints(source: str):
     return _hints_or_none(imports, calls)
 
 
+# -- C++ (domain_hints/cpp.go) ----------------------------------------------
+
+CPP_TEST_CALLS = {
+    # Google Test (cpp.go:145-178)
+    "EXPECT_TRUE", "EXPECT_FALSE", "EXPECT_EQ", "EXPECT_NE",
+    "EXPECT_LT", "EXPECT_LE", "EXPECT_GT", "EXPECT_GE",
+    "EXPECT_STREQ", "EXPECT_STRNE", "EXPECT_THROW", "EXPECT_NO_THROW",
+    "EXPECT_DEATH",
+    "ASSERT_TRUE", "ASSERT_FALSE", "ASSERT_EQ", "ASSERT_NE",
+    "ASSERT_LT", "ASSERT_LE", "ASSERT_GT", "ASSERT_GE",
+    "ASSERT_STREQ", "ASSERT_STRNE", "ASSERT_THROW", "ASSERT_NO_THROW",
+    "ASSERT_DEATH",
+    "TEST", "TEST_F", "TEST_P", "TYPED_TEST", "TYPED_TEST_SUITE",
+    "INSTANTIATE_TEST_SUITE_P",
+    # Catch2 (cpp.go:179-193)
+    "REQUIRE", "REQUIRE_FALSE", "REQUIRE_THROWS", "REQUIRE_NOTHROW",
+    "CHECK", "CHECK_FALSE", "CHECK_THROWS", "CHECK_NOTHROW",
+    "SECTION", "TEST_CASE", "SCENARIO", "GIVEN", "WHEN", "THEN",
+    # common utilities (cpp.go:194-201)
+    "std.cout", "std.cerr", "std.endl", "printf", "fprintf", "cout", "cerr",
+}
+
+# #include <path> / #include "path" — preproc lines, not general tokens
+# (cpp.go:18 preproc_include query; cpp.go:124-141 delimiter stripping)
+_CPP_INCLUDE_RE = re.compile(
+    r'^[ \t]*#[ \t]*include[ \t]*(<[^>\n]*>|"[^"\n]*")', re.M
+)
+
+# statement keywords that may legitimately precede a call expression
+_STMT_KEYWORD_PREV = {"return", "else", "do", "case", "co_return", "yield"}
+_CPP_KEYWORDS = {
+    "if", "while", "for", "switch", "sizeof", "new", "delete",
+    "catch", "throw", "return", "alignof", "decltype", "static_cast",
+    "dynamic_cast", "const_cast", "reinterpret_cast",
+}
+
+
+def _base_or_full_blacklisted(call: str, blacklist: set[str]) -> bool:
+    """cpp.go:204-212 / swift.go:167-175: base-segment OR full match."""
+    return call.split(".", 1)[0] in blacklist or call in blacklist
+
+
+def _cpp_chain(toks: list[Tok], i: int):
+    """id ((. | -> | ::) id)* — '->' and '::' arrive as two single-char
+    punct tokens from the shared tokenizer. Returns (parts, j_after)."""
+    parts = [toks[i].text]
+    j = i + 1
+    n = len(toks)
+    while j < n and toks[j].kind == "punct":
+        if toks[j].text == "." and j + 1 < n and toks[j + 1].kind == "id":
+            parts.append(toks[j + 1].text)
+            j += 2
+        elif (
+            toks[j].text == "-"
+            and j + 2 < n
+            and toks[j + 1].kind == "punct" and toks[j + 1].text == ">"
+            and toks[j + 2].kind == "id"
+        ):
+            parts.append(toks[j + 2].text)
+            j += 3
+        elif (
+            toks[j].text == ":"
+            and j + 2 < n
+            and toks[j + 1].kind == "punct" and toks[j + 1].text == ":"
+            and toks[j + 2].kind == "id"
+        ):
+            parts.append(toks[j + 2].text)
+            j += 3
+        else:
+            break
+    return parts, j
+
+
+def extract_cpp_hints(source: str):
+    """cpp.go:32-51: includes (system + local) and call expressions
+    (identifier / '::'-qualified / '.'/'->' field chains), '::' and '->'
+    rendered as '.' before 2-segment normalization (cpp.go:96-100)."""
+    imports: list[str] = []
+    seen_i: set[str] = set()
+    for m in _CPP_INCLUDE_RE.finditer(source):
+        path = m.group(1)[1:-1].strip()
+        if path and path not in seen_i:
+            seen_i.add(path)
+            imports.append(path)
+
+    toks = tokenize(source)
+    calls: list[str] = []
+    seen_c: set[str] = set()
+    n = len(toks)
+    i = 0
+    while i < n:
+        t = toks[i]
+        if t.kind != "id":
+            i += 1
+            continue
+        prev = toks[i - 1] if i > 0 else None
+        # declaration guard (`Order order(...)`, `void run() {`) and
+        # chain-continuation guard (after '.', '->' tail '>', '::' tail ':')
+        if prev is not None and (
+            (prev.kind == "id" and prev.text not in _STMT_KEYWORD_PREV)
+            or (prev.kind == "punct" and prev.text in (".", ">", ":"))
+        ):
+            i += 1
+            continue
+        parts, j = _cpp_chain(toks, i)
+        if (
+            j < n
+            and toks[j].kind == "punct" and toks[j].text == "("
+            and parts[0] not in _CPP_KEYWORDS
+        ):
+            call = normalize_call(".".join(parts))
+            if (
+                call and not is_noise(call)
+                and not _base_or_full_blacklisted(call, CPP_TEST_CALLS)
+                and call not in seen_c
+            ):
+                seen_c.add(call)
+                calls.append(call)
+        i = max(j, i + 1)
+    return _hints_or_none(imports, calls)
+
+
+# -- C# (domain_hints/csharp.go) ---------------------------------------------
+
+CSHARP_TEST_CALLS = {
+    # NUnit / xUnit / MSTest (csharp.go:259-277)
+    "Assert", "Assume", "Warn", "Xunit",
+    "Should", "BeEquivalentTo", "Be", "HaveCount",
+    "CollectionAssert", "StringAssert",
+    "Is", "Has", "Does", "Contains", "Throws",
+    # Moq / NSubstitute / AutoFixture
+    "Mock", "Setup", "Verify", "Returns", "Callback", "It", "Times",
+    "Substitute", "Received", "DidNotReceive",
+    "Fixture", "Create", "Build", "Freeze",
+}
+
+_CS_KEYWORDS = {
+    "if", "while", "for", "foreach", "switch", "catch", "using",
+    "lock", "new", "return", "throw", "typeof", "sizeof", "checked",
+    "unchecked", "default",
+}
+
+
+def _dot_chain(toks: list[Tok], i: int):
+    """id (. id)* — shared by the C#/Kotlin/Swift extractors."""
+    parts = [toks[i].text]
+    j = i + 1
+    n = len(toks)
+    while (
+        j + 1 < n
+        and toks[j].kind == "punct" and toks[j].text == "."
+        and toks[j + 1].kind == "id"
+    ):
+        parts.append(toks[j + 1].text)
+        j += 2
+    return parts, j
+
+
+def _skip_generic_args(toks: list[Tok], j: int, limit: int = 40):
+    """If toks[j] opens a type-argument list `<...>` of ids/dots/commas/
+    nested <>/[]/?, return the index after the closing '>', else None
+    (csharp.go:186-195 GenericName — `Method<T>()`)."""
+    n = len(toks)
+    if j >= n or toks[j].kind != "punct" or toks[j].text != "<":
+        return None
+    depth = 0
+    k = j
+    steps = 0
+    while k < n and steps < limit:
+        tk = toks[k]
+        if tk.kind == "punct":
+            if tk.text == "<":
+                depth += 1
+            elif tk.text == ">":
+                depth -= 1
+                if depth == 0:
+                    return k + 1
+            elif tk.text in (">>",):
+                depth -= 2
+                if depth <= 0:
+                    return k + 1
+            elif tk.text not in (",", ".", "[", "]", "?"):
+                return None
+        elif tk.kind != "id":
+            return None
+        k += 1
+        steps += 1
+    return None
+
+
+def extract_csharp_hints(source: str):
+    """csharp.go:29-51: using directives (plain / static / global / alias —
+    alias keeps the qualified RHS, csharp.go:95-104) and invocation
+    expressions (member chains, generic methods)."""
+    toks = tokenize(source)
+    n = len(toks)
+    imports: list[str] = []
+    calls: list[str] = []
+    seen_i: set[str] = set()
+    seen_c: set[str] = set()
+    i = 0
+    while i < n:
+        t = toks[i]
+        if t.kind == "id" and t.text == "using":
+            # `using (` / `using var x = expr;` are statements, not
+            # directives — abort on '(' or a second bare identifier run
+            j = i + 1
+            if j < n and toks[j].kind == "id" and toks[j].text == "static":
+                j += 1
+            lhs, ok = [], True
+            eq_rhs = None
+            while j < n and not (toks[j].kind == "punct" and toks[j].text == ";"):
+                tj = toks[j]
+                if tj.kind == "punct" and tj.text == "=":
+                    eq_rhs = []
+                    j += 1
+                    continue
+                if tj.kind == "id":
+                    target = eq_rhs if eq_rhs is not None else lhs
+                    if target and not (
+                        toks[j - 1].kind == "punct" and toks[j - 1].text == "."
+                    ):
+                        ok = False  # `using var x ...` — two bare ids
+                        break
+                    target.append(tj.text)
+                elif not (tj.kind == "punct" and tj.text == "."):
+                    ok = False
+                    break
+                j += 1
+            if ok:
+                if eq_rhs is not None:
+                    # alias: keep qualified RHS only (csharp.go:95-104)
+                    path = ".".join(eq_rhs) if len(eq_rhs) >= 2 else ""
+                else:
+                    path = ".".join(lhs)
+                if path and path not in seen_i:
+                    seen_i.add(path)
+                    imports.append(path)
+            while i < n and not (toks[i].kind == "punct" and toks[i].text == ";"):
+                i += 1
+            i += 1
+            continue
+        if t.kind == "id":
+            prev = toks[i - 1] if i > 0 else None
+            # '[': attributes `[TestCase(1)]` are not invocation expressions
+            if prev is not None and (
+                (prev.kind == "id" and prev.text not in _STMT_KEYWORD_PREV)
+                or (prev.kind == "punct" and prev.text in (".", ">", "["))
+            ):
+                i += 1
+                continue
+            parts, j = _dot_chain(toks, i)
+            after_generic = _skip_generic_args(toks, j)
+            call_at = after_generic if after_generic is not None else j
+            if (
+                call_at < n
+                and toks[call_at].kind == "punct" and toks[call_at].text == "("
+                and parts[0] not in _CS_KEYWORDS
+            ):
+                call = normalize_call(".".join(parts))
+                if (
+                    call and not is_noise(call)
+                    and not _blacklisted(call, CSHARP_TEST_CALLS)
+                    and call not in seen_c
+                ):
+                    seen_c.add(call)
+                    calls.append(call)
+            i = max(j, i + 1)
+            continue
+        i += 1
+    return _hints_or_none(imports, calls)
+
+
+# -- Kotlin (domain_hints/kotlin.go) -----------------------------------------
+
+KOTLIN_TEST_CALLS = {
+    # Kotest matchers + spec DSL (kotlin.go:148-157)
+    "shouldBe", "shouldNotBe", "shouldThrow", "shouldNotThrow",
+    "shouldBeNull", "shouldNotBeNull", "shouldContain",
+    "shouldHaveSize", "shouldBeEmpty", "shouldNotBeEmpty",
+    "describe", "context", "it", "should", "test",
+    "feature", "scenario", "given", "when", "then",
+    "expect", "xdescribe", "xit", "xtest",
+    # JUnit assertions (kotlin.go:158-160)
+    "assertEquals", "assertNotEquals", "assertTrue", "assertFalse",
+    "assertNull", "assertNotNull", "assertThrows", "assertDoesNotThrow",
+    "Assertions",
+    # Mockk (kotlin.go:162-163)
+    "mockk", "every", "verify", "slot", "spyk",
+    "confirmVerified", "coEvery", "coVerify",
+}
+
+_KT_KEYWORDS = {
+    "if", "while", "for", "when", "catch", "return", "fun", "throw",
+}
+
+
+def extract_kotlin_hints(source: str):
+    """kotlin.go:25-47: import headers (`import a.b.c`, `.*` glob dropped,
+    `as` alias stripped — the identifier child only, kotlin.go:75-88) and
+    call expressions (navigation chains / simple identifiers)."""
+    toks = tokenize(source)
+    n = len(toks)
+    imports: list[str] = []
+    calls: list[str] = []
+    seen_i: set[str] = set()
+    seen_c: set[str] = set()
+    i = 0
+    while i < n:
+        t = toks[i]
+        if t.kind == "id" and t.text == "import":
+            j = i + 1
+            segs: list[str] = []
+            while j < n and toks[j].kind == "id" and toks[j].text != "as":
+                segs.append(toks[j].text)
+                j += 1
+                if (
+                    j + 1 < n
+                    and toks[j].kind == "punct" and toks[j].text == "."
+                    and toks[j + 1].kind == "id"
+                ):
+                    j += 1
+                else:
+                    break
+            path = ".".join(segs)
+            if path and path not in seen_i:
+                seen_i.add(path)
+                imports.append(path)
+            i = j
+            continue
+        if t.kind == "id":
+            prev = toks[i - 1] if i > 0 else None
+            # '@': annotations `@Suite("x")` are not call expressions
+            if prev is not None and (
+                (prev.kind == "id" and prev.text not in _STMT_KEYWORD_PREV)
+                or (prev.kind == "punct" and prev.text in (".", "@"))
+            ):
+                i += 1
+                continue
+            parts, j = _dot_chain(toks, i)
+            if (
+                j < n
+                and toks[j].kind == "punct" and toks[j].text == "("
+                and parts[0] not in _KT_KEYWORDS
+            ):
+                call = normalize_call(".".join(parts))
+                if (
+                    call and not is_noise(call)
+                    and not _blacklisted(call, KOTLIN_TEST_CALLS)
+                    and call not in seen_c
+                ):
+                    seen_c.add(call)
+                    calls.append(call)
+            i = max(j, i + 1)
+            continue
+        i += 1
+    return _hints_or_none(imports, calls)
+
+
+# -- PHP (domain_hints/php.go) -----------------------------------------------
+
+PHP_TEST_CALLS = {
+    # PHPUnit (php.go:246-259)
+    "this", "self", "Assert", "assertSame", "assertEquals",
+    "assertTrue", "assertFalse",
+    "setUp", "tearDown", "setUpBeforeClass", "tearDownAfterClass",
+    # Mockery / Prophecy / Pest (php.go:260-274)
+    "Mockery", "mock", "spy", "shouldReceive",
+    "prophesize", "reveal",
+    "test", "it", "describe", "beforeEach", "afterEach", "expect",
+}
+
+_PHP_KEYWORDS = {
+    "if", "while", "for", "foreach", "switch", "catch", "function",
+    "new", "return", "echo", "print", "throw", "isset", "unset",
+    "empty", "list", "array", "use", "include", "include_once",
+    "require", "require_once",
+}
+
+_PHP_INCLUDE_KEYWORDS = ("include", "include_once", "require", "require_once")
+
+
+def _php_last_segment(name: str) -> str:
+    """php.go:183-186: qualified names keep the last '\\' segment."""
+    return name.rsplit("\\", 1)[-1]
+
+
+def extract_php_hints(source: str):
+    """php.go:37-56: `use` declarations + include/require expressions as
+    imports; function / $obj->method / Class::method calls (php.go:173-229),
+    '$' stripped and '::'/'->' rendered as '.'."""
+    from core_spark.functions.phptest import tokenize_php
+
+    toks = [t for t in tokenize_php(source) if t.kind != "comment"]
+    n = len(toks)
+    imports: list[str] = []
+    calls: list[str] = []
+    seen_i: set[str] = set()
+    seen_c: set[str] = set()
+
+    def add_call(call):
+        if (
+            call and not is_noise(call)
+            and not _blacklisted(call, PHP_TEST_CALLS)
+            and call not in seen_c
+        ):
+            seen_c.add(call)
+            calls.append(call)
+
+    i = 0
+    while i < n:
+        t = toks[i]
+        if t.kind == "id" and t.text == "use":
+            # closure `function () use ($x)` — next token is '('
+            j = i + 1
+            if j < n and toks[j].kind == "id":
+                path = toks[j].text.lstrip("\\")
+                if path and path not in seen_i:
+                    seen_i.add(path)
+                    imports.append(path)
+                i = j + 1
+                continue
+            i = j
+            continue
+        if t.kind == "id" and t.text in _PHP_INCLUDE_KEYWORDS:
+            j = i + 1
+            if j < n and toks[j].kind == "punct" and toks[j].text == "(":
+                j += 1
+            if j < n and toks[j].kind == "str":
+                raw = toks[j].text
+                path = raw[1:-1] if len(raw) >= 2 and raw[0] in "'\"" else raw
+                if path and path not in seen_i:
+                    seen_i.add(path)
+                    imports.append(path)
+            i = j + 1
+            continue
+        # $obj->method(  (php.go:190-204)
+        if (
+            t.kind == "var"
+            and i + 3 < n
+            and toks[i + 1].kind == "punct" and toks[i + 1].text == "-"
+            and toks[i + 2].kind == "punct" and toks[i + 2].text == ">"
+            and toks[i + 3].kind == "id"
+            and i + 4 < n
+            and toks[i + 4].kind == "punct" and toks[i + 4].text == "("
+        ):
+            add_call(normalize_call(f"{t.text[1:]}.{toks[i + 3].text}"))
+            i += 5
+            continue
+        if t.kind == "id":
+            # Class::method(  (php.go:206-226)
+            if (
+                i + 3 < n
+                and toks[i + 1].kind == "punct" and toks[i + 1].text == ":"
+                and toks[i + 2].kind == "punct" and toks[i + 2].text == ":"
+                and toks[i + 3].kind == "id"
+                and i + 4 < n
+                and toks[i + 4].kind == "punct" and toks[i + 4].text == "("
+            ):
+                cls = _php_last_segment(t.text)
+                add_call(normalize_call(f"{cls}.{toks[i + 3].text}"))
+                i += 5
+                continue
+            # plain function(  (php.go:175-188)
+            prev = toks[i - 1] if i > 0 else None
+            if (
+                i + 1 < n
+                and toks[i + 1].kind == "punct" and toks[i + 1].text == "("
+                and t.text not in _PHP_KEYWORDS
+                and not (prev is not None and prev.kind == "id"
+                         and prev.text == "function")
+                and not (prev is not None and prev.kind == "id"
+                         and prev.text == "new")
+                and not (prev is not None and prev.kind == "punct"
+                         and prev.text == ">")
+            ):
+                add_call(normalize_call(_php_last_segment(t.text)))
+            i += 1
+            continue
+        i += 1
+    return _hints_or_none(imports, calls)
+
+
+# -- Swift (domain_hints/swift.go) -------------------------------------------
+
+SWIFT_TEST_CALLS = {
+    # XCTest (swift.go:137-152)
+    "XCTAssert", "XCTAssertTrue", "XCTAssertFalse",
+    "XCTAssertEqual", "XCTAssertNotEqual", "XCTAssertNil", "XCTAssertNotNil",
+    "XCTAssertThrowsError", "XCTAssertNoThrow",
+    "XCTFail", "XCTSkip", "XCTUnwrap", "XCTExpectFailure",
+    # Swift Testing (swift.go:153-157)
+    "expect", "require", "Issue", "confirmation",
+    # common utilities (swift.go:158-164)
+    "print", "debugPrint", "dump", "fatalError",
+    "precondition", "preconditionFailure", "assertionFailure",
+}
+
+
+def extract_swift_hints(source: str):
+    """swift.go:28-47: import declarations (attributes like `@testable`
+    stripped, dotted modules kept — swift.go:116-133) and navigation-chain
+    calls ONLY (the call query requires a navigation_expression,
+    swift.go:21-25 — plain `foo()` is not captured)."""
+    toks = tokenize(source)
+    n = len(toks)
+    imports: list[str] = []
+    calls: list[str] = []
+    seen_i: set[str] = set()
+    seen_c: set[str] = set()
+    i = 0
+    while i < n:
+        t = toks[i]
+        if t.kind == "id" and t.text == "import":
+            j = i + 1
+            segs: list[str] = []
+            while j < n and toks[j].kind == "id":
+                segs.append(toks[j].text)
+                j += 1
+                if (
+                    j + 1 < n
+                    and toks[j].kind == "punct" and toks[j].text == "."
+                    and toks[j + 1].kind == "id"
+                ):
+                    j += 1
+                else:
+                    break
+            path = ".".join(segs)
+            if path and path not in seen_i:
+                seen_i.add(path)
+                imports.append(path)
+            i = j
+            continue
+        if t.kind == "id":
+            prev = toks[i - 1] if i > 0 else None
+            if prev is not None and prev.kind == "punct" and prev.text == ".":
+                i += 1
+                continue
+            parts, j = _dot_chain(toks, i)
+            if (
+                len(parts) >= 2
+                and j < n
+                and toks[j].kind == "punct" and toks[j].text == "("
+            ):
+                call = normalize_call(".".join(parts))
+                if (
+                    call and not is_noise(call)
+                    and not _base_or_full_blacklisted(call, SWIFT_TEST_CALLS)
+                    and call not in seen_c
+                ):
+                    seen_c.add(call)
+                    calls.append(call)
+            i = max(j, i + 1)
+            continue
+        i += 1
+    return _hints_or_none(imports, calls)
+
+
 # -- dispatch ----------------------------------------------------------------
 
 
@@ -531,4 +1089,14 @@ def extract_hints(path: str, source: str):
         return extract_rust_hints(source)
     if low.endswith(".rb"):
         return extract_ruby_hints(source)
+    if low.endswith((".cpp", ".cc", ".cxx", ".hpp", ".hh", ".h")):
+        return extract_cpp_hints(source)
+    if low.endswith(".cs"):
+        return extract_csharp_hints(source)
+    if low.endswith((".kt", ".kts")):
+        return extract_kotlin_hints(source)
+    if low.endswith(".php"):
+        return extract_php_hints(source)
+    if low.endswith(".swift"):
+        return extract_swift_hints(source)
     return None

@@ -296,3 +296,524 @@ def test_dispatch_new_languages():
     assert extract_hints("A.java", "import a.b;\n")["imports"] == ["a.b"]
     assert extract_hints("a.rs", "use a::b;\n")["imports"] == ["a/b"]
     assert extract_hints("a.rb", "require 'x'\n")["imports"] == ["x"]
+
+
+# -- cpp_test.go -------------------------------------------------------------
+
+def test_cpp_includes():
+    from core_spark.functions.domain_hints import extract_cpp_hints
+
+    hints = extract_cpp_hints(
+        '\n#include <iostream>\n#include <vector>\n#include "myheader.h"\n'
+        "#include <gtest/gtest.h>\n"
+    )
+    assert {"iostream", "vector", "myheader.h", "gtest/gtest.h"} <= set(hints["imports"])
+
+
+def test_cpp_local_headers():
+    from core_spark.functions.domain_hints import extract_cpp_hints
+
+    hints = extract_cpp_hints(
+        '#include "services/payment.h"\n#include "models/user.h"\n'
+        '#include "../common/utils.h"\n'
+    )
+    assert {"services/payment.h", "models/user.h", "../common/utils.h"} <= set(
+        hints["imports"]
+    )
+
+
+def test_cpp_method_calls():
+    from core_spark.functions.domain_hints import extract_cpp_hints
+
+    hints = extract_cpp_hints(
+        "\n#include <iostream>\n\nvoid testFunction() {\n"
+        "    userService.create(user);\n"
+        "    PaymentGateway::process(payment);\n"
+        "    notificationService->sendEmail(user);\n}\n"
+    )
+    assert {"userService.create", "PaymentGateway.process",
+            "notificationService.sendEmail"} <= set(hints["calls"])
+
+
+def test_cpp_empty_file_returns_none():
+    from core_spark.functions.domain_hints import extract_cpp_hints
+
+    assert extract_cpp_hints("// empty file") is None
+
+
+def test_cpp_test_framework_calls_excluded():
+    from core_spark.functions.domain_hints import extract_cpp_hints
+
+    hints = extract_cpp_hints(
+        "\n#include <gtest/gtest.h>\n\nTEST(PaymentTest, ProcessPayment) {\n"
+        "    EXPECT_EQ(result, expected);\n    ASSERT_TRUE(condition);\n\n"
+        "    paymentService.process(order);\n}\n"
+    )
+    got = set(hints["calls"])
+    assert "paymentService.process" in got
+    assert not {"EXPECT_EQ", "ASSERT_TRUE", "TEST"} & got
+
+
+def test_cpp_gtest_file():
+    from core_spark.functions.domain_hints import extract_cpp_hints
+
+    hints = extract_cpp_hints(
+        "\n#include <gtest/gtest.h>\n#include \"services/payment.h\"\n"
+        "#include \"models/order.h\"\n\n"
+        "class PaymentTest : public ::testing::Test {\nprotected:\n"
+        "    void SetUp() override {\n"
+        "        gateway = std::make_unique<PaymentGateway>();\n    }\n\n"
+        "    std::unique_ptr<PaymentGateway> gateway;\n};\n\n"
+        "TEST_F(PaymentTest, ProcessPayment) {\n    Order order(100);\n\n"
+        "    gateway->process(order);\n"
+        "    notificationService->sendConfirmation(order.id);\n\n"
+        "    EXPECT_TRUE(gateway->isComplete());\n}\n"
+    )
+    assert {"gtest/gtest.h", "services/payment.h", "models/order.h"} <= set(
+        hints["imports"]
+    )
+    got = set(hints["calls"])
+    assert {"gateway.process", "notificationService.sendConfirmation"} <= got
+    assert "TEST_F" not in got and "EXPECT_TRUE" not in got
+
+
+def test_cpp_catch2_file():
+    from core_spark.functions.domain_hints import extract_cpp_hints
+
+    hints = extract_cpp_hints(
+        "\n#include <catch2/catch_test_macros.hpp>\n#include \"services/user.h\"\n\n"
+        'TEST_CASE("User creation", "[user]") {\n'
+        '    SECTION("valid user") {\n'
+        "        userService.create(validData);\n"
+        "        repository.save(user);\n\n"
+        "        REQUIRE(user.isValid());\n    }\n}\n"
+    )
+    assert {"catch2/catch_test_macros.hpp", "services/user.h"} <= set(hints["imports"])
+    got = set(hints["calls"])
+    assert {"userService.create", "repository.save"} <= got
+    assert "REQUIRE" not in got
+
+
+def test_cpp_dedup():
+    from core_spark.functions.domain_hints import extract_cpp_hints
+
+    hints = extract_cpp_hints(
+        "\n#include <iostream>\n#include <iostream>\n\nvoid test() {\n"
+        "    userService.create(1);\n    userService.create(2);\n}\n"
+    )
+    assert hints["imports"].count("iostream") == 1
+    assert hints["calls"].count("userService.create") == 1
+
+
+def test_cpp_namespaced_calls_two_segment():
+    from core_spark.functions.domain_hints import extract_cpp_hints
+
+    hints = extract_cpp_hints(
+        "\n#include <vector>\n\nvoid test() {\n    std::vector<int> v;\n"
+        "    MyNamespace::Service::getInstance();\n"
+        "    payment::gateway::process(order);\n}\n"
+    )
+    assert {"MyNamespace.Service", "payment.gateway"} <= set(hints["calls"])
+
+
+# -- csharp_test.go ----------------------------------------------------------
+
+def test_csharp_usings():
+    from core_spark.functions.domain_hints import extract_csharp_hints
+
+    hints = extract_csharp_hints(
+        "\nusing System;\nusing System.Collections.Generic;\n"
+        "using NUnit.Framework;\nusing MyApp.Services;\nusing MyApp.Models;\n\n"
+        "namespace MyApp.Tests\n{\n    public class CalculatorTests\n    {\n    }\n}\n"
+    )
+    assert {"System", "System.Collections.Generic", "NUnit.Framework",
+            "MyApp.Services", "MyApp.Models"} <= set(hints["imports"])
+
+
+def test_csharp_calls():
+    from core_spark.functions.domain_hints import extract_csharp_hints
+
+    hints = extract_csharp_hints(
+        "\nusing NUnit.Framework;\n\nnamespace MyApp.Tests\n{\n"
+        "    public class CalculatorTests\n    {\n        [Test]\n"
+        "        public void TestAdd()\n        {\n"
+        "            var calculator = new Calculator();\n"
+        "            var result = calculator.Add(1, 2);\n"
+        "            userService.FindById(123);\n"
+        "            paymentGateway.Process(order);\n        }\n    }\n}\n"
+    )
+    assert {"calculator.Add", "userService.FindById",
+            "paymentGateway.Process"} <= set(hints["calls"])
+
+
+def test_csharp_empty_file_returns_none():
+    from core_spark.functions.domain_hints import extract_csharp_hints
+
+    assert extract_csharp_hints("// empty file") is None
+
+
+def test_csharp_test_framework_calls_excluded():
+    from core_spark.functions.domain_hints import extract_csharp_hints
+
+    hints = extract_csharp_hints(
+        "\nusing NUnit.Framework;\n\nnamespace MyApp.Tests\n{\n"
+        "    public class CalculatorTests\n    {\n        [Test]\n"
+        "        public void TestAdd()\n        {\n"
+        "            var calculator = new Calculator();\n"
+        "            Assert.AreEqual(2, calculator.Add(1, 1));\n"
+        "            Assert.IsTrue(calculator.IsPositive(5));\n"
+        "            Assert.Throws<Exception>(() => calculator.Divide(1, 0));\n"
+        "            userService.Validate(user);\n        }\n    }\n}\n"
+    )
+    got = set(hints["calls"])
+    assert not {"Assert.AreEqual", "Assert.IsTrue", "Assert.Throws"} & got
+    assert {"calculator.Add", "userService.Validate"} <= got
+
+
+def test_csharp_using_alias_and_static_and_global():
+    from core_spark.functions.domain_hints import extract_csharp_hints
+
+    hints = extract_csharp_hints(
+        "\nusing System;\nusing Env = System.Environment;\n"
+        "using Console = System.Console;\nusing static System.Math;\n"
+        "global using System.Linq;\n\nnamespace MyApp {}\n"
+    )
+    got = set(hints["imports"])
+    assert {"System", "System.Environment", "System.Console",
+            "System.Math", "System.Linq"} <= got
+
+
+def test_csharp_chained_calls_two_segment():
+    from core_spark.functions.domain_hints import extract_csharp_hints
+
+    hints = extract_csharp_hints(
+        "\nnamespace MyApp.Tests\n{\n    public class Test\n    {\n"
+        "        void TestMethod()\n        {\n"
+        "            client.Api.Users.FindAll();\n"
+        "            response.Data.Items.First().GetValue();\n        }\n    }\n}\n"
+    )
+    assert {"client.Api", "response.Data"} <= set(hints["calls"])
+
+
+def test_csharp_xunit_file():
+    from core_spark.functions.domain_hints import extract_csharp_hints
+
+    hints = extract_csharp_hints(
+        "\nusing Xunit;\nusing FluentAssertions;\nusing MyApp.Services;\n\n"
+        "namespace MyApp.Tests\n{\n    public class UserServiceTests\n    {\n"
+        "        [Fact]\n        public void GetUser_ReturnsUser()\n        {\n"
+        "            var service = new UserService();\n"
+        "            var result = service.GetUser(1);\n"
+        "            result.Should().NotBeNull();\n"
+        "            orderService.CreateOrder(result);\n        }\n    }\n}\n"
+    )
+    assert {"Xunit", "FluentAssertions", "MyApp.Services"} <= set(hints["imports"])
+    got = set(hints["calls"])
+    assert {"service.GetUser", "orderService.CreateOrder"} <= got
+    assert "Should.NotBeNull" not in got
+
+
+# -- kotlin_test.go ----------------------------------------------------------
+
+def test_kotlin_imports():
+    from core_spark.functions.domain_hints import extract_kotlin_hints
+
+    hints = extract_kotlin_hints(
+        "\npackage kotest\n\nimport io.kotest.core.spec.style.StringSpec\n"
+        "import io.kotest.matchers.shouldBe\n"
+        "import com.example.service.UserService\n"
+        "import org.junit.jupiter.api.Test\n\nclass KotestSpec : StringSpec({\n})\n"
+    )
+    assert {"io.kotest.core.spec.style.StringSpec", "io.kotest.matchers.shouldBe",
+            "com.example.service.UserService",
+            "org.junit.jupiter.api.Test"} <= set(hints["imports"])
+
+
+def test_kotlin_calls():
+    from core_spark.functions.domain_hints import extract_kotlin_hints
+
+    hints = extract_kotlin_hints(
+        "\npackage com.example\n\nimport io.kotest.core.spec.style.FunSpec\n\n"
+        'class CalculatorTest : FunSpec({\n    test("add two numbers") {\n'
+        "        val calculator = Calculator()\n"
+        "        val result = calculator.add(1, 2)\n"
+        "        userService.findById(123)\n"
+        "        paymentGateway.process(order)\n    }\n})\n"
+    )
+    assert {"calculator.add", "userService.findById",
+            "paymentGateway.process"} <= set(hints["calls"])
+
+
+def test_kotlin_empty_file_returns_none():
+    from core_spark.functions.domain_hints import extract_kotlin_hints
+
+    assert extract_kotlin_hints("// empty file") is None
+
+
+def test_kotlin_test_framework_calls_excluded():
+    from core_spark.functions.domain_hints import extract_kotlin_hints
+
+    hints = extract_kotlin_hints(
+        "\npackage com.example\n\nimport io.kotest.core.spec.style.FunSpec\n"
+        "import io.kotest.matchers.shouldBe\n\n"
+        'class CalculatorTest : FunSpec({\n    test("add two numbers") {\n'
+        "        val result = calculator.add(1, 2)\n        result shouldBe 3\n"
+        "        userService.validate(user)\n    }\n})\n"
+    )
+    got = set(hints["calls"])
+    assert not {"shouldBe", "test"} & got
+    assert {"calculator.add", "userService.validate"} <= got
+
+
+def test_kotlin_kotest_spec():
+    from core_spark.functions.domain_hints import extract_kotlin_hints
+
+    hints = extract_kotlin_hints(
+        "\npackage kotest\n\nimport io.kotest.core.spec.style.StringSpec\n"
+        "import io.kotest.matchers.shouldBe\n"
+        "import com.example.service.PaymentService\n\n"
+        'class PaymentSpec : StringSpec({\n    "payment should be processed" {\n'
+        "        val service = PaymentService()\n"
+        "        val result = service.process(order)\n"
+        "        stripe.confirm(result.intentId)\n"
+        '        result.status shouldBe "success"\n    }\n})\n'
+    )
+    assert {"io.kotest.core.spec.style.StringSpec", "io.kotest.matchers.shouldBe",
+            "com.example.service.PaymentService"} <= set(hints["imports"])
+    assert {"service.process", "stripe.confirm"} <= set(hints["calls"])
+
+
+def test_kotlin_chained_calls_two_segment():
+    from core_spark.functions.domain_hints import extract_kotlin_hints
+
+    hints = extract_kotlin_hints(
+        "\npackage com.example\n\nclass Test {\n    fun test() {\n"
+        "        client.api.users.findAll()\n"
+        "        response.data.items.first().value\n    }\n}\n"
+    )
+    assert {"client.api", "response.data"} <= set(hints["calls"])
+
+
+# -- php_test.go -------------------------------------------------------------
+
+def test_php_use_statements():
+    from core_spark.functions.domain_hints import extract_php_hints
+
+    hints = extract_php_hints(
+        "<?php\nnamespace App\\Tests;\n\nuse PHPUnit\\Framework\\TestCase;\n"
+        "use App\\Services\\PaymentService;\nuse Stripe\\PaymentIntent;\n"
+        "use App\\Models\\User as UserModel;\n"
+    )
+    assert {"PHPUnit\\Framework\\TestCase", "App\\Services\\PaymentService",
+            "Stripe\\PaymentIntent", "App\\Models\\User"} <= set(hints["imports"])
+
+
+def test_php_method_calls():
+    from core_spark.functions.domain_hints import extract_php_hints
+
+    hints = extract_php_hints(
+        "<?php\nnamespace App\\Tests;\n\nuse PHPUnit\\Framework\\TestCase;\n\n"
+        "class PaymentTest extends TestCase\n{\n"
+        "    public function testCreatePayment(): void\n    {\n"
+        "        $paymentService->createIntent($amount);\n"
+        "        $stripeClient->processPayment($order);\n"
+        "        PaymentGateway::configure($config);\n    }\n}\n"
+    )
+    assert {"paymentService.createIntent", "stripeClient.processPayment",
+            "PaymentGateway.configure"} <= set(hints["calls"])
+
+
+def test_php_empty_file_returns_none():
+    from core_spark.functions.domain_hints import extract_php_hints
+
+    assert extract_php_hints("<?php\n// empty file\n") is None
+
+
+def test_php_test_framework_calls_excluded():
+    from core_spark.functions.domain_hints import extract_php_hints
+
+    hints = extract_php_hints(
+        "<?php\nuse PHPUnit\\Framework\\TestCase;\n\n"
+        "class UserTest extends TestCase\n{\n"
+        "    public function testUser(): void\n    {\n"
+        "        $this->assertEquals($expected, $actual);\n"
+        "        $this->assertTrue($result);\n"
+        "        $userService->findById($id);\n    }\n}\n"
+    )
+    got = set(hints["calls"])
+    assert not {"this.assertEquals", "this.assertTrue"} & got
+    assert "userService.findById" in got
+
+
+def test_php_include_require():
+    from core_spark.functions.domain_hints import extract_php_hints
+
+    hints = extract_php_hints(
+        "<?php\ninclude 'helpers.php';\ninclude_once 'utils.php';\n"
+        "require 'config.php';\nrequire_once 'bootstrap.php';\n"
+    )
+    assert {"helpers.php", "utils.php", "config.php", "bootstrap.php"} <= set(
+        hints["imports"]
+    )
+
+
+def test_php_static_method_calls():
+    from core_spark.functions.domain_hints import extract_php_hints
+
+    hints = extract_php_hints(
+        "<?php\nuse App\\Models\\User;\n\nclass Test\n{\n"
+        "    public function test(): void\n    {\n        User::find(1);\n"
+        "        Cache::remember('key', function() {});\n"
+        "        DB::table('users')->get();\n    }\n}\n"
+    )
+    assert {"User.find", "Cache.remember", "DB.table"} <= set(hints["calls"])
+
+
+def test_php_dedup():
+    from core_spark.functions.domain_hints import extract_php_hints
+
+    hints = extract_php_hints(
+        "<?php\nuse App\\Models\\User;\n\nclass Test\n{\n"
+        "    public function test(): void\n    {\n        User::find(1);\n"
+        "        User::find(2);\n        $service->process();\n"
+        "        $service->process();\n    }\n}\n"
+    )
+    assert hints["calls"].count("User.find") == 1
+    assert hints["calls"].count("service.process") == 1
+
+
+def test_php_phpunit_file():
+    from core_spark.functions.domain_hints import extract_php_hints
+
+    hints = extract_php_hints(
+        "<?php\nnamespace App\\Tests\\Payment;\n\n"
+        "use PHPUnit\\Framework\\TestCase;\nuse App\\Services\\PaymentService;\n"
+        "use Stripe\\StripeClient;\nuse App\\Models\\Order;\n\n"
+        "class PaymentServiceTest extends TestCase\n{\n"
+        "    public function testCreatePayment(): void\n    {\n"
+        "        StripeClient::setApiKey($key);\n"
+        "        NotificationService::sendConfirmation($user);\n"
+        "        $orderService->process($data);\n    }\n}\n"
+    )
+    assert {"PHPUnit\\Framework\\TestCase", "App\\Services\\PaymentService",
+            "Stripe\\StripeClient", "App\\Models\\Order"} <= set(hints["imports"])
+    assert {"StripeClient.setApiKey", "NotificationService.sendConfirmation",
+            "orderService.process"} <= set(hints["calls"])
+
+
+# -- swift_test.go -----------------------------------------------------------
+
+def test_swift_imports():
+    from core_spark.functions.domain_hints import extract_swift_hints
+
+    hints = extract_swift_hints(
+        "\nimport Foundation\nimport XCTest\nimport SwiftUI\nimport UIKit\n"
+    )
+    assert {"Foundation", "XCTest", "SwiftUI", "UIKit"} <= set(hints["imports"])
+
+
+def test_swift_testable_import():
+    from core_spark.functions.domain_hints import extract_swift_hints
+
+    hints = extract_swift_hints(
+        "\nimport XCTest\n@testable import MyApp\n@testable import CoreModule\n"
+    )
+    assert {"XCTest", "MyApp", "CoreModule"} <= set(hints["imports"])
+
+
+def test_swift_dotted_import():
+    from core_spark.functions.domain_hints import extract_swift_hints
+
+    hints = extract_swift_hints(
+        "\nimport UIKit.UIView\nimport Foundation.NSObject\n"
+    )
+    assert {"UIKit.UIView", "Foundation.NSObject"} <= set(hints["imports"])
+
+
+def test_swift_method_calls():
+    from core_spark.functions.domain_hints import extract_swift_hints
+
+    hints = extract_swift_hints(
+        "\nimport Foundation\n\nclass TestService {\n    func testMethod() {\n"
+        "        userService.create(user)\n        PaymentGateway.process(payment)\n"
+        "        notificationService.sendEmail(to: user)\n    }\n}\n"
+    )
+    assert {"userService.create", "PaymentGateway.process",
+            "notificationService.sendEmail"} <= set(hints["calls"])
+
+
+def test_swift_empty_file_returns_none():
+    from core_spark.functions.domain_hints import extract_swift_hints
+
+    assert extract_swift_hints("// empty file") is None
+
+
+def test_swift_test_framework_calls_excluded():
+    from core_spark.functions.domain_hints import extract_swift_hints
+
+    hints = extract_swift_hints(
+        "\nimport XCTest\n\nclass PaymentTests: XCTestCase {\n"
+        "    func testPayment() {\n        XCTAssertEqual(result, expected)\n"
+        "        XCTAssertTrue(condition)\n        print(\"debug output\")\n\n"
+        "        paymentService.process(order)\n    }\n}\n"
+    )
+    got = set(hints["calls"])
+    assert not {"XCTAssertEqual", "XCTAssertTrue", "print"} & got
+    assert "paymentService.process" in got
+
+
+def test_swift_xctest_file():
+    from core_spark.functions.domain_hints import extract_swift_hints
+
+    hints = extract_swift_hints(
+        "\nimport XCTest\n@testable import MyApp\n\n"
+        "class UserServiceTests: XCTestCase {\n    var sut: UserService!\n"
+        "    var mockRepository: MockUserRepository!\n\n"
+        "    override func setUp() {\n        super.setUp()\n"
+        "        mockRepository = MockUserRepository()\n"
+        "        sut = UserService(repository: mockRepository)\n    }\n\n"
+        "    func testCreateUser() {\n        let user = User(name: \"Test\")\n\n"
+        "        sut.create(user)\n        userNotification.send(to: user)\n"
+        "        analyticsService.track(event: \"user_created\")\n\n"
+        "        XCTAssertEqual(mockRepository.savedUsers.count, 1)\n    }\n}\n"
+    )
+    assert {"XCTest", "MyApp"} <= set(hints["imports"])
+    assert {"sut.create", "userNotification.send",
+            "analyticsService.track"} <= set(hints["calls"])
+
+
+def test_swift_testing_framework():
+    from core_spark.functions.domain_hints import extract_swift_hints
+
+    hints = extract_swift_hints(
+        "\nimport Testing\n@testable import MyApp\n\n"
+        '@Suite("Payment Tests")\nstruct PaymentTests {\n'
+        '    @Test("processes payment correctly")\n'
+        "    func testPaymentProcessing() async throws {\n"
+        "        let service = PaymentService()\n\n"
+        "        #expect(service.isReady)\n        try #require(service.configure())\n\n"
+        "        paymentGateway.process(amount: 100)\n"
+        "        notificationService.sendReceipt(to: user)\n    }\n}\n"
+    )
+    assert {"Testing", "MyApp"} <= set(hints["imports"])
+    assert {"paymentGateway.process",
+            "notificationService.sendReceipt"} <= set(hints["calls"])
+
+
+def test_swift_dedup():
+    from core_spark.functions.domain_hints import extract_swift_hints
+
+    hints = extract_swift_hints(
+        "\nimport Foundation\nimport Foundation\n\nfunc test() {\n"
+        "    userService.create(1)\n    userService.create(2)\n}\n"
+    )
+    assert hints["imports"].count("Foundation") == 1
+    assert hints["calls"].count("userService.create") == 1
+
+
+def test_dispatch_all_eleven_languages():
+    assert extract_hints("a.cc", "#include <x>\n")["imports"] == ["x"]
+    assert extract_hints("a.cs", "using A.B;\n")["imports"] == ["A.B"]
+    assert extract_hints("a.kt", "import a.b.C\n")["imports"] == ["a.b.C"]
+    assert extract_hints("a.php", "<?php\nuse A\\B;\n")["imports"] == ["A\\B"]
+    assert extract_hints("a.swift", "import Foundation\n")["imports"] == ["Foundation"]
