@@ -306,6 +306,43 @@ def parse_cypress_config(cfg_path: str, content: str) -> dict:
     return scope
 
 
+_PYTEST_SECTION = re.compile(r"\[tool\.pytest")
+_PYTEST_TESTPATHS_TOML = re.compile(r"^\s*testpaths\s*=\s*\[([^\]]*)\]", re.M)
+_PYTEST_TESTPATHS_INI = re.compile(r"^\s*testpaths\s*=\s*(.+)$", re.M)
+_PYTEST_PYFILES_TOML = re.compile(r"^\s*python_files\s*=\s*\[([^\]]*)\]", re.M)
+_PYTEST_PYFILES_INI = re.compile(r"^\s*python_files\s*=\s*(.+)$", re.M)
+
+
+def parse_pytest_config(cfg_path: str, content: str) -> dict | None:
+    """pytest (strategies/pytest/definition.go:44-50): the reference's
+    ConfigParser is scope-only — NewConfigScope(configPath, "") rooted at
+    the config dir with empty Settings. pytest.ini / conftest.py count by
+    filename (definition.go:29-32); pyproject.toml counts ONLY when it has
+    a [tool.pytest*] section (PytestConfigContentMatcher,
+    definition.go:52-76). testpaths / python_files are additionally parsed
+    (ini space-separated or TOML array forms) into metadata keys that do
+    NOT affect containment — the reference scopes the whole config dir."""
+    base = posixpath.basename(cfg_path)
+    if base == "pyproject.toml" and not _PYTEST_SECTION.search(content):
+        return None
+    scope = _new_scope(cfg_path, "", "pytest")
+    # NewConfigScope leaves GlobalsMode at its zero value (scope.go:214-229)
+    m = _PYTEST_TESTPATHS_TOML.search(content)
+    if m:
+        scope["test_patterns"] = _STR_ITEM.findall(m.group(1))
+    else:
+        m = _PYTEST_TESTPATHS_INI.search(content)
+        if m:
+            scope["test_patterns"] = m.group(1).split()
+    m = _PYTEST_PYFILES_TOML.search(content)
+    if m:
+        scope["python_files"] = _STR_ITEM.findall(m.group(1))
+    else:
+        m = _PYTEST_PYFILES_INI.search(content)
+        scope["python_files"] = m.group(1).split() if m else []
+    return scope
+
+
 # -- config-file dispatch (scanner.go:275-309 filename patterns subset) -----
 
 _CONFIG_DISPATCH = [
@@ -315,6 +352,10 @@ _CONFIG_DISPATCH = [
     (re.compile(r"(^|/)playwright\.config\.(js|ts|mjs)$"), parse_playwright_config),
     (re.compile(r"(^|/)\.mocharc\.(js|cjs|json|yml|yaml)$"), parse_mocha_config),
     (re.compile(r"(^|/)cypress\.config\.(js|ts|mjs)$"), parse_cypress_config),
+    # discovery names scanner.go:291-293 (+ conftest.py, definition.go:31)
+    (re.compile(r"(^|/)pytest\.ini$"), parse_pytest_config),
+    (re.compile(r"(^|/)pyproject\.toml$"), parse_pytest_config),
+    (re.compile(r"(^|/)conftest\.py$"), parse_pytest_config),
 ]
 
 

@@ -299,6 +299,8 @@ def default_registry() -> list[Definition]:
         Definition(
             name="pytest", priority=PRIORITY_GENERIC, languages=("python",),
             import_patterns=("pytest",),
+            # PytestFileMatcher (strategies/pytest/definition.go:78-103)
+            filename_patterns=(r"(^|/)test_[^/]*\.py$", r"_test\.py$"),
             content_patterns=(r"@pytest\.mark\.\w+", r"@pytest\.fixture",
                               r"pytest\.raises\s*\(", r"pytest\.param\s*\("),
         ),

@@ -323,3 +323,79 @@ def test_cypress_config():
 def test_dispatch_mocha_cypress():
     assert parse_config("a/.mocharc.json", '{"spec": "t/*.js"}')["framework"] == "mocha"
     assert parse_config("a/cypress.config.ts", "")["framework"] == "cypress"
+
+
+# -- pytest (strategies/pytest/definition.go:44-76) --------------------------
+
+def test_pytest_ini_scope():
+    from core_spark.functions.configparse import parse_pytest_config
+
+    scope = parse_pytest_config(
+        "/p/pytest.ini", "[pytest]\ntestpaths = tests integration\n"
+    )
+    assert scope["framework"] == "pytest"
+    assert scope["base_dir"] == "/p"  # whole config dir (scope.go:214-229)
+    assert scope["test_patterns"] == ["tests", "integration"]
+
+
+def test_pytest_pyproject_requires_tool_section():
+    from core_spark.functions.configparse import parse_pytest_config
+
+    # no [tool.pytest*] section -> not a pytest config (definition.go:52-76)
+    assert parse_pytest_config(
+        "/p/pyproject.toml", "[tool.poetry]\nname = 'x'\n"
+    ) is None
+    scope = parse_pytest_config(
+        "/p/pyproject.toml",
+        "[tool.pytest.ini_options]\ntestpaths = [\"tests\", \"e2e\"]\n"
+        "python_files = [\"check_*.py\"]\n",
+    )
+    assert scope is not None
+    assert scope["base_dir"] == "/p"
+    assert scope["test_patterns"] == ["tests", "e2e"]
+    assert scope["python_files"] == ["check_*.py"]
+
+
+def test_pytest_conftest_scope():
+    from core_spark.functions.configparse import parse_pytest_config
+
+    scope = parse_pytest_config("/p/sub/conftest.py", "import pytest\n")
+    assert scope["framework"] == "pytest"
+    assert scope["base_dir"] == "/p/sub"
+    assert scope["test_patterns"] == []
+
+
+def test_pytest_dispatch():
+    assert parse_config("a/b/pytest.ini", "[pytest]\n")["framework"] == "pytest"
+    assert parse_config(
+        "a/pyproject.toml", "[tool.pytest.ini_options]\n"
+    )["framework"] == "pytest"
+    assert parse_config("a/pyproject.toml", "[tool.black]\n") is None
+    assert parse_config("a/conftest.py", "")["framework"] == "pytest"
+
+
+def test_pytest_config_bytes_to_resolved_scope(spark):
+    """D5 end-to-end from pytest config bytes: nested conftest.py beats the
+    repo-root pytest.ini by base-dir depth; unrelated pyproject.toml (no
+    [tool.pytest]) contributes no scope."""
+    from core_spark.operators.detect import resolve_scopes
+
+    configs = [
+        ("proj/pytest.ini", "[pytest]\ntestpaths = tests\n"),
+        ("proj/pkg/conftest.py", "import pytest\n"),
+        ("proj/pyproject.toml", "[tool.poetry]\nname = 'x'\n"),
+    ]
+    scopes = [parse_config(p, c) for p, c in configs]
+    rows = scopes_to_rows([s for s in scopes if s])
+    scopes_df = spark.createDataFrame(
+        rows, "cfg_path string, base_dir string, framework string"
+    )
+    files = spark.createDataFrame(
+        [("proj/tests/test_a.py",), ("proj/pkg/test_b.py",)], "path string"
+    )
+    got = {
+        r["path"]: (r["cfg_path"], r["framework"])
+        for r in resolve_scopes(files, scopes_df).collect()
+    }
+    assert got["proj/tests/test_a.py"] == ("proj/pytest.ini", "pytest")
+    assert got["proj/pkg/test_b.py"] == ("proj/pkg/conftest.py", "pytest")
