@@ -206,6 +206,7 @@ def knn_adaptive(
     query_id = kw.get("query_id", "query_id")
     remaining = queries
     parts = []
+    last_topk = None
     r = ring
     for _ in range(max_rounds):
         # eager checkpoint: the ring pass output is tiny (<= k rows per
@@ -216,6 +217,7 @@ def knn_adaptive(
         topk = knn_join(docs, remaining, k, res=res, ring=r, **kw).localCheckpoint(
             eager=True
         )
+        last_topk = topk
         done = topk.filter(F.col("complete"))
         parts.append(done)
         # distributed remainder: queries with no complete result this round
@@ -224,19 +226,36 @@ def knn_adaptive(
         remaining = remaining.join(done_ids, on=query_id, how="left_anti")
         r *= 2
     if bruteforce:
-        parts.append(
-            knn_bruteforce(
-                docs,
-                remaining,
-                k,
-                doc_id=kw.get("doc_id", "doc_id"),
-                query_id=query_id,
-                doc_lat=kw.get("doc_lat", "lat"),
-                doc_lon=kw.get("doc_lon", "lon"),
-                q_lat=kw.get("q_lat", "qlat"),
-                q_lon=kw.get("q_lon", "qlon"),
+        # The remainder is tiny by construction (stragglers of the ring
+        # passes), so materialize it once and gate the brute-force stage on
+        # it being non-empty: when every query completed in the ring pass,
+        # nothing may schedule a full docs scan (at 10^12 docs an un-elided
+        # empty-broadcast crossJoin is a full-table scan per kNN call, and
+        # AQE's empty-relation propagation is not guaranteed for a noop
+        # sink). The isEmpty() is a driver check on already-materialized
+        # local data — not a collect() of a data path.
+        remaining = remaining.localCheckpoint(eager=True)
+        if not remaining.isEmpty():
+            parts.append(
+                knn_bruteforce(
+                    docs,
+                    remaining,
+                    k,
+                    doc_id=kw.get("doc_id", "doc_id"),
+                    query_id=query_id,
+                    doc_lat=kw.get("doc_lat", "lat"),
+                    doc_lon=kw.get("doc_lon", "lon"),
+                    q_lat=kw.get("q_lat", "qlat"),
+                    q_lon=kw.get("q_lon", "qlon"),
+                )
             )
-        )
+    elif last_topk is not None:
+        # bruteforce=False: keep the final round's provably-incomplete rows
+        # flagged complete=False so callers see which queries fell short
+        # instead of losing them silently. (Queries whose covered rings held
+        # zero candidates produce no rows at all — documented limitation of
+        # the flag-only mode; bruteforce=True is the exact path.)
+        parts.append(last_topk.filter(~F.col("complete")))
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 

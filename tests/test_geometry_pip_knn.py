@@ -308,3 +308,52 @@ class TestKnnAdaptive:
             assert g["doc_id"].tolist() == w["doc_id"].tolist()
         # no duplicate (query, rank) rows from the union
         assert not got.duplicated(subset=["query_id", "rank"]).any()
+
+    def test_bruteforce_stage_gated_when_ring_pass_completes(self, spark):
+        """When every query completes in the ring pass, the brute-force
+        fallback must not be scheduled at all: the result plan carries no
+        nested-loop/cartesian docs scan (at 10^12 docs an un-elided empty
+        fallback is a full-table scan per kNN call)."""
+        from core_spark.operators.knn import knn_adaptive
+        from core_spark.operators.tiles import assign_tiles
+
+        pages = synth.webpages_pandas(500)
+        docs_pd = (
+            pages.dropna(subset=["true_lat"])[["doc_id", "true_lat", "true_lon"]]
+            .rename(columns={"true_lat": "lat", "true_lon": "lon"})
+        )
+        # mega-center queries only: dense clusters, complete at ring=2
+        queries_pd = pd.DataFrame(
+            {"query_id": [0, 1, 2],
+             "qlat": [40.7, 35.6, -23.5], "qlon": [-74.0, 139.7, -46.6]}
+        )
+        docs = assign_tiles(spark.createDataFrame(docs_pd), resolutions=(0,))
+        out = knn_adaptive(
+            docs, spark.createDataFrame(queries_pd), k=3, res=0, ring=2,
+            max_rounds=1, bruteforce=True,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert set(out.toPandas()["query_id"]) == {0, 1, 2}
+
+    def test_no_bruteforce_keeps_flagged_incomplete_rows(self, spark):
+        """bruteforce=False: queries still incomplete after max_rounds come
+        back flagged complete=False instead of being dropped."""
+        from core_spark.operators.knn import knn_adaptive
+        from core_spark.operators.tiles import assign_tiles
+
+        # 2 candidate docs near the query but k=3: the ring pass can never
+        # prove completeness, so the rows MUST come back flagged False
+        docs_pd = pd.DataFrame(
+            {"doc_id": [1, 2], "lat": [0.5, 1.0], "lon": [0.5, 1.0]}
+        )
+        queries_pd = pd.DataFrame({"query_id": [0], "qlat": [0.0], "qlon": [0.0]})
+        docs = assign_tiles(spark.createDataFrame(docs_pd), resolutions=(0,))
+        got = knn_adaptive(
+            docs, spark.createDataFrame(queries_pd), k=3, res=0, ring=2,
+            max_rounds=1, bruteforce=False,
+        ).toPandas()
+        assert len(got) == 2
+        assert not got["complete"].any()
+        assert set(got["doc_id"]) == {1, 2}
