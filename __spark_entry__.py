@@ -1078,7 +1078,9 @@ def q_simhash_pairs(spark, sf_dir):
     the oracle's brute-force all-pairs scan exactly. Signatures come from
     the vectorized numpy kernel; the oracle recomputes them independently
     in DuckDB SQL (md5-derived bits are engine-portable)."""
-    docs = _docs(spark, sf_dir).filter("text IS NOT NULL AND text <> ''")
+    # trim(): a whitespace-only doc tokenizes to [] in the kernel but [''] in
+    # DuckDB's string_split_regex — excluded on BOTH sides for parity
+    docs = _docs(spark, sf_dir).filter("text IS NOT NULL AND trim(text) <> ''")
     return dd.simhash_candidates(dd.with_simhash(docs), max_hamming=3).selectExpr(
         "id_a", "id_b", "CAST(hamming AS BIGINT) AS hamming"
     )

@@ -464,6 +464,7 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
         .localCheckpoint(eager=True)
     )
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         # decimal(38,0) sums: BIGINT would overflow under ANSI mode
@@ -476,8 +477,18 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
             ).first()
         )
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # the labeling below is only correct at the star fixpoint —
+        # surface non-convergence instead of silently under-merging
+        # (Kiveris et al. prove O(log^2 n) rounds w.h.p.; 12 covers any
+        # realistic graph, so hitting this means something is wrong)
+        raise RuntimeError(
+            f"connected_components did not reach the star fixpoint within "
+            f"{max_iter} rounds; raise max_iter"
+        )
     # fixpoint edges are stars (v, component_min); the min itself only
     # appears as dst, so label it with itself
     return (
@@ -663,7 +674,7 @@ def sql_simhash_pairs(docs_table: str, text_col: str = "text",
 WITH hs AS (
   SELECT {id_col}, {hs} AS _hs
   FROM {docs_table}
-  WHERE {text_col} IS NOT NULL AND {text_col} <> ''
+  WHERE {text_col} IS NOT NULL AND trim({text_col}) <> ''
 ),
 raw AS (SELECT {id_col}, _hs, ({bit_terms}) AS _sig FROM hs),
 sigs AS (
