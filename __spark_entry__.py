@@ -49,20 +49,26 @@ KNN_RING = 4
 N_POLYGONS = 96
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, wide: bool = True) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # the fixture is a single-file single-row-group table, so the scan is a
-    # 1-task stage and every per-doc kernel downstream would run serially;
-    # rebalance to the executor pool. At real scale the table has many
-    # files/row-groups and this branch never fires (keeping scan pushdown).
-    n = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        df = df.repartition(n)
+    # The fixture is a single-file table, so the scan is a few-task stage;
+    # wide=True rebalances to the executor pool for compute-heavy work
+    # (Python parse kernels AND md5-heavy JVM stages: dedup_minhash went
+    # 5s -> 33s when run narrow). wide=False is the opt-in for provably
+    # cheap scan-centric queries, where the repartition is a measured
+    # ~0.5-1s of pure overhead (geoparse_dec 1.2s -> 0.37s at sf0.1).
+    # The asymmetry sets the default: narrow saves ~0.7s on cheap queries
+    # but costs 10-30s on heavy ones. At real scale the table has many
+    # files/row-groups and the branch never fires (scan pushdown kept).
+    if wide:
+        n = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < n:
+            df = df.repartition(n)
     return df
 
 
-def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).selectExpr(
+def _points(spark: SparkSession, sf_dir: str, wide: bool = True) -> DataFrame:
+    return _docs(spark, sf_dir, wide=wide).selectExpr(
         "doc_id", f"{LAT_EXPR} AS lat", f"{LON_EXPR} AS lon", "lang"
     )
 
@@ -164,7 +170,7 @@ def q_geoparse_dec(spark, sf_dir):
     text is synthesized portably (integer printf only), then parsed back."""
     from core_spark.functions.geoparse import DEC_PATTERN
 
-    return _docs(spark, sf_dir).selectExpr(
+    return _docs(spark, sf_dir, wide=False).selectExpr(
         "doc_id",
         "concat('located at ', CAST(doc_id % 90 AS STRING), '.1234', ', -',"
         " CAST(doc_id % 179 AS STRING), '.5678', ' nearby') AS mention_text",
@@ -189,7 +195,7 @@ def q_detect_cascade(spark, sf_dir):
     END
     """
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, wide=False)
         .selectExpr("doc_id", f"{cascade} AS framework")
         .groupBy("framework")
         .count()
@@ -222,14 +228,14 @@ def q_text_quality(spark, sf_dir):
 
 def q_text_langid(spark, sf_dir):
     """Stopword-marker language ID (portable CASE cascade)."""
-    return _docs(spark, sf_dir).selectExpr(
+    return _docs(spark, sf_dir, wide=False).selectExpr(
         "doc_id", f"{ts.sql_lang_id('text')} AS lang_pred"
     )
 
 
 def q_fingerprint(spark, sf_dir):
     """60-bit md5-derived content fingerprint (portable)."""
-    return _docs(spark, sf_dir).selectExpr(
+    return _docs(spark, sf_dir, wide=False).selectExpr(
         "doc_id", f"{ts.spark_fingerprint('text')} AS fp"
     )
 
