@@ -167,14 +167,18 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    # set size BEFORE exploding so it rides along with every posting row —
-    # a separate sizes aggregation would re-run the shingle computation
-    # (branching DAGs recompute; no persist needed this way)
-    sh = (
-        df.select(
-            F.col(id_col), F.expr(spark_hashed_shingles(text_col, k)).alias("_shs")
-        )
-        .select(F.col(id_col), F.size("_shs").alias("sz"), F.explode("_shs").alias("h"))
+    # materialize the hashed-set table ONCE: the tokenize+md5 pass is the
+    # single most expensive expression in the pipeline and three branches
+    # need it (document frequencies, the prefix index, and the final exact
+    # verify) — without the checkpoint each branch recomputes it from the
+    # scan. The payload is one long array per doc, far smaller than the
+    # text it replaces.
+    sets = df.select(
+        F.col(id_col), F.expr(spark_hashed_shingles(text_col, k)).alias("_shs")
+    ).localCheckpoint(eager=True)
+    # set size BEFORE exploding so it rides along with every posting row
+    sh = sets.select(
+        F.col(id_col), F.size("_shs").alias("sz"), F.explode("_shs").alias("h")
     )
     dfreq = sh.groupBy("h").agg(F.count("*").alias("df_"))
     w = Window.partitionBy(id_col).orderBy(F.col("df_").asc(), F.col("h").asc())
@@ -219,7 +223,7 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
         .distinct()
     )
     return verify_pairs_jaccard(cand, df, text_col=text_col, id_col=id_col,
-                                k=k, threshold=threshold)
+                                k=k, threshold=threshold, hashed_sets=sets)
 
 
 def sql_ngram_jaccard_pairs(docs_table: str, text_col: str = "text",
@@ -365,19 +369,26 @@ FROM bk a JOIN bk b
 
 def verify_pairs_jaccard(pairs, docs, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 3,
-                         threshold: float = 0.8):
+                         threshold: float = 0.8, hashed_sets=None):
     """Exact-verify candidate pairs: word-k-gram Jaccard computed ONLY for
     the candidates (array_intersect/array_union — JVM-side, over 60-bit
     hashed shingles for cheap long comparisons), keep pairs at or above
     threshold. The cheap-filter-then-verify discipline: LSH proposes, exact
     math disposes (reference analog: detection cascade's
-    cheap-predicate-first, SURVEY §4)."""
+    cheap-predicate-first, SURVEY §4).
+
+    ``hashed_sets``: optional pre-materialized (id_col, _shs) table (same k
+    and hashing) so callers that already built it — ngram_jaccard_pairs'
+    prefix index — skip a full re-tokenize of the corpus here."""
     from pyspark.sql import functions as F
 
-    # checkpoint: the hashed-set table feeds both sides of the pair join
-    sh = docs.select(
-        F.col(id_col), F.expr(spark_hashed_shingles(text_col, k)).alias("_sh")
-    ).localCheckpoint(eager=True)
+    if hashed_sets is not None:
+        sh = hashed_sets.select(F.col(id_col), F.col("_shs").alias("_sh"))
+    else:
+        # checkpoint: the hashed-set table feeds both sides of the pair join
+        sh = docs.select(
+            F.col(id_col), F.expr(spark_hashed_shingles(text_col, k)).alias("_sh")
+        ).localCheckpoint(eager=True)
     a = sh.selectExpr(f"{id_col} AS id_a", "_sh AS sh_a")
     b = sh.selectExpr(f"{id_col} AS id_b", "_sh AS sh_b")
     return (
