@@ -22,7 +22,12 @@ backtick strings arrive as template tokens):
 
 from __future__ import annotations
 
-from core_spark.functions.jstest import Tok, _go_unquote_double, tokenize
+from core_spark.functions.jstest import (
+    Tok,
+    _go_unquote_double,
+    tok_span_location,
+    tokenize,
+)
 
 STATUS_ACTIVE = "active"
 
@@ -115,8 +120,15 @@ def _subtests(toks: list[Tok], lo: int, hi: int) -> list[dict]:
                     name = trim_quotes(toks[alo].text)
                     break
             if name:
+                # span: the x.Run(...) call expression — receiver token
+                # (just before the '.') through the closing paren
+                si = i - 1 if i > 0 and toks[i - 1].kind == "id" else i
                 out.append(
-                    {"name": name, "status": STATUS_ACTIVE, "line": toks[i + 1].line}
+                    {
+                        "name": name,
+                        "status": STATUS_ACTIVE,
+                        "loc": tok_span_location(toks, si, min(close, hi)),
+                    }
                 )
             i += 3  # keep scanning INSIDE the Run args (nested t.Run)
             continue
@@ -146,7 +158,6 @@ def parse_go_tests(source: str) -> list[dict]:
                 i = j  # method (receiver parens) or anonymous — skip
                 continue
             name = toks[j].text
-            line = t.line
             kind = classify_func(name)
             j += 1
             if j >= n or not (toks[j].kind == "punct" and toks[j].text == "("):
@@ -163,6 +174,9 @@ def parse_go_tests(source: str) -> list[dict]:
             else:
                 bclose = b
             subs = _subtests(toks, b + 1, bclose) if kind == "test" else []
+            # span: the whole function_declaration — 'func' through the
+            # body's closing brace (treesitter.go:114-125 convention)
+            floc = tok_span_location(toks, i, bclose if bclose > b else b)
             if subs:
                 rows.append(
                     {
@@ -171,7 +185,7 @@ def parse_go_tests(source: str) -> list[dict]:
                         "name": name,
                         "status": STATUS_ACTIVE,
                         "modifier": "",
-                        "line": line,
+                        **floc,
                     }
                 )
                 for s in subs:
@@ -182,7 +196,7 @@ def parse_go_tests(source: str) -> list[dict]:
                             "name": s["name"],
                             "status": s["status"],
                             "modifier": "",
-                            "line": s["line"],
+                            **s["loc"],
                         }
                     )
             else:
@@ -193,7 +207,7 @@ def parse_go_tests(source: str) -> list[dict]:
                         "name": name,
                         "status": STATUS_ACTIVE,
                         "modifier": "",
-                        "line": line,
+                        **floc,
                     }
                 )
             i = bclose + 1 if bclose > b else b

@@ -184,6 +184,7 @@ class Tok:
     kind: str  # 'id' | 'str' | 'tpl' | 'num' | 'punct' | 'regex'
     text: str
     line: int
+    col: int = 0  # 0-based start column (tree-sitter Point convention)
 
 
 _ID_START = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_$")
@@ -286,13 +287,17 @@ def tokenize(src: str) -> list[Tok]:
     i = 0
     n = len(src)
     line = 1
+    ls = 0  # offset of the current line start (col = i - ls, 0-based)
     master = _MASTER
     while i < n:
         c = src[i]
         if c == "`":
             j = _scan_template(src, i)
-            append(Tok("tpl", src[i:j], line))
-            line += src.count("\n", i, j)
+            append(Tok("tpl", src[i:j], line, i - ls))
+            nl = src.count("\n", i, j)
+            if nl:
+                line += nl
+                ls = src.rfind("\n", i, j) + 1
             i = j
             continue
         if c == "/" and not src.startswith(("//", "/*"), i):
@@ -322,10 +327,10 @@ def tokenize(src: str) -> list[Tok]:
                     elif c2 == "\n":
                         break
                     j += 1
-                append(Tok("regex", src[i:j], line))
+                append(Tok("regex", src[i:j], line, i - ls))
                 i = j
                 continue
-            append(Tok("punct", "/", line))
+            append(Tok("punct", "/", line, i - ls))
             i += 1
             continue
         m = master.match(src, i)
@@ -340,24 +345,28 @@ def tokenize(src: str) -> list[Tok]:
             continue
         if kind == "nl":
             line += 1
+            ls = j
             i = j
             continue
         if kind == "lc":
             i = j
             continue
         if kind == "bc":
-            line += src.count("\n", i, j)
+            nl = src.count("\n", i, j)
+            if nl:
+                line += nl
+                ls = src.rfind("\n", i, j) + 1
             i = j
             continue
         if kind == "str":
-            append(Tok("str", text, line))
+            append(Tok("str", text, line, i - ls))
             # single-line strings cannot contain raw newlines
         elif kind == "id":
-            append(Tok("id", text, line))
+            append(Tok("id", text, line, i - ls))
         elif kind == "num":
-            append(Tok("num", text, line))
+            append(Tok("num", text, line, i - ls))
         else:
-            append(Tok("punct", text, line))
+            append(Tok("punct", text, line, i - ls))
         i = j
     return toks
 
@@ -368,6 +377,27 @@ def tokenize(src: str) -> list[Tok]:
 
 _OPEN = {"(": ")", "[": "]", "{": "}"}
 _CLOSE = {")": "(", "]": "[", "}": "{"}
+
+
+def tok_span_location(toks: list[Tok], si: int, ei: int) -> dict:
+    """Location fields for the token range [si, ei] — the reference's
+    convention (domain/location.go:4-15 via treesitter.go:114-125):
+    1-based lines, 0-based cols, end col EXCLUSIVE (the point after the
+    node's last character). Multi-line tokens (templates, raw strings)
+    advance the end line and restart the end col."""
+    ei = min(ei, len(toks) - 1)
+    st, et = toks[si], toks[ei]
+    nl = et.text.count("\n")
+    if nl:
+        end_col = len(et.text) - et.text.rfind("\n") - 1
+    else:
+        end_col = et.col + len(et.text)
+    return {
+        "line": st.line,
+        "start_col": st.col,
+        "end_line": et.line + nl,
+        "end_col": end_col,
+    }
 
 
 def _match_bracket(toks: list[Tok], i: int) -> int:
@@ -641,7 +671,8 @@ class _Extractor:
         self.toks = toks
         self.rows: list[dict] = []
 
-    def emit(self, kind, path, name, status, modifier, line):
+    def emit(self, kind, path, name, status, modifier, span):
+        # span = (start_token_idx, end_token_idx) of the call expression
         self.rows.append(
             {
                 "kind": kind,
@@ -649,7 +680,7 @@ class _Extractor:
                 "name": name,
                 "status": status,
                 "modifier": modifier,
-                "line": line,
+                **tok_span_location(self.toks, *span),
             }
         )
 
@@ -744,7 +775,7 @@ class _Extractor:
         close1 = _match_bracket(toks, j)
         args1 = _split_args(toks, j + 1, min(close1, hi))
         end = min(close1, hi) + 1
-        call_line = toks[i].line
+        span = (i, min(close1, hi - 1))
 
         # chained call f.each(...)(...)? (parser.go:175-177)
         if end < hi and toks[end].kind == "punct" and toks[end].text == "(":
@@ -752,13 +783,13 @@ class _Extractor:
             args2 = _split_args(toks, end + 1, min(close2, hi))
             outer_end = min(close2, hi) + 1
             if not dynamic:
-                self._each_call(desc, args2, call_line, path)
+                self._each_call(desc, args2, (i, min(close2, hi - 1)), path)
             return outer_end
 
-        self._process_call(desc, args1, call_line, path, dynamic)
+        self._process_call(desc, args1, span, path, dynamic)
         return end
 
-    def _each_call(self, inner_desc, outer_args, line, path):
+    def _each_call(self, inner_desc, outer_args, span, path):
         """ProcessEachCall (parser.go:131-157)."""
         toks = self.toks
         fname, status, modifier = parse_function_name(inner_desc)
@@ -774,7 +805,7 @@ class _Extractor:
             if cb is None or not template:
                 return
             name = template + DYNAMIC_CASES_SUFFIX
-            self.emit("suite", path, name, status, modifier, line)
+            self.emit("suite", path, name, status, modifier, span)
             body = _callback_body(toks, *cb)
             if body:
                 self.scan(body[0], body[1], path + (name,), dynamic=False)
@@ -782,10 +813,10 @@ class _Extractor:
             if not template:
                 return
             self.emit(
-                "test", path, template + DYNAMIC_CASES_SUFFIX, status, modifier, line
+                "test", path, template + DYNAMIC_CASES_SUFFIX, status, modifier, span
             )
 
-    def _process_call(self, desc, args, line, path, dynamic):
+    def _process_call(self, desc, args, span, path, dynamic):
         """processCallExpressionWithMode (parser.go:164-216)."""
         toks = self.toks
         kind, ids = desc
@@ -813,7 +844,7 @@ class _Extractor:
                 if not name:
                     name = DYNAMIC_NAME_PLACEHOLDER
                 self.emit(
-                    "test", path, name + DYNAMIC_CASES_SUFFIX, STATUS_ACTIVE, "", line
+                    "test", path, name + DYNAMIC_CASES_SUFFIX, STATUS_ACTIVE, "", span
                 )
                 return
 
@@ -825,16 +856,16 @@ class _Extractor:
             if not dynamic:
                 name = _extract_test_name(toks, args)
                 if name:
-                    self.emit("test", path, name, status, modifier, line)
+                    self.emit("test", path, name, status, modifier, span)
             return
         if fname in SUITE_FUNCS:
-            self._suite(args, line, path, status, modifier, dynamic)
+            self._suite(args, span, path, status, modifier, dynamic)
             return
         if fname in TEST_FUNCS:
-            self._test(args, line, path, status, modifier, dynamic)
+            self._test(args, span, path, status, modifier, dynamic)
             return
         if fname == "defineTest":
-            self._define_test(args, line, path)
+            self._define_test(args, span, path)
             return
         # unknown function: descend into the last callback (parser.go:209-215)
         cb = _find_callback_arg(toks, args, last=True)
@@ -843,7 +874,7 @@ class _Extractor:
             if body:
                 self.scan(body[0], body[1], path, dynamic=False)
 
-    def _suite(self, args, line, path, status, modifier, dynamic):
+    def _suite(self, args, span, path, status, modifier, dynamic):
         toks = self.toks
         name = _extract_test_name(toks, args)
         if not name:
@@ -853,14 +884,14 @@ class _Extractor:
             return  # Vitest conditional skip (parser.go:251-256)
         if dynamic:
             name += DYNAMIC_CASES_SUFFIX
-        self.emit("suite", path, name, status, modifier, line)
+        self.emit("suite", path, name, status, modifier, span)
         if cb is not None:
             body = _callback_body(toks, *cb)
             if body:
                 # ParseCallbackBody resets dynamic (parser.go:46-51 -> 353)
                 self.scan(body[0], body[1], path + (name,), dynamic=False)
 
-    def _test(self, args, line, path, status, modifier, dynamic):
+    def _test(self, args, span, path, status, modifier, dynamic):
         toks = self.toks
         name = _extract_test_name(toks, args)
         if not name:
@@ -869,9 +900,9 @@ class _Extractor:
             return  # Vitest conditional skip (parser.go:224-229)
         if dynamic:
             name += DYNAMIC_CASES_SUFFIX
-        self.emit("test", path, name, status, modifier, line)
+        self.emit("test", path, name, status, modifier, span)
 
-    def _define_test(self, args, line, path):
+    def _define_test(self, args, span, path):
         """parser.go:294-351: name from 4th (prefix) else 2nd (transform)
         string arg, else '(dynamic)'."""
         toks = self.toks
@@ -885,7 +916,7 @@ class _Extractor:
                         break
         if not name:
             name = DYNAMIC_NAME_PLACEHOLDER
-        self.emit("test", path, name + DYNAMIC_CASES_SUFFIX, STATUS_ACTIVE, "", line)
+        self.emit("test", path, name + DYNAMIC_CASES_SUFFIX, STATUS_ACTIVE, "", span)
 
 
 def detect_language(filename: str) -> str:

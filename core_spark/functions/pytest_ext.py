@@ -79,14 +79,22 @@ def _unittest_decorator_status(decorators, source) -> tuple[str, str]:
     return STATUS_ACTIVE, ""
 
 
-def _row(kind, path, name, status, modifier, line):
+def _row(kind, path, name, status, modifier, node):
+    # Location parity with the reference (domain/location.go:4-15 via
+    # treesitter.go:114-125): 1-based lines, 0-based cols, end exclusive.
+    # Python's ast gives the function/class node span directly (decorators
+    # excluded — matching the reference, which passes the definition node,
+    # not the decorated_definition wrapper).
     return {
         "kind": kind,
         "suite_path": list(path),
         "name": name,
         "status": status,
         "modifier": modifier,
-        "line": line,
+        "line": node.lineno,
+        "start_col": node.col_offset,
+        "end_line": node.end_lineno,
+        "end_col": node.end_col_offset,
     }
 
 
@@ -101,7 +109,7 @@ def _class_tests(node: ast.ClassDef, source, name_pred, status_fn,
         status, modifier = status_fn(child.decorator_list, source)
         if status == STATUS_ACTIVE and class_status != STATUS_ACTIVE:
             status, modifier = class_status, class_modifier
-        rows.append(_row("test", path, child.name, status, modifier, child.lineno))
+        rows.append(_row("test", path, child.name, status, modifier, child))
     return rows
 
 
@@ -118,7 +126,7 @@ def parse_pytest_tests(source: str) -> list[dict]:
         if isinstance(node, _FUNC_NODES):
             if node.name.startswith("test_"):
                 status, modifier = _pytest_decorator_status(node.decorator_list, source)
-                rows.append(_row("test", (), node.name, status, modifier, node.lineno))
+                rows.append(_row("test", (), node.name, status, modifier, node))
         elif isinstance(node, ast.ClassDef):
             if not node.name.startswith("Test"):
                 continue
@@ -129,7 +137,7 @@ def parse_pytest_tests(source: str) -> list[dict]:
             )
             if not tests:
                 continue
-            rows.append(_row("suite", (), node.name, cstatus, cmod, node.lineno))
+            rows.append(_row("suite", (), node.name, cstatus, cmod, node))
             rows.extend(tests)
     return rows
 
@@ -162,6 +170,6 @@ def parse_unittest_tests(source: str) -> list[dict]:
         )
         if not tests:
             continue
-        rows.append(_row("suite", (), node.name, cstatus, cmod, node.lineno))
+        rows.append(_row("suite", (), node.name, cstatus, cmod, node))
         rows.extend(tests)
     return rows

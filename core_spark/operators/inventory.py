@@ -21,9 +21,15 @@ SURVEY §4 last row).
 
 from __future__ import annotations
 
+# Location columns mirror the reference's domain.Location (location.go:4-15):
+# line/end_line 1-based, start_col/end_col 0-based with end exclusive.
+# Kernels that don't track spans yet emit NULLs (JS/Go/Python populate all
+# four; the oracled driver queries don't select them, so adding columns
+# can't break value hashes).
 INVENTORY_SCHEMA = (
     "path string, kind string, suite_path array<string>, name string, "
-    "status string, modifier string, line int, err string"
+    "status string, modifier string, line int, end_line int, "
+    "start_col int, end_col int, err string"
 )
 
 
@@ -83,8 +89,10 @@ def extract_inventory(df, source_col: str = "source", path_col: str = "path"):
         for pdf in batches:
             out = {
                 "path": [], "kind": [], "suite_path": [], "name": [],
-                "status": [], "modifier": [], "line": [], "err": [],
+                "status": [], "modifier": [], "line": [], "end_line": [],
+                "start_col": [], "end_col": [], "err": [],
             }
+            loc_keys = ("line", "end_line", "start_col", "end_col")
             paths = pdf[path_col].to_numpy()
             sources = pdf[source_col].to_numpy()
             for j in range(len(pdf)):
@@ -93,12 +101,9 @@ def extract_inventory(df, source_col: str = "source", path_col: str = "path"):
                     rows = _dispatch(path, str(sources[j]))
                 except Exception as e:  # error-as-data, never fail the stage
                     out["path"].append(path)
-                    out["kind"].append(None)
-                    out["suite_path"].append(None)
-                    out["name"].append(None)
-                    out["status"].append(None)
-                    out["modifier"].append(None)
-                    out["line"].append(None)
+                    for k in ("kind", "suite_path", "name", "status",
+                              "modifier", *loc_keys):
+                        out[k].append(None)
                     out["err"].append(f"{type(e).__name__}: {e}"[:500])
                     continue
                 for r in rows:
@@ -108,7 +113,8 @@ def extract_inventory(df, source_col: str = "source", path_col: str = "path"):
                     out["name"].append(r["name"])
                     out["status"].append(r["status"])
                     out["modifier"].append(r["modifier"])
-                    out["line"].append(r["line"])
+                    for k in loc_keys:
+                        out[k].append(r.get(k))
                     out["err"].append(None)
             # suite_path must be an object Series: letting pandas infer the
             # dtype of a list-of-lists column trips Arrow's NumPyConverter
