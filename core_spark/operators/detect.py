@@ -299,8 +299,12 @@ def default_registry() -> list[Definition]:
         Definition(
             name="pytest", priority=PRIORITY_GENERIC, languages=("python",),
             import_patterns=("pytest",),
-            # PytestFileMatcher (strategies/pytest/definition.go:78-103)
-            filename_patterns=(r"(^|/)test_[^/]*\.py$", r"_test\.py$"),
+            # NOTE: the reference's PytestFileMatcher (test_*.py, partial
+            # confidence 20) is deliberately NOT a filename_pattern here —
+            # detector.go:133-137 only consults DefiniteMatch (100)
+            # patterns in the strong-filename phase, so a test_*.py name
+            # must never outrank another framework's content match
+            # (e.g. unittest.TestCase in test_legacy.py).
             content_patterns=(r"@pytest\.mark\.\w+", r"@pytest\.fixture",
                               r"pytest\.raises\s*\(", r"pytest\.param\s*\("),
         ),
