@@ -24,7 +24,13 @@ shared/dotnetast/ast.go) over the shared C-family tokenizer:
 
 from __future__ import annotations
 
-from core_spark.functions.jstest import Tok, _match_bracket, _split_args, tokenize
+from core_spark.functions.jstest import (
+    Tok,
+    _match_bracket,
+    _split_args,
+    tok_span_location,
+    tokenize,
+)
 
 STATUS_ACTIVE = "active"
 STATUS_SKIPPED = "skipped"
@@ -80,7 +86,7 @@ def _is_theory(name: str) -> bool:
     return n == "Theory" or n.endswith("Theory")
 
 
-def _method_tests(dialect, attrs, method_name, line, class_status, class_modifier):
+def _method_tests(dialect, attrs, method_name, loc, class_status, class_modifier):
     if not attrs:
         return []
     status, modifier = class_status, class_modifier
@@ -102,10 +108,10 @@ def _method_tests(dialect, attrs, method_name, line, class_status, class_modifie
             elif base == "TestCaseSource":
                 has_source = True
         if tests:
-            return [dict(name=n, status=s, modifier=m, line=line) for n, s, m in tests]
+            return [dict(name=n, status=s, modifier=m, **loc) for n, s, m in tests]
         if has_simple or has_source:
             return [dict(name=description or method_name, status=status,
-                         modifier=modifier, line=line)]
+                         modifier=modifier, **loc)]
         return []
     if dialect == "xunit":
         has_fact = has_theory = theory_skipped = False
@@ -126,10 +132,10 @@ def _method_tests(dialect, attrs, method_name, line, class_status, class_modifie
                 s, m = (STATUS_SKIPPED, "Skip") if theory_skipped else (status, modifier)
                 inline.append((method_name, s, m))
         if inline:
-            return [dict(name=n, status=s, modifier=m, line=line) for n, s, m in inline]
+            return [dict(name=n, status=s, modifier=m, **loc) for n, s, m in inline]
         if has_fact or has_theory:
             s, m = (STATUS_SKIPPED, "Skip") if (has_theory and theory_skipped) else (status, modifier)
-            return [dict(name=display or method_name, status=s, modifier=m, line=line)]
+            return [dict(name=display or method_name, status=s, modifier=m, **loc)]
         return []
     # mstest
     is_test = False
@@ -140,7 +146,7 @@ def _method_tests(dialect, attrs, method_name, line, class_status, class_modifie
             display = named.get("DisplayName", display)
     if not is_test:
         return []
-    return [dict(name=display or method_name, status=status, modifier=modifier, line=line)]
+    return [dict(name=display or method_name, status=status, modifier=modifier, **loc)]
 
 
 class _CsExtractor:
@@ -148,25 +154,29 @@ class _CsExtractor:
         self.toks = toks
         self.dialect = dialect
 
-    def parse_class(self, name, line, lo, hi, path, status, modifier, depth):
+    def parse_class(self, name, loc, lo, hi, path, status, modifier, depth):
         toks = self.toks
         child_path = path + (name,)
         tests = []
         nested = []
         pending = []
+        pend_start = -1
         i = lo
         while i < hi:
             t = toks[i]
             if t.kind == "punct" and t.text == "[":
+                if not pending:
+                    pend_start = i
                 attrs, i = _parse_attr_list(toks, i, hi)
                 pending.extend(attrs)
                 continue
             if t.kind == "id" and t.text == "class":
                 anns = pending
                 pending = []
+                cstart = pend_start if anns else i
+                pend_start = -1
                 j = i + 1
                 cname = toks[j].text if j < hi and toks[j].kind == "id" else ""
-                cline = t.line
                 while j < hi and not (toks[j].kind == "punct" and toks[j].text == "{"):
                     j += 1
                 if j >= hi:
@@ -177,8 +187,11 @@ class _CsExtractor:
                     if any(_strip_suffix(a) == "Ignore" for a, _ in anns):
                         c_status, c_mod = STATUS_SKIPPED, "[Ignore]"
                     nested.extend(
-                        self.parse_class(cname, cline, j + 1, min(close, hi),
-                                         child_path, c_status, c_mod, depth + 1)
+                        self.parse_class(
+                            cname,
+                            tok_span_location(toks, cstart, min(close, hi - 1)),
+                            j + 1, min(close, hi),
+                            child_path, c_status, c_mod, depth + 1)
                     )
                 i = min(close, hi) + 1
                 continue
@@ -191,7 +204,12 @@ class _CsExtractor:
                 anns = pending
                 pending = []
                 mname = t.text
-                mline = t.line
+                # method_declaration span: attributes + modifiers -> body end
+                k = i - 1
+                while k >= 0 and toks[k].kind == "id":
+                    k -= 1
+                mstart = pend_start if anns else (k + 1 if k + 1 < i else i)
+                pend_start = -1
                 close = _match_bracket(toks, i + 1)
                 j = min(close, hi) + 1
                 while j < hi:
@@ -213,12 +231,16 @@ class _CsExtractor:
                         break
                     j += 1
                 tests.extend(
-                    _method_tests(self.dialect, anns, mname, mline, status, modifier)
+                    _method_tests(
+                        self.dialect, anns, mname,
+                        tok_span_location(toks, mstart, max(j - 1, i)),
+                        status, modifier)
                 )
                 i = j
                 continue
             if t.kind == "punct" and t.text == ";":
                 pending = []
+                pend_start = -1
             i += 1
         if not tests and not nested:
             return []
@@ -229,20 +251,13 @@ class _CsExtractor:
                 "name": name,
                 "status": status,
                 "modifier": modifier,
-                "line": line,
+                **loc,
             }
         ]
         for tr in tests:
-            rows.append(
-                {
-                    "kind": "test",
-                    "suite_path": list(child_path),
-                    "name": tr["name"],
-                    "status": tr["status"],
-                    "modifier": tr["modifier"],
-                    "line": tr["line"],
-                }
-            )
+            tr["kind"] = "test"
+            tr["suite_path"] = list(child_path)
+            rows.append(tr)
         rows.extend(nested)
         return rows
 
@@ -264,19 +279,23 @@ def parse_csharp_tests(source: str, dialect: str | None = None) -> list[dict]:
     ex = _CsExtractor(toks, dialect)
     rows: list[dict] = []
     pending = []
+    pend_start = -1
     i = 0
     while i < n:
         t = toks[i]
         if t.kind == "punct" and t.text == "[":
+            if not pending:
+                pend_start = i
             attrs, i = _parse_attr_list(toks, i, n)
             pending.extend(attrs)
             continue
         if t.kind == "id" and t.text == "class":
             anns = pending
             pending = []
+            cstart = pend_start if anns else i
+            pend_start = -1
             j = i + 1
             cname = toks[j].text if j < n and toks[j].kind == "id" else ""
-            cline = t.line
             while j < n and not (toks[j].kind == "punct" and toks[j].text == "{"):
                 j += 1
             if j >= n:
@@ -287,11 +306,14 @@ def parse_csharp_tests(source: str, dialect: str | None = None) -> list[dict]:
                 status, modifier = STATUS_SKIPPED, "[Ignore]"
             if cname:
                 rows.extend(
-                    ex.parse_class(cname, cline, j + 1, close, (), status, modifier, 0)
+                    ex.parse_class(
+                        cname, tok_span_location(toks, cstart, min(close, n - 1)),
+                        j + 1, close, (), status, modifier, 0)
                 )
             i = close + 1
             continue
         if t.kind == "punct" and t.text == ";":
             pending = []
+            pend_start = -1
         i += 1
     return rows

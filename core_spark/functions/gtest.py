@@ -17,7 +17,7 @@ short strings):
 
 from __future__ import annotations
 
-from core_spark.functions.jstest import tokenize
+from core_spark.functions.jstest import _match_bracket, tok_span_location, tokenize
 
 GTEST_MACROS = {"TEST", "TEST_F", "TEST_P", "TYPED_TEST", "TYPED_TEST_P"}
 _DISABLED = "DISABLED_"
@@ -57,10 +57,16 @@ def parse_gtest(source: str) -> list[dict]:
             status, modifier = _disabled_status(test_name)
             if status == STATUS_ACTIVE:
                 status, modifier = _disabled_status(suite_name)
+            # span: macro token through the body's closing brace (the whole
+            # function_definition node in the reference's tree)
+            end = i + 5
+            if i + 6 < n and toks[i + 6].kind == "punct" and toks[i + 6].text == "{":
+                end = min(_match_bracket(toks, i + 6), n - 1)
+            loc = tok_span_location(toks, i, end)
             if suite_name not in suites:
                 s_status, s_modifier = _disabled_status(suite_name)
                 suites[suite_name] = {
-                    "line": t.line,
+                    "loc": loc,
                     "status": s_status,
                     "modifier": s_modifier,
                     "tests": [],
@@ -71,7 +77,7 @@ def parse_gtest(source: str) -> list[dict]:
                     "name": test_name,
                     "status": status,
                     "modifier": modifier,
-                    "line": t.line,
+                    "loc": loc,
                 }
             )
             i += 6
@@ -88,7 +94,7 @@ def parse_gtest(source: str) -> list[dict]:
                 "name": name,
                 "status": s["status"],
                 "modifier": s["modifier"],
-                "line": s["line"],
+                **s["loc"],
             }
         )
         for tt in s["tests"]:
@@ -99,7 +105,7 @@ def parse_gtest(source: str) -> list[dict]:
                     "name": tt["name"],
                     "status": tt["status"],
                     "modifier": tt["modifier"],
-                    "line": tt["line"],
+                    **tt["loc"],
                 }
             )
     return rows

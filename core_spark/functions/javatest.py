@@ -25,7 +25,7 @@ from __future__ import annotations
 import posixpath
 import re
 
-from core_spark.functions.jstest import Tok, _match_bracket, tokenize
+from core_spark.functions.jstest import tok_span_location, Tok, _match_bracket, tokenize
 
 STATUS_ACTIVE = "active"
 STATUS_SKIPPED = "skipped"
@@ -80,13 +80,13 @@ class _JavaExtractor:
         self.dialect = dialect
         self.rows: list[dict] = []
 
-    def _method_row(self, anns, name, line, class_status, class_modifier,
+    def _method_row(self, anns, name, loc, class_status, class_modifier,
                     mods=(), class_has_test=False, cname=""):
         """parseTestMethod (junit5/definition.go:213-265; junit4 adds @Ignore;
         testng delegates to _method_row_testng)."""
         if self.dialect == "testng":
             return self._method_row_testng(
-                anns, name, line, class_status, class_modifier,
+                anns, name, loc, class_status, class_modifier,
                 mods, class_has_test, cname,
             )
         is_test = False
@@ -110,10 +110,10 @@ class _JavaExtractor:
             "name": display if display else name,
             "status": status,
             "modifier": modifier,
-            "line": line,
+            **loc,
         }
 
-    def _method_row_testng(self, anns, name, line, class_status, class_modifier,
+    def _method_row_testng(self, anns, name, loc, class_status, class_modifier,
                            mods, class_has_test, cname):
         """TestNG (testng/definition.go:235-287): class-level @Test makes
         PUBLIC methods tests except config-annotated ones; enabled=false ->
@@ -138,7 +138,7 @@ class _JavaExtractor:
             "name": description if description else name,
             "status": status,
             "modifier": modifier,
-            "line": line,
+            **loc,
         }
 
     def parse_class_body(self, lo, hi, path, class_status, class_modifier, depth,
@@ -150,12 +150,15 @@ class _JavaExtractor:
         tests = []
         nested_rows = []
         pending: list[tuple[str, str]] = []
+        pend_start = -1  # token index of the FIRST pending annotation
         i = lo
         while i < hi:
             t = toks[i]
             if t.kind == "punct" and t.text == "@":
                 got = _parse_annotation(toks, i, hi)
                 if got:
+                    if not pending:
+                        pend_start = i
                     pending.append(got[0])
                     i = got[1]
                     continue
@@ -164,14 +167,16 @@ class _JavaExtractor:
             if t.kind == "id" and t.text == "class":
                 anns = pending
                 pending = []
+                cstart = pend_start if anns else i
+                pend_start = -1
                 j = i + 1
                 ncname = toks[j].text if j < hi and toks[j].kind == "id" else ""
-                cline = t.line
                 while j < hi and not (toks[j].kind == "punct" and toks[j].text == "{"):
                     j += 1
                 if j >= hi:
                     break
                 close = _match_bracket(toks, j)
+                cloc = tok_span_location(toks, cstart, min(close, hi - 1))
                 nested_ok = (
                     self.dialect == "testng"  # TestNG recurses into ALL nested
                     or any(a[0] == "Nested" for a in anns)
@@ -181,7 +186,7 @@ class _JavaExtractor:
                     if any(a[0] == "Disabled" for a in anns):
                         n_status, n_modifier = STATUS_SKIPPED, "@Disabled"
                     sub = self._parse_class(
-                        ncname, cline, j + 1, min(close, hi),
+                        ncname, cloc, j + 1, min(close, hi),
                         path, n_status, n_modifier, depth + 1, class_anns=anns,
                     )
                     nested_rows.extend(sub)
@@ -196,7 +201,6 @@ class _JavaExtractor:
                 anns = pending
                 pending = []
                 name = t.text
-                line = t.line
                 close = _match_bracket(toks, i + 1)
                 j = min(close, hi) + 1
                 while j < hi and not (
@@ -215,8 +219,13 @@ class _JavaExtractor:
                 while k >= 0 and toks[k].kind == "id":
                     mods.append(toks[k].text)
                     k -= 1
+                # method_declaration span: annotations (modifiers node in
+                # the reference's tree) through body close / ';'
+                mstart = pend_start if anns else (k + 1 if mods else i)
+                pend_start = -1
+                loc = tok_span_location(toks, mstart, max(j - 1, i))
                 row = self._method_row(
-                    anns, name, line, class_status, class_modifier,
+                    anns, name, loc, class_status, class_modifier,
                     mods=mods, class_has_test=class_has_test, cname=cname,
                 )
                 if row is not None:
@@ -225,10 +234,11 @@ class _JavaExtractor:
                 continue
             if t.kind == "punct" and t.text == ";":
                 pending = []
+                pend_start = -1
             i += 1
         return tests, nested_rows
 
-    def _parse_class(self, name, line, lo, hi, path, status, modifier, depth,
+    def _parse_class(self, name, loc, lo, hi, path, status, modifier, depth,
                      class_anns=()):
         """parseTestClassWithDepth: returns the flat rows for this class
         (suite row + tests + nested), or [] if it holds nothing."""
@@ -253,20 +263,13 @@ class _JavaExtractor:
                 "name": name,
                 "status": status,
                 "modifier": modifier,
-                "line": line,
+                **loc,
             }
         ]
+        rows.extend(tests)
         for tr in tests:
-            rows.append(
-                {
-                    "kind": "test",
-                    "suite_path": list(child_path),
-                    "name": tr["name"],
-                    "status": tr["status"],
-                    "modifier": tr["modifier"],
-                    "line": tr["line"],
-                }
-            )
+            tr["kind"] = "test"
+            tr["suite_path"] = list(child_path)
         rows.extend(nested_rows)
         return rows
 
@@ -283,12 +286,15 @@ def parse_java_tests(source: str, filename: str = "Test.java") -> list[dict]:
     rows: list[dict] = []
     implicit: list[dict] = []
     pending: list[tuple[str, str]] = []
+    pend_start = -1
     i = 0
     while i < n:
         t = toks[i]
         if t.kind == "punct" and t.text == "@":
             got = _parse_annotation(toks, i, n)
             if got:
+                if not pending:
+                    pend_start = i
                 pending.append(got[0])
                 i = got[1]
                 continue
@@ -297,20 +303,22 @@ def parse_java_tests(source: str, filename: str = "Test.java") -> list[dict]:
         if t.kind == "id" and t.text == "class":
             anns = pending
             pending = []
+            cstart = pend_start if anns else i
+            pend_start = -1
             j = i + 1
             cname = toks[j].text if j < n and toks[j].kind == "id" else ""
-            cline = t.line
             while j < n and not (toks[j].kind == "punct" and toks[j].text == "{"):
                 j += 1
             if j >= n:
                 break
             close = _match_bracket(toks, j)
+            cloc = tok_span_location(toks, cstart, min(close, n - 1))
             status, modifier = STATUS_ACTIVE, ""
             if any(a[0] == "Disabled" for a in anns):
                 status, modifier = STATUS_SKIPPED, "@Disabled"
             if cname:
                 rows.extend(
-                    ex._parse_class(cname, cline, j + 1, close, (), status,
+                    ex._parse_class(cname, cloc, j + 1, close, (), status,
                                     modifier, 0, class_anns=anns)
                 )
             i = close + 1
@@ -325,19 +333,23 @@ def parse_java_tests(source: str, filename: str = "Test.java") -> list[dict]:
         ):
             anns = pending
             pending = []
+            mstart = pend_start
+            pend_start = -1
             close = _match_bracket(toks, i + 1)
             j = close + 1
             while j < n and not (toks[j].kind == "punct" and toks[j].text in ("{", ";")):
                 j += 1
             if j < n and toks[j].text == "{":
                 j = _match_bracket(toks, j) + 1
-            row = ex._method_row(anns, t.text, t.line, STATUS_ACTIVE, "")
+            loc = tok_span_location(toks, mstart, min(max(j - 1, i), n - 1))
+            row = ex._method_row(anns, t.text, loc, STATUS_ACTIVE, "")
             if row is not None:
                 implicit.append(row)
             i = j
             continue
         if t.kind == "punct" and t.text == ";":
             pending = []
+            pend_start = -1
         i += 1
     if implicit:
         suite_name = posixpath.basename(filename)
@@ -350,18 +362,11 @@ def parse_java_tests(source: str, filename: str = "Test.java") -> list[dict]:
                 "name": suite_name,
                 "status": STATUS_ACTIVE,
                 "modifier": "",
-                "line": 1,
+                **tok_span_location(toks, 0, n - 1),  # implicit class = file
             }
         )
         for tr in implicit:
-            rows.append(
-                {
-                    "kind": "test",
-                    "suite_path": [suite_name],
-                    "name": tr["name"],
-                    "status": tr["status"],
-                    "modifier": tr["modifier"],
-                    "line": tr["line"],
-                }
-            )
+            tr["kind"] = "test"
+            tr["suite_path"] = [suite_name]
+            rows.append(tr)
     return rows

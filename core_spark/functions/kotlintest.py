@@ -28,7 +28,13 @@ C-family; backtick identifiers arrive as template tokens):
 
 from __future__ import annotations
 
-from core_spark.functions.jstest import Tok, _match_bracket, _split_args, tokenize
+from core_spark.functions.jstest import (
+    Tok,
+    _match_bracket,
+    _split_args,
+    tok_span_location,
+    tokenize,
+)
 
 STATUS_ACTIVE = "active"
 STATUS_SKIPPED = "skipped"
@@ -125,14 +131,16 @@ class _KotestExtractor:
                                 if lam:
                                     self.scan(lam[0], lam[1], path + (name,), children)
                                 if children:
-                                    out.append(self._row("suite", path, name,
-                                                         status, modifier, t.line))
+                                    out.append(self._row(
+                                        "suite", path, name, status, modifier,
+                                        (i, lam[1] if lam else j - 1)))
                                     out.extend(children)
                                 i = (lam[1] + 1) if lam else j
                                 continue
                         else:
-                            out.append(self._row("test", path, name, status,
-                                                 modifier, t.line))
+                            out.append(self._row(
+                                "test", path, name, status, modifier,
+                                (i, lam[1] if lam else j - 1)))
                             i = (lam[1] + 1) if lam else j
                             continue
                 i += 1
@@ -159,7 +167,7 @@ class _KotestExtractor:
                     self.scan(i + 3, min(close, hi), path + (name,), children)
                     if children:
                         out.append(self._row("suite", path, name, status,
-                                             modifier, t.line))
+                                             modifier, (i, min(close, hi))))
                         out.extend(children)
                     i = min(close, hi) + 1
                     continue
@@ -177,7 +185,7 @@ class _KotestExtractor:
                     self.scan(i + 3, min(close, hi), path + (name,), children)
                     if children:
                         out.append(self._row("suite", path, name, STATUS_ACTIVE,
-                                             "", t.line))
+                                             "", (i, min(close, hi))))
                         out.extend(children)
                     i = min(close, hi) + 1
                     continue
@@ -191,20 +199,21 @@ class _KotestExtractor:
                         name = name[1:]
                     if name:
                         out.append(self._row("test", path, name, status,
-                                             modifier, t.line))
+                                             modifier, (i, min(close, hi))))
                     i = min(close, hi) + 1
                     continue
             i += 1
 
-    @staticmethod
-    def _row(kind, path, name, status, modifier, line):
+    def _row(self, kind, path, name, status, modifier, span):
+        # span = (start_tok, end_tok) of the call expression incl. the
+        # trailing lambda (the reference's call_expression node)
         return {
             "kind": kind,
             "suite_path": list(path),
             "name": name,
             "status": status,
             "modifier": modifier,
-            "line": line,
+            **tok_span_location(self.toks, *span),
         }
 
 
@@ -212,16 +221,25 @@ def _annotation_spec_tests(toks, lo, hi, path):
     """AnnotationSpec: @Test funs, @Disabled/@Ignore -> skipped."""
     out = []
     pending: list[str] = []
+    pend_start = -1
     i = lo
     while i < hi:
         t = toks[i]
         if t.kind == "punct" and t.text == "@" and i + 1 < hi and toks[i + 1].kind == "id":
+            if not pending:
+                pend_start = i
             pending.append(toks[i + 1].text)
             i += 2
             continue
         if t.kind == "id" and t.text == "fun" and i + 1 < hi and toks[i + 1].kind == "id":
             anns = pending
             pending = []
+            fstart = pend_start if anns else i
+            pend_start = -1
+            j = i + 2
+            while j < hi and not (toks[j].kind == "punct" and toks[j].text == "{"):
+                j += 1
+            end = _match_bracket(toks, j) if j < hi else j
             if "Test" in anns:
                 status, modifier = STATUS_ACTIVE, ""
                 if "Disabled" in anns or "Ignore" in anns:
@@ -233,16 +251,14 @@ def _annotation_spec_tests(toks, lo, hi, path):
                         "name": toks[i + 1].text,
                         "status": status,
                         "modifier": modifier,
-                        "line": t.line,
+                        **tok_span_location(toks, fstart, min(end, hi - 1)),
                     }
                 )
-            j = i + 2
-            while j < hi and not (toks[j].kind == "punct" and toks[j].text == "{"):
-                j += 1
-            i = (_match_bracket(toks, j) + 1) if j < hi else j
+            i = end + 1 if j < hi else j
             continue
         if t.kind == "id":
             pending = []
+            pend_start = -1
         i += 1
     return out
 
@@ -261,19 +277,23 @@ def parse_kotlin_junit_tests(source: str) -> list[dict]:
         t = toks[i]
         if t.kind == "id" and t.text == "class" and i + 1 < n and toks[i + 1].kind == "id":
             cname = toks[i + 1].text
-            cline = t.line
+            cstart = i
             j = i + 2
             while j < n and not (toks[j].kind == "punct" and toks[j].text == "{"):
                 j += 1
             if j >= n:
                 break
             close = _match_bracket(toks, j)
+            cloc = tok_span_location(toks, cstart, min(close, n - 1))
             tests = []
             pending: list[tuple[str, str]] = []
+            pend_start = -1
             k = j + 1
             while k < close:
                 tk = toks[k]
                 if tk.kind == "punct" and tk.text == "@" and k + 1 < close and toks[k + 1].kind == "id":
+                    if not pending:
+                        pend_start = k
                     aname = toks[k + 1].text
                     aarg = ""
                     m = k + 2
@@ -299,12 +319,15 @@ def parse_kotlin_junit_tests(source: str) -> list[dict]:
                             status, modifier = STATUS_SKIPPED, "@Disabled"
                         elif a == "DisplayName":
                             display = arg
+                    fstart = pend_start if anns else k
+                    pend_start = -1
                     m = k + 2
                     while m < close and not (toks[m].kind == "punct" and toks[m].text == "{"):
                         m += 1
                     m = (_match_bracket(toks, m) + 1) if m < close else m
                     if is_test:
-                        tests.append((display or fname, status, modifier, tk.line))
+                        tests.append((display or fname, status, modifier,
+                                      tok_span_location(toks, fstart, max(m - 1, k))))
                     k = m
                     continue
                 if tk.kind == "id" and tk.text not in (
@@ -315,12 +338,12 @@ def parse_kotlin_junit_tests(source: str) -> list[dict]:
             if tests:
                 rows.append(
                     {"kind": "suite", "suite_path": [], "name": cname,
-                     "status": STATUS_ACTIVE, "modifier": "", "line": cline}
+                     "status": STATUS_ACTIVE, "modifier": "", **cloc}
                 )
-                for name, status, modifier, line in tests:
+                for name, status, modifier, loc in tests:
                     rows.append(
                         {"kind": "test", "suite_path": [cname], "name": name,
-                         "status": status, "modifier": modifier, "line": line}
+                         "status": status, "modifier": modifier, **loc}
                     )
             i = close + 1
             continue
@@ -353,7 +376,7 @@ def parse_kotest_tests(source: str) -> list[dict]:
             anns = pending_anns
             pending_anns = []
             cname = toks[i + 1].text
-            cline = t.line
+            cstart = i
             j = i + 2
             style = ""
             ctor_lambda = None
@@ -402,9 +425,11 @@ def parse_kotest_tests(source: str) -> list[dict]:
                         _annotation_spec_tests(toks, body[0], body[1], (cname,))
                     )
             if children:
+                cend = body[1] if body else (j - 1 if j > i else i)
                 rows.append(
                     {"kind": "suite", "suite_path": [], "name": cname,
-                     "status": status, "modifier": modifier, "line": cline}
+                     "status": status, "modifier": modifier,
+                     **tok_span_location(toks, cstart, min(cend, n - 1))}
                 )
                 rows.extend(children)
             i = (body[1] + 1) if body else j

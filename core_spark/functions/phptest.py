@@ -16,6 +16,8 @@ attribute, any other ``#`` a comment):
 
 from __future__ import annotations
 
+from core_spark.functions.jstest import tok_span_location
+
 import re
 from dataclasses import dataclass
 
@@ -30,6 +32,7 @@ class PTok:
     kind: str  # 'id' | 'var' | 'str' | 'num' | 'punct' | 'comment' | 'attr_open'
     text: str
     line: int
+    col: int = 0  # 0-based start column
 
 
 _ID_START = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_\\")
@@ -41,10 +44,12 @@ def tokenize_php(src: str) -> list[PTok]:
     i = 0
     n = len(src)
     line = 1
+    ls = 0  # line start offset (col = i - ls)
     while i < n:
         c = src[i]
         if c == "\n":
             line += 1
+            ls = i + 1
             i += 1
             continue
         if c in " \t\r":
@@ -53,24 +58,27 @@ def tokenize_php(src: str) -> list[PTok]:
         if c == "/" and src.startswith("//", i):
             j = src.find("\n", i)
             j = n if j < 0 else j
-            toks.append(PTok("comment", src[i:j], line))
+            toks.append(PTok("comment", src[i:j], line, i - ls))
             i = j
             continue
         if c == "/" and src.startswith("/*", i):
             j = src.find("*/", i + 2)
             j = n if j < 0 else j + 2
-            toks.append(PTok("comment", src[i:j], line))
-            line += src.count("\n", i, j)
+            toks.append(PTok("comment", src[i:j], line, i - ls))
+            nl = src.count("\n", i, j)
+            if nl:
+                line += nl
+                ls = src.rfind("\n", i, j) + 1
             i = j
             continue
         if c == "#":
             if src.startswith("#[", i):
-                toks.append(PTok("attr_open", "#[", line))
+                toks.append(PTok("attr_open", "#[", line, i - ls))
                 i += 2
                 continue
             j = src.find("\n", i)
             j = n if j < 0 else j
-            toks.append(PTok("comment", src[i:j], line))
+            toks.append(PTok("comment", src[i:j], line, i - ls))
             i = j
             continue
         if c in "'\"":
@@ -83,32 +91,35 @@ def tokenize_php(src: str) -> list[PTok]:
                     j += 1
                     break
                 j += 1
-            toks.append(PTok("str", src[i:j], line))
-            line += src.count("\n", i, j)
+            toks.append(PTok("str", src[i:j], line, i - ls))
+            nl = src.count("\n", i, j)
+            if nl:
+                line += nl
+                ls = src.rfind("\n", i, j) + 1
             i = j
             continue
         if c == "$":
             j = i + 1
             while j < n and src[j] in _ID_CONT:
                 j += 1
-            toks.append(PTok("var", src[i:j], line))
+            toks.append(PTok("var", src[i:j], line, i - ls))
             i = j
             continue
         if c in _ID_START:
             j = i + 1
             while j < n and src[j] in _ID_CONT:
                 j += 1
-            toks.append(PTok("id", src[i:j], line))
+            toks.append(PTok("id", src[i:j], line, i - ls))
             i = j
             continue
         if c.isdigit():
             j = i + 1
             while j < n and (src[j].isdigit() or src[j] in "._xbe"):
                 j += 1
-            toks.append(PTok("num", src[i:j], line))
+            toks.append(PTok("num", src[i:j], line, i - ls))
             i = j
             continue
-        toks.append(PTok("punct", c, line))
+        toks.append(PTok("punct", c, line, i - ls))
         i += 1
     return toks
 
@@ -157,14 +168,13 @@ def parse_phpunit_tests(source: str) -> list[dict]:
                 if tests:
                     rows.append(
                         {"kind": "suite", "suite_path": [], "name": cname,
-                         "status": STATUS_ACTIVE, "modifier": "", "line": cline}
+                         "status": STATUS_ACTIVE, "modifier": "",
+                         **tok_span_location(toks, i, min(close, n - 1))}
                     )
                     for tr in tests:
-                        rows.append(
-                            {"kind": "test", "suite_path": [cname], "name": tr["name"],
-                             "status": tr["status"], "modifier": tr["modifier"],
-                             "line": tr["line"]}
-                        )
+                        tr["kind"] = "test"
+                        tr["suite_path"] = [cname]
+                        rows.append(tr)
             i = close + 1
             continue
         i += 1
@@ -191,7 +201,15 @@ def _scan_methods(toks, lo, hi):
             continue
         if t.kind == "id" and t.text == "function" and i + 1 < hi and toks[i + 1].kind == "id":
             name = toks[i + 1].text
-            line = t.line
+            fstart = i
+            # modifiers (public static ...) are inside the reference's
+            # method_declaration node — extend the span back over them
+            k = i - 1
+            while k >= lo and toks[k].kind == "id" and toks[k].text in (
+                "public", "private", "protected", "static", "final", "abstract"
+            ):
+                fstart = k
+                k -= 1
             attrs = pending_attrs
             comment = prev_comment
             pending_attrs = []
@@ -213,7 +231,8 @@ def _scan_methods(toks, lo, hi):
                         status, modifier = STATUS_SKIPPED, f"#[{a}]"
                         break
                 tests.append(
-                    {"name": name, "status": status, "modifier": modifier, "line": line}
+                    {"name": name, "status": status, "modifier": modifier,
+                     **tok_span_location(toks, fstart, max(j - 1, i))}
                 )
             i = j
             continue

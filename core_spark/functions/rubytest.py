@@ -22,6 +22,8 @@ shared/rubyast/helpers.go:11-18) with a small Ruby tokenizer:
 
 from __future__ import annotations
 
+from core_spark.functions.jstest import tok_span_location
+
 import re
 from dataclasses import dataclass
 
@@ -50,6 +52,7 @@ class RbTok:
     text: str
     line: int
     stmt_start: bool  # first token of its line
+    col: int = 0  # 0-based start column
 
 
 _ID_START = set("abcdefghijklmnopqrstuvwxyz_")
@@ -62,17 +65,19 @@ def tokenize_ruby(src: str) -> list[RbTok]:
     i = 0
     n = len(src)
     line = 1
+    ls = 0  # current line start offset (col = i - ls)
     at_start = True
 
-    def push(kind, text, ln):
+    def push(kind, text, ln, col):
         nonlocal at_start
-        toks.append(RbTok(kind, text, ln, at_start))
+        toks.append(RbTok(kind, text, ln, at_start, col))
         at_start = False
 
     while i < n:
         c = src[i]
         if c == "\n":
             line += 1
+            ls = i + 1
             at_start = True
             i += 1
             continue
@@ -93,15 +98,18 @@ def tokenize_ruby(src: str) -> list[RbTok]:
                     j += 1
                     break
                 j += 1
-            push("str", src[i:j], line)
-            line += src.count("\n", i, j)
+            push("str", src[i:j], line, i - ls)
+            nl = src.count("\n", i, j)
+            if nl:
+                line += nl
+                ls = src.rfind("\n", i, j) + 1
             i = j
             continue
         if c == ":" and i + 1 < n and (src[i + 1] in _ID_START or src[i + 1] in _CONST_START):
             j = i + 2
             while j < n and src[j] in _ID_CONT:
                 j += 1
-            push("sym", src[i:j], line)
+            push("sym", src[i:j], line, i - ls)
             i = j
             continue
         if c in _ID_START or c in _CONST_START:
@@ -110,21 +118,21 @@ def tokenize_ruby(src: str) -> list[RbTok]:
                 j += 1
             text = src[i:j]
             kind = "const" if c in _CONST_START else "id"
-            push(kind, text, line)
+            push(kind, text, line, i - ls)
             i = j
             continue
         if c.isdigit():
             j = i + 1
             while j < n and (src[j].isdigit() or src[j] in "._xbo"):
                 j += 1
-            push("num", src[i:j], line)
+            push("num", src[i:j], line, i - ls)
             i = j
             continue
         if src.startswith("::", i):
-            push("punct", "::", line)
+            push("punct", "::", line, i - ls)
             i += 2
             continue
-        push("punct", c, line)
+        push("punct", c, line, i - ls)
         i += 1
     return toks
 
@@ -180,7 +188,9 @@ class _RubyExtractor:
         self.toks = toks
         self.rows: list[dict] = []
 
-    def emit(self, kind, path, name, status, modifier, line):
+    def emit(self, kind, path, name, status, modifier, span):
+        # span = (start_tok, end_tok): the call through its do/end or {}
+        # block close (the reference's call node with block argument)
         self.rows.append(
             {
                 "kind": kind,
@@ -188,7 +198,7 @@ class _RubyExtractor:
                 "name": name,
                 "status": status,
                 "modifier": modifier,
-                "line": line,
+                **tok_span_location(self.toks, *span),
             }
         )
 
@@ -264,27 +274,29 @@ class _RubyExtractor:
                 if recv == "RSpec" and name == "describe":
                     base, status, modifier = "describe", STATUS_ACTIVE, ""
                 if base in SUITE_FUNCS or base in TEST_FUNCS or name in ("skip", "pending"):
+                    si = i - 2 if recv is not None else i
                     cname, j = self._extract_name(i + 1, hi)
                     block = None
                     if j < hi and toks[j].kind == "id" and toks[j].text == "do":
                         block = (j + 1, _find_end(toks, j))
                     elif j < hi and toks[j].kind == "punct" and toks[j].text == "{":
                         block = (j + 1, _match_brace(toks, j))
+                    span = (si, min(block[1], hi - 1) if block else max(j - 1, i))
                     if name in ("skip", "pending") and base not in SUITE_FUNCS:
                         # processPendingBlock (definition.go:331-360)
                         if cname:
                             if block:
                                 self.emit("suite", path, cname, STATUS_SKIPPED,
-                                          modifier, t.line)
+                                          modifier, span)
                                 self.scan(block[0], block[1], path + (cname,))
                             else:
                                 self.emit("test", path, cname, STATUS_SKIPPED,
-                                          modifier, t.line)
+                                          modifier, span)
                         i = (block[1] + 1) if block else j
                         continue
                     if base in SUITE_FUNCS:
                         if cname:
-                            self.emit("suite", path, cname, status, modifier, t.line)
+                            self.emit("suite", path, cname, status, modifier, span)
                             if block:
                                 self.scan(block[0], block[1], path + (cname,))
                         i = (block[1] + 1) if block else j
@@ -292,7 +304,7 @@ class _RubyExtractor:
                     if base in TEST_FUNCS:
                         self.emit(
                             "test", path, cname if cname else "(anonymous)",
-                            status, modifier, t.line,
+                            status, modifier, span,
                         )
                         i = (block[1] + 1) if block else j
                         continue
@@ -326,7 +338,7 @@ class _MinitestExtractor:
         self.toks = toks
         self.rows: list[dict] = []
 
-    def emit(self, kind, path, name, status, line):
+    def emit(self, kind, path, name, status, span):
         self.rows.append(
             {
                 "kind": kind,
@@ -334,7 +346,7 @@ class _MinitestExtractor:
                 "name": name,
                 "status": status,
                 "modifier": "",
-                "line": line,
+                **tok_span_location(self.toks, *span),
             }
         )
 
@@ -359,7 +371,8 @@ class _MinitestExtractor:
                     superclass = "".join(parts)
                 end = _find_end(toks, i)
                 if cname and superclass and _qualifies_minitest(superclass):
-                    self.emit("suite", path, cname, STATUS_ACTIVE, cline)
+                    self.emit("suite", path, cname, STATUS_ACTIVE,
+                              (i, min(end, hi - 1)))
                     self.scan(k, min(end, hi), path + (cname,))
                 else:
                     self.scan(k, min(end, hi), path)
@@ -374,7 +387,8 @@ class _MinitestExtractor:
                     skipped = any(x.kind == "id" and x.text == "skip" for x in body)
                     self.emit(
                         "test", path, mname,
-                        STATUS_SKIPPED if skipped else STATUS_ACTIVE, t.line,
+                        STATUS_SKIPPED if skipped else STATUS_ACTIVE,
+                        (i, min(end, hi - 1)),
                     )
                 i = min(end, hi) + 1
                 continue
@@ -399,10 +413,12 @@ class _MinitestExtractor:
                 if j < hi and toks[j].kind == "id" and toks[j].text == "do" and name:
                     end = _find_end(toks, j)
                     if t.text == "describe":
-                        self.emit("suite", path, name, STATUS_ACTIVE, t.line)
+                        self.emit("suite", path, name, STATUS_ACTIVE,
+                                  (i, min(end, hi - 1)))
                         self.scan(j + 1, min(end, hi), path + (name,))
                     else:
-                        self.emit("test", path, name, STATUS_ACTIVE, t.line)
+                        self.emit("test", path, name, STATUS_ACTIVE,
+                                  (i, min(end, hi - 1)))
                     i = min(end, hi) + 1
                     continue
             i += 1

@@ -41,6 +41,21 @@ _ID_START = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_")
 _ID_CONT = _ID_START | set("0123456789")
 
 
+def _span_loc(source: str, toks, si: int, ei: int) -> dict:
+    """Location fields from token byte offsets (the reference's
+    treesitter.go:114-125 convention: 1-based lines, 0-based cols, end
+    exclusive). Rust attributes are SIBLING nodes of function_item in the
+    reference's tree, so fn spans start at `fn`, not at `#[...]`."""
+    st = toks[si]
+    et = toks[min(ei, len(toks) - 1)]
+    return {
+        "line": st.line,
+        "start_col": st.start - (source.rfind("\n", 0, st.start) + 1),
+        "end_line": et.line + source.count("\n", et.start, et.end),
+        "end_col": et.end - (source.rfind("\n", 0, et.end) + 1),
+    }
+
+
 def tokenize_rust(src: str) -> list[RTok]:
     toks: list[RTok] = []
     i = 0
@@ -261,7 +276,7 @@ def parse_rust_tests(source: str) -> list[dict]:
                 if is_test_mod and name:
                     entry = {
                         "name": name,
-                        "line": t.line,
+                        "loc": _span_loc(source, toks, i, min(close, n - 1)),
                         "tests": [],
                     }
                     suites.append(entry)
@@ -296,7 +311,8 @@ def parse_rust_tests(source: str) -> list[dict]:
                     if a[0] == "should_panic":
                         modifier = (modifier + " " + a[1]).strip() if modifier else a[1]
                 add_test(
-                    {"name": name, "status": status, "modifier": modifier, "line": t.line}
+                    {"name": name, "status": status, "modifier": modifier,
+                     "loc": _span_loc(source, toks, i, max(j - 1, i))}
                 )
             i = j
             continue
@@ -323,7 +339,7 @@ def parse_rust_tests(source: str) -> list[dict]:
                             "name": tname,
                             "status": STATUS_ACTIVE,
                             "modifier": macro + "!",
-                            "line": t.line,
+                            "loc": _span_loc(source, toks, i, min(close, n - 1)),
                         }
                     )
             pending_attrs = []
@@ -342,7 +358,7 @@ def parse_rust_tests(source: str) -> list[dict]:
                 "name": t_["name"],
                 "status": t_["status"],
                 "modifier": t_["modifier"],
-                "line": t_["line"],
+                **t_["loc"],
             }
         )
     for s in suites:
@@ -355,7 +371,7 @@ def parse_rust_tests(source: str) -> list[dict]:
                 "name": s["name"],
                 "status": STATUS_ACTIVE,
                 "modifier": "",
-                "line": s["line"],
+                **s["loc"],
             }
         )
         for t_ in s["tests"]:
@@ -366,7 +382,7 @@ def parse_rust_tests(source: str) -> list[dict]:
                     "name": t_["name"],
                     "status": t_["status"],
                     "modifier": t_["modifier"],
-                    "line": t_["line"],
+                    **t_["loc"],
                 }
             )
     return rows

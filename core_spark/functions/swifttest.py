@@ -21,7 +21,7 @@ escape-pair skip):
 
 from __future__ import annotations
 
-from core_spark.functions.jstest import Tok, _match_bracket, tokenize
+from core_spark.functions.jstest import Tok, _match_bracket, tok_span_location, tokenize
 
 STATUS_ACTIVE = "active"
 STATUS_SKIPPED = "skipped"
@@ -50,7 +50,7 @@ def _func_ranges(toks, lo, hi):
             if j >= hi:
                 return
             close = _match_bracket(toks, j)
-            yield name, line, i, min(close, hi)
+            yield name, line, i, min(close, hi)  # (sig start, body close)
             i = min(close, hi) + 1
             continue
         i += 1
@@ -92,16 +92,18 @@ def parse_xctest(source: str) -> list[dict]:
                         status, modifier = STATUS_SKIPPED, "XCTSkip"
                     if any(bt.kind == "id" and bt.text == "async" for bt in body_toks):
                         modifier = _append_mod(modifier, "async")
-                    tests.append((name, status, modifier, line))
+                    tests.append((name, status, modifier,
+                                  tok_span_location(toks, flo, fhi)))
                 if tests:
                     rows.append(
                         {"kind": "suite", "suite_path": [], "name": cname,
-                         "status": STATUS_ACTIVE, "modifier": "", "line": cline}
+                         "status": STATUS_ACTIVE, "modifier": "",
+                         **tok_span_location(toks, i, min(close, n - 1))}
                     )
-                    for name, status, modifier, line in tests:
+                    for name, status, modifier, loc in tests:
                         rows.append(
                             {"kind": "test", "suite_path": [cname], "name": name,
-                             "status": status, "modifier": modifier, "line": line}
+                             "status": status, "modifier": modifier, **loc}
                         )
             i = close + 1
             continue
@@ -188,7 +190,8 @@ def parse_swift_testing(source: str) -> list[dict]:
                             for x in toks[k:min(bclose, close)]
                         ):
                             modifier = _append_mod(modifier, "async")
-                        tests.append((name, status, modifier, tk.line))
+                        tests.append((name, status, modifier,
+                                      tok_span_location(toks, k, min(bclose, close))))
                         k = min(bclose, close) + 1
                         continue
                 k += 1
@@ -196,12 +199,13 @@ def parse_swift_testing(source: str) -> list[dict]:
             if tests and (has_suite_attr or tests):
                 rows.append(
                     {"kind": "suite", "suite_path": [], "name": cname,
-                     "status": STATUS_ACTIVE, "modifier": "", "line": cline}
+                     "status": STATUS_ACTIVE, "modifier": "",
+                     **tok_span_location(toks, i, min(close, n - 1))}
                 )
-                for name, status, modifier, line in tests:
+                for name, status, modifier, loc in tests:
                     rows.append(
                         {"kind": "test", "suite_path": [cname], "name": name,
-                         "status": status, "modifier": modifier, "line": line}
+                         "status": status, "modifier": modifier, **loc}
                     )
             i = close + 1
             continue
