@@ -74,8 +74,27 @@ def test_tokenizer_and_helpers_never_throw(src):
 @settings(max_examples=60, deadline=None)
 @given(
     src=st.one_of(_any_text, _syntaxy),
-    ext=st.sampled_from([".ts", ".py", ".go", ".java", ".rs", ".rb"]),
+    ext=st.sampled_from([".ts", ".py", ".go", ".java", ".rs", ".rb",
+                         ".cc", ".cs", ".kt", ".php", ".swift"]),
 )
 def test_hints_never_throw(src, ext):
     h = extract_hints("f" + ext, src)
     assert h is None or set(h) == {"imports", "calls"}
+
+
+@settings(max_examples=60, deadline=None)
+@given(src=st.one_of(_any_text, _syntaxy))
+def test_span_invariants_never_violated(src):
+    """Every kernel row's span obeys the Location contract whenever it is
+    populated: 1-based lines, 0-based cols, end >= start."""
+    for kernel in KERNELS:
+        for r in kernel(src):
+            if r.get("line") is None:
+                continue
+            assert r["line"] >= 1
+            if r.get("end_line") is not None:
+                assert r["end_line"] >= r["line"]
+                assert r.get("start_col", 0) >= 0
+                assert r.get("end_col", 0) >= 0
+                if r["end_line"] == r["line"] and r.get("start_col") is not None:
+                    assert r["end_col"] >= r["start_col"]
