@@ -415,6 +415,67 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(spark, vecs, queries_pd, k=5, n_centroids=8, n_probe=3)
 
 
+_SPAN_TEMPLATES = [
+    # fixed-width ids (lpad 6) keep every token position constant across
+    # docs, so the expected Location values are CONSTANTS the oracle emits
+    ("describe('S<<I>>', () => {\n  it('a', () => {});\n});\n", ".test.ts"),
+    ("def test_a_<<I>>():\n    pass\n", ".py"),
+    ('package p\n\nimport "testing"\n\n'
+     "func TestA<<I>>(t *testing.T) {\n"
+     '\tt.Run("s", func(t *testing.T) {})\n}\n', "_test.go"),
+]
+
+
+def q_inventory_spans(spark, sf_dir):
+    """Location parity, driver-gated: the full {line, start_col, end_line,
+    end_col} span of every inventory row for fixed-shape JS/Python/Go
+    sources (ids lpad'ed to 6 so spans are doc-independent), hashed against
+    hand-derived constants in the oracle (verified independently in
+    tests/test_spans.py). Convention: 1-based lines, 0-based cols, end
+    exclusive — reference domain/location.go:4-15 via treesitter.go:114-125."""
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.inventory import extract_inventory
+
+    docs = _docs(spark, sf_dir, wide=True).select("doc_id")
+    idstr = F.lpad(F.col("doc_id").cast("string"), 6, "0")
+    src = F.lit(None).cast("string")
+    path = F.lit(None).cast("string")
+    for k, (tpl, ext) in enumerate(_SPAN_TEMPLATES):
+        cond = F.col("doc_id") % len(_SPAN_TEMPLATES) == k
+        src = F.when(cond, F.replace(F.lit(tpl), F.lit("<<I>>"), idstr)).otherwise(src)
+        path = F.when(cond, F.concat(idstr, F.lit(ext))).otherwise(path)
+    gen = docs.select(path.alias("path"), src.alias("source"))
+    inv = extract_inventory(gen, source_col="source", path_col="path")
+    return inv.selectExpr(
+        "CAST(regexp_extract(path, '^[0-9]+', 0) AS BIGINT) AS doc_id",
+        "kind", "name",
+        "CAST(line AS BIGINT) AS line",
+        "CAST(start_col AS BIGINT) AS start_col",
+        "CAST(end_line AS BIGINT) AS end_line",
+        "CAST(end_col AS BIGINT) AS end_col",
+    )
+
+
+def _sql_inventory_spans_oracle() -> str:
+    i = "lpad(CAST(doc_id AS VARCHAR), 6, '0')"
+    arms = [
+        # k=0 JS: describe -> (1,0,3,2); it -> (2,2,2,19)
+        f"SELECT doc_id, 'suite' AS kind, 'S' || {i} AS name, 1 AS line,"
+        f" 0 AS start_col, 3 AS end_line, 2 AS end_col"
+        f" FROM documents WHERE doc_id % 3 = 0",
+        "SELECT doc_id, 'test', 'a', 2, 2, 2, 19 FROM documents WHERE doc_id % 3 = 0",
+        # k=1 Python: def spans decl through body end (ast end positions)
+        f"SELECT doc_id, 'test', 'test_a_' || {i}, 1, 0, 2, 8"
+        f" FROM documents WHERE doc_id % 3 = 1",
+        # k=2 Go: func spans 'func'..'}' on lines 5-7; t.Run spans the call
+        f"SELECT doc_id, 'suite', 'TestA' || {i}, 5, 0, 7, 1"
+        f" FROM documents WHERE doc_id % 3 = 2",
+        "SELECT doc_id, 'test', 's', 6, 1, 6, 34 FROM documents WHERE doc_id % 3 = 2",
+    ]
+    return " UNION ALL ".join(arms)
+
+
 def q_ann_ivf_recall(spark, sf_dir):
     """Rows-only recall bound for the IVF scale path (VERDICT r2 #10):
     recall@5 of ivf_topk against brute_force_topk per query, FILTERED to
@@ -1165,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "inventory_spans": q_inventory_spans,
         "sessionize": q_sessionize,
         "rollup_sets": q_rollup_sets,
         "zonal_salted": q_zonal_salted,
@@ -1254,6 +1316,7 @@ def oracle_sql() -> dict[str, str]:
         "jstest_inventory": _sql_js_inventory_oracle(),
         "pytest_inventory": _sql_py_inventory_oracle(),
         "domain_hints": _sql_domain_hints_oracle(),
+        "inventory_spans": _sql_inventory_spans_oracle(),
         "native_inventory": _sql_native_inventory_oracle(),
         "managed_inventory": _sql_managed_inventory_oracle(),
         "framework_detect": _sql_framework_detect_oracle(),
