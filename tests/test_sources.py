@@ -214,3 +214,17 @@ def test_sanitize_git_url_scp_and_ssh_forms():
     assert sanitize_git_url("git@github.com:org/repo.git") == "github.com:org/repo.git"
     assert sanitize_git_url("user:tok@host:org/repo.git") == "host:org/repo.git"
     assert sanitize_git_url("https://host/plain.git") == "https://host/plain.git"
+
+
+def test_iceberg_seam_fails_cleanly_without_runtime(spark):
+    """The Iceberg arm is a wired seam: without the runtime jar/catalog in
+    this container, the read must fail with Spark's own catalog error (not
+    a silent wrong-format read). Documents the README limitation."""
+    import pytest as _pytest
+
+    from core_spark.sources.ingest import read_corpus
+
+    from pyspark.errors import AnalysisException
+
+    with _pytest.raises(AnalysisException):
+        read_corpus(spark, "nosuch_iceberg_table", fmt="iceberg")
