@@ -321,6 +321,11 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
             ])
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # eager checkpoint: the banded equi-join references band_keys on BOTH
+    # sides, and each side of a Spark self-join recomputes its input — i.e.
+    # the whole tokenize + n_perm-signature pipeline would run twice. The
+    # materialized table is tiny (bands rows of (id, band, key) per doc).
+    band_keys = band_keys.localCheckpoint(eager=True)
 
     a = band_keys.alias("a")
     b = band_keys.alias("b")
