@@ -725,6 +725,9 @@ def simhash_candidates(df, sim_col: str = "simhash", id_col: str = "doc_id",
     bk = df.select(id_col, sim_col, F.explode(F.array(*bands)).alias("bk")).select(
         id_col, sim_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    # eager checkpoint: upstream of df is the numpy simhash Arrow stage —
+    # without this, each side of the self-join runs that Python stage again
+    bk = bk.localCheckpoint(eager=True)
     a, b = bk.alias("a"), bk.alias("b")
     return (
         a.join(
@@ -786,6 +789,9 @@ def embedding_dup_pairs(df, vec_col: str = "embedding", id_col: str = "vec_id",
     sketch = " + ".join(sketch_terms)
 
     s = df.select(id_col, vec_col).withColumn("_sketch", F.expr(sketch))
+    # eager checkpoint: the n_planes-dot-product sketch projection feeds
+    # both sides of the bucket self-join (self-join branches recompute)
+    s = s.localCheckpoint(eager=True)
     a, b = s.alias("a"), s.alias("b")
     cos = sql_cosine(f"a.{vec_col}", f"b.{vec_col}")
     return (
