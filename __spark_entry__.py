@@ -415,6 +415,51 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(spark, vecs, queries_pd, k=5, n_centroids=8, n_probe=3)
 
 
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end training-data curation flow in ONE driver-gated query:
+    quality gate (token count, alpha/digit ratios — the C4/Gopher-style
+    signals) -> language gate (en) -> exact dedup keeping the min-id
+    representative with its duplicate count. Composes the oracled
+    primitives (textstats quality cols, sql_lang_id, exact_dedup), so the
+    DuckDB twin is the same CTE chain over the same emissions. At 10^12
+    rows the plan is scan -> codegen'd filters (pushdown-friendly) -> one
+    hash-agg shuffle on a uniform 60-bit fingerprint."""
+    from core_spark.functions.textstats import spark_quality_cols, sql_lang_id
+
+    docs = _docs(spark, sf_dir)
+    cols = spark_quality_cols("text")
+    gated = docs.selectExpr(
+        "doc_id", "text",
+        f"{cols['n_tokens']} AS n_tokens",
+        f"{cols['alpha_ratio']} AS alpha_ratio",
+        f"{cols['digit_ratio']} AS digit_ratio",
+    ).filter(
+        "n_tokens >= 5 AND alpha_ratio >= 0.5 AND digit_ratio <= 0.3"
+    ).filter(f"{sql_lang_id('text')} = 'en'")
+    return dd.exact_dedup(gated).selectExpr(
+        "doc_id", "CAST(dup_count AS BIGINT) AS dup_count"
+    )
+
+
+def _sql_corpus_curation_oracle() -> str:
+    from core_spark.functions.textstats import duck_quality_cols, sql_lang_id
+    from core_spark.operators.dedup import duck_fingerprint
+
+    cols = duck_quality_cols("text")
+    return f"""
+WITH gated AS (
+  SELECT doc_id, text
+  FROM documents
+  WHERE {cols['n_tokens']} >= 5
+    AND {cols['alpha_ratio']} >= 0.5
+    AND {cols['digit_ratio']} <= 0.3
+    AND ({sql_lang_id('text')}) = 'en'
+)
+SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM gated GROUP BY {duck_fingerprint('text')}
+"""
+
+
 _SPAN_TEMPLATES = [
     # fixed-width ids (lpad 6) keep every token position constant across
     # docs, so the expected Location values are CONSTANTS the oracle emits
@@ -1227,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_recall": q_ann_ivf_recall,
         "inventory_spans": q_inventory_spans,
+        "corpus_curation": q_corpus_curation,
         "sessionize": q_sessionize,
         "rollup_sets": q_rollup_sets,
         "zonal_salted": q_zonal_salted,
@@ -1317,6 +1363,7 @@ def oracle_sql() -> dict[str, str]:
         "pytest_inventory": _sql_py_inventory_oracle(),
         "domain_hints": _sql_domain_hints_oracle(),
         "inventory_spans": _sql_inventory_spans_oracle(),
+        "corpus_curation": _sql_corpus_curation_oracle(),
         "native_inventory": _sql_native_inventory_oracle(),
         "managed_inventory": _sql_managed_inventory_oracle(),
         "framework_detect": _sql_framework_detect_oracle(),
