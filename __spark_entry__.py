@@ -482,7 +482,11 @@ def q_inventory_spans(spark, sf_dir):
 
     from core_spark.operators.inventory import extract_inventory
 
-    docs = _docs(spark, sf_dir, wide=True).select("doc_id")
+    # doc_id < 10^6 on BOTH sides: lpad TRUNCATES longer ids (both
+    # engines), which would break the id round-trip and collide documents
+    docs = _docs(spark, sf_dir, wide=True).select("doc_id").filter(
+        "doc_id < 1000000"
+    )
     idstr = F.lpad(F.col("doc_id").cast("string"), 6, "0")
     src = F.lit(None).cast("string")
     path = F.lit(None).cast("string")
@@ -508,15 +512,15 @@ def _sql_inventory_spans_oracle() -> str:
         # k=0 JS: describe -> (1,0,3,2); it -> (2,2,2,19)
         f"SELECT doc_id, 'suite' AS kind, 'S' || {i} AS name, 1 AS line,"
         f" 0 AS start_col, 3 AS end_line, 2 AS end_col"
-        f" FROM documents WHERE doc_id % 3 = 0",
-        "SELECT doc_id, 'test', 'a', 2, 2, 2, 19 FROM documents WHERE doc_id % 3 = 0",
+        f" FROM documents WHERE doc_id < 1000000 AND doc_id % 3 = 0",
+        "SELECT doc_id, 'test', 'a', 2, 2, 2, 19 FROM documents WHERE doc_id < 1000000 AND doc_id % 3 = 0",
         # k=1 Python: def spans decl through body end (ast end positions)
         f"SELECT doc_id, 'test', 'test_a_' || {i}, 1, 0, 2, 8"
-        f" FROM documents WHERE doc_id % 3 = 1",
+        f" FROM documents WHERE doc_id < 1000000 AND doc_id % 3 = 1",
         # k=2 Go: func spans 'func'..'}' on lines 5-7; t.Run spans the call
         f"SELECT doc_id, 'suite', 'TestA' || {i}, 5, 0, 7, 1"
-        f" FROM documents WHERE doc_id % 3 = 2",
-        "SELECT doc_id, 'test', 's', 6, 1, 6, 34 FROM documents WHERE doc_id % 3 = 2",
+        f" FROM documents WHERE doc_id < 1000000 AND doc_id % 3 = 2",
+        "SELECT doc_id, 'test', 's', 6, 1, 6, 34 FROM documents WHERE doc_id < 1000000 AND doc_id % 3 = 2",
     ]
     return " UNION ALL ".join(arms)
 
@@ -543,19 +547,23 @@ def q_ann_ivf_recall(spark, sf_dir):
     )
     qdf = spark.createDataFrame(queries_pd, "query_id bigint, qvec array<double>")
     exact = brute_force_topk(vecs, qdf, k=5).select("query_id", "vec_id")
-    # n_probe=5 of 8: the measured floor where ALL fixture queries clear
-    # recall@5 >= 0.8 (probe sweep: 3 -> [1.0, 0.6, 0.8], 5 -> [1.0, 0.8,
-    # 1.0]); still the approximate path (3 buckets unprobed)
-    approx = ivf_topk(spark, vecs, queries_pd, k=5, n_centroids=8, n_probe=5).select(
-        "query_id", "vec_id"
-    )
-    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
-    recall = (
-        hits.groupBy("query_id")
-        .agg((F.count("*") / F.lit(5.0)).alias("recall_at_5"))
-        .filter(F.col("recall_at_5") >= 0.8)
-    )
-    return recall.select("query_id", "recall_at_5")
+    # Gate BOTH configs: n_probe=3 is what q_ann_ivf ships (measured floor
+    # 0.6 — a probe-ordering regression shows here first) and n_probe=5 is
+    # the 0.8-recall tier (measured sweep: 3 -> [1.0, 0.6, 0.8],
+    # 5 -> [1.0, 0.8, 1.0]). Healthy = 6 rows (3 queries x 2 configs).
+    parts = []
+    for n_probe, bound in ((3, 0.6), (5, 0.8)):
+        approx = ivf_topk(
+            spark, vecs, queries_pd, k=5, n_centroids=8, n_probe=n_probe
+        ).select("query_id", "vec_id")
+        hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        parts.append(
+            hits.groupBy("query_id")
+            .agg((F.count("*") / F.lit(5.0)).alias("recall_at_5"))
+            .filter(F.col("recall_at_5") >= bound)
+            .select(F.lit(n_probe).alias("n_probe"), "query_id", "recall_at_5")
+        )
+    return parts[0].unionByName(parts[1])
 
 
 def q_sessionize(spark, sf_dir):

@@ -610,11 +610,21 @@ def extract_cpp_hints(source: str):
             i += 1
             continue
         prev = toks[i - 1] if i > 0 else None
+        prev2 = toks[i - 2] if i > 1 else None
         # declaration guard (`Order order(...)`, `void run() {`) and
-        # chain-continuation guard (after '.', '->' tail '>', '::' tail ':')
-        if prev is not None and (
-            (prev.kind == "id" and prev.text not in _STMT_KEYWORD_PREV)
-            or (prev.kind == "punct" and prev.text in (".", ">", ":"))
+        # chain-continuation guard — ONLY after a genuine '::' or '->'
+        # tail or '.': a lone ':' is a case/goto label and a lone '>' a
+        # comparison, after which a call is a fresh expression
+        cont = prev is not None and prev.kind == "punct" and (
+            prev.text == "."
+            or (prev.text == ":" and prev2 is not None
+                and prev2.kind == "punct" and prev2.text == ":")
+            or (prev.text == ">" and prev2 is not None
+                and prev2.kind == "punct" and prev2.text == "-")
+        )
+        if cont or (
+            prev is not None and prev.kind == "id"
+            and prev.text not in _STMT_KEYWORD_PREV
         ):
             i += 1
             continue
@@ -658,13 +668,17 @@ _CS_KEYWORDS = {
 
 
 def _dot_chain(toks: list[Tok], i: int):
-    """id (. id)* — shared by the C#/Kotlin/Swift extractors."""
+    """id ((. | ?.) id)* — shared by the C#/Kotlin/Swift extractors.
+    '?.' (Kotlin safe call / C# conditional access) is one token from the
+    shared tokenizer and renders as '.' like the reference's navigation
+    chains — dropping the receiver would both lose context and let bare
+    method names collide with the test-framework blacklists."""
     parts = [toks[i].text]
     j = i + 1
     n = len(toks)
     while (
         j + 1 < n
-        and toks[j].kind == "punct" and toks[j].text == "."
+        and toks[j].kind == "punct" and toks[j].text in (".", "?.")
         and toks[j + 1].kind == "id"
     ):
         parts.append(toks[j + 1].text)
@@ -752,9 +766,14 @@ def extract_csharp_hints(source: str):
                 if path and path not in seen_i:
                     seen_i.add(path)
                     imports.append(path)
-            while i < n and not (toks[i].kind == "punct" and toks[i].text == ";"):
+                while i < n and not (toks[i].kind == "punct" and toks[i].text == ";"):
+                    i += 1
                 i += 1
-            i += 1
+            else:
+                # `using (...)` statement / `using var x = ...`: keep
+                # scanning — the header and block contain real calls
+                # (Factory.Create(), conn.Run()) the reference captures
+                i += 1
             continue
         if t.kind == "id":
             prev = toks[i - 1] if i > 0 else None

@@ -481,7 +481,10 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
     )
     prev_sig = None
     converged = False
-    for _ in range(max_iter):
+    # max_iter + 1: convergence needs one CONFIRMING round after the last
+    # productive one (sig == prev_sig), so a graph that reaches the star
+    # fixpoint exactly at round max_iter must not be reported unconverged
+    for _ in range(max_iter + 1):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         # decimal(38,0) sums: BIGINT would overflow under ANSI mode
         sig = tuple(
@@ -679,7 +682,14 @@ def sql_simhash_pairs(docs_table: str, text_col: str = "text",
     oracle-checking. Stepwise CTEs keep the generated SQL from inlining the
     token-hash list into all 128 bit terms (the hexgrid emission lesson)."""
     assert max_hamming <= 3, "banded blocking is only complete for <= 3 bits"
-    toks = f"string_split_regex(trim({text_col}), '\\s+')"
+    # list_filter drops the empty tokens string_split_regex emits for
+    # leading/trailing whitespace (trim() strips SPACES only — a tab- or
+    # newline-edged doc would otherwise hash '' into the signature while
+    # the Python kernel's str.split() never produces empties)
+    toks = (
+        f"list_filter(string_split_regex(trim({text_col}), '\\s+'),"
+        f" t -> t <> '')"
+    )
     hs = f"[('0x' || substr(md5(t), 1, 16))::UBIGINT for t in {toks}]"
     bit_terms = " + ".join(
         f"(CASE WHEN 2 * len([h for h in _hs if (h >> {b}) & 1 = 1]) > len(_hs) "

@@ -817,3 +817,46 @@ def test_dispatch_all_eleven_languages():
     assert extract_hints("a.kt", "import a.b.C\n")["imports"] == ["a.b.C"]
     assert extract_hints("a.php", "<?php\nuse A\\B;\n")["imports"] == ["A\\B"]
     assert extract_hints("a.swift", "import Foundation\n")["imports"] == ["Foundation"]
+
+
+# -- review-fix regressions (round 3) ----------------------------------------
+
+def test_cpp_calls_after_case_and_goto_labels():
+    from core_spark.functions.domain_hints import extract_cpp_hints
+
+    h = extract_cpp_hints(
+        "void f() { switch (x) { case 1: fire(1); break; default: helper(2); } }"
+    )
+    assert {"fire", "helper"} <= set(h["calls"])
+    h = extract_cpp_hints("void f() {\nlabel:\n  doit(1);\n}")
+    assert "doit" in h["calls"]
+    # but '::' chains still never restart mid-chain
+    h = extract_cpp_hints("void f() { a::b::c(1); }")
+    assert h["calls"] == ["a.b"]
+
+
+def test_cpp_call_after_comparison():
+    from core_spark.functions.domain_hints import extract_cpp_hints
+
+    h = extract_cpp_hints("void f() { if (a > check(1)) { run(2); } }")
+    assert {"check", "run"} <= set(h["calls"])
+
+
+def test_csharp_using_statement_keeps_inner_calls():
+    from core_spark.functions.domain_hints import extract_csharp_hints
+
+    h = extract_csharp_hints(
+        "class C { void M() { using (var conn = Factory.Create()) "
+        "{ conn.Run(); } After(); } }"
+    )
+    assert {"Factory.Create", "conn.Run", "After"} <= set(h["calls"])
+    assert h["imports"] == []
+
+
+def test_kotlin_safe_call_keeps_receiver():
+    from core_spark.functions.domain_hints import extract_kotlin_hints
+
+    h = extract_kotlin_hints("fun main() {\n    svc?.deliver(1)\n    mock?.verify(x)\n}")
+    # receiver preserved: 'mock?.verify' must NOT collapse to the
+    # blacklisted bare 'verify'
+    assert {"svc.deliver", "mock.verify"} <= set(h["calls"])
