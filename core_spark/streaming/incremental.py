@@ -110,3 +110,77 @@ def stream_zonal_agg(
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+def stream_curation(
+    spark,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    schema: str = "doc_id bigint, text string",
+    max_files_per_trigger: int = 16,
+    lang: str | None = "en",
+):
+    """Streaming twin of the batch curation pass (q_corpus_curation): the
+    per-document work — quality gate, language gate, fingerprint — runs in
+    each micro-batch with the SAME Column emissions as batch; the ledger
+    accumulates gated (doc_id, fingerprint) rows and the global min-id /
+    dup-count resolution stays a ledger aggregation (global grouping is
+    not a streaming concern — at scale this is the MERGE INTO or
+    compaction job over the ledger table).
+
+    Exactly-once per micro-batch via overwrite-by-batch_id segments, same
+    discipline as stream_zonal.
+    """
+    from pyspark.sql import functions as F
+
+    from core_spark.functions.textstats import (
+        spark_fingerprint,
+        spark_quality_cols,
+        sql_lang_id,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    cols = spark_quality_cols("text")
+
+    def process_batch(batch_df, batch_id: int):
+        gated = batch_df.selectExpr(
+            "doc_id", "text",
+            f"{cols['n_tokens']} AS n_tokens",
+            f"{cols['alpha_ratio']} AS alpha_ratio",
+            f"{cols['digit_ratio']} AS digit_ratio",
+        ).filter(
+            "n_tokens >= 5 AND alpha_ratio >= 0.5 AND digit_ratio <= 0.3"
+        )
+        if lang is not None:
+            gated = gated.filter(f"{sql_lang_id('text')} = '{lang}'")
+        gated = gated.selectExpr(
+            "doc_id", f"{spark_fingerprint('text')} AS fp"
+        )
+        gated.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def curation_from_ledger(spark, output_dir: str):
+    """Resolve the streamed ledger into representatives: min doc_id + dup
+    count per fingerprint — identical output to the batch exact_dedup tail."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.option("basePath", output_dir)
+        .parquet(output_dir)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_count"))
+        .drop("fp")
+        .select("doc_id", "dup_count")
+    )

@@ -84,3 +84,57 @@ class TestStreamingZonal:
         batches_second = len(glob.glob(str(tmp_path / "ledger" / "batch_id=*")))
         assert n_second > n_first           # new rows arrived
         assert batches_second > batches_first  # as a NEW batch segment only
+
+
+@pytest.mark.spark
+class TestStreamCuration:
+    def test_stream_curation_matches_batch(self, spark, tmp_path):
+        """The streaming curation ledger resolves to EXACTLY the batch
+        curation output (same gates, same fingerprints, same
+        representatives) — one pipeline definition, two execution modes."""
+        from core_spark.streaming.incremental import (
+            curation_from_ledger,
+            stream_curation,
+        )
+
+        input_dir = str(tmp_path / "in")
+        for part in range(3):
+            pdf = synth.webpages_pandas(100, start=part * 100)[["doc_id", "text"]]
+            spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(input_dir)
+
+        # lang=None: the synthetic corpus text carries coordinates, not
+        # natural language, so the en-marker gate would empty it — the
+        # quality gates + fingerprint path is what this test pins
+        q = stream_curation(
+            spark,
+            input_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            output_dir=str(tmp_path / "ledger"),
+            max_files_per_trigger=1,
+            lang=None,
+        )
+        q.awaitTermination(120)
+
+        got = sorted(
+            (r.doc_id, r.dup_count)
+            for r in curation_from_ledger(spark, str(tmp_path / "ledger")).collect()
+        )
+
+        # batch twin: same gates + exact_dedup over the full input
+        from core_spark.functions.textstats import spark_quality_cols
+        from core_spark.operators import dedup as dd
+
+        cols = spark_quality_cols("text")
+        batch = spark.read.parquet(input_dir).selectExpr(
+            "doc_id", "text",
+            f"{cols['n_tokens']} AS n_tokens",
+            f"{cols['alpha_ratio']} AS alpha_ratio",
+            f"{cols['digit_ratio']} AS digit_ratio",
+        ).filter(
+            "n_tokens >= 5 AND alpha_ratio >= 0.5 AND digit_ratio <= 0.3"
+        )
+        want = sorted(
+            (r.doc_id, r.dup_count) for r in dd.exact_dedup(batch).collect()
+        )
+        assert len(got) > 0
+        assert got == want
