@@ -153,7 +153,6 @@ def parse_phpunit_tests(source: str) -> list[dict]:
         t = toks[i]
         if t.kind == "id" and t.text == "class" and i + 1 < n and toks[i + 1].kind == "id":
             cname = toks[i + 1].text
-            cline = t.line
             j = i + 2
             base = ""
             while j < n and not (toks[j].kind == "punct" and toks[j].text == "{"):

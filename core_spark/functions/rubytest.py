@@ -358,7 +358,6 @@ class _MinitestExtractor:
             if t.kind == "id" and t.text == "class" and t.stmt_start:
                 j = i + 1
                 cname = toks[j].text if j < hi and toks[j].kind == "const" else ""
-                cline = t.line
                 # superclass: '<' tokens to end of line
                 k = j + 1
                 superclass = ""

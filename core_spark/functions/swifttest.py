@@ -65,7 +65,6 @@ def parse_xctest(source: str) -> list[dict]:
         t = toks[i]
         if t.kind == "id" and t.text == "class" and i + 1 < n and toks[i + 1].kind == "id":
             cname = toks[i + 1].text
-            cline = t.line
             j = i + 2
             supers: list[str] = []
             if j < n and toks[j].kind == "punct" and toks[j].text == ":":
@@ -160,7 +159,6 @@ def parse_swift_testing(source: str) -> list[dict]:
             and toks[i + 1].kind == "id"
         ):
             cname = toks[i + 1].text
-            cline = t.line
             decl_attrs = _collect_attrs(toks, i)
             j = i + 2
             while j < n and not (toks[j].kind == "punct" and toks[j].text == "{"):
