@@ -546,7 +546,12 @@ def q_ann_ivf_recall(spark, sf_dir):
          "qvec": [list(r.embedding) for r in qrows]}
     )
     qdf = spark.createDataFrame(queries_pd, "query_id bigint, qvec array<double>")
-    exact = brute_force_topk(vecs, qdf, k=5).select("query_id", "vec_id")
+    # materialize: both n_probe branches semi-join against `exact` (union
+    # branches recompute, the round-3 self-join lesson)
+    exact = (
+        brute_force_topk(vecs, qdf, k=5).select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
     # Gate BOTH configs: n_probe=3 is what q_ann_ivf ships (measured floor
     # 0.6 — a probe-ordering regression shows here first) and n_probe=5 is
     # the 0.8-recall tier (measured sweep: 3 -> [1.0, 0.6, 0.8],

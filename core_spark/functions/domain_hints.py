@@ -556,6 +556,32 @@ def _base_or_full_blacklisted(call: str, blacklist: set[str]) -> bool:
     return call.split(".", 1)[0] in blacklist or call in blacklist
 
 
+def _cpp_is_template_close(toks: list[Tok], gt: int, limit: int = 40) -> bool:
+    """True when the '>' at index gt closes a template-argument list: walk
+    back for a matching '<' over type-ish tokens only (ids, '::', ',',
+    '*', '&', nested '<'/'>'). 'a > b' has no matching '<' in a pure-type
+    window, so comparisons stay comparisons."""
+    depth = 1
+    j = gt - 1
+    steps = 0
+    while j >= 0 and steps < limit:
+        t = toks[j]
+        if t.kind == "punct":
+            if t.text == ">":
+                depth += 1
+            elif t.text == "<":
+                depth -= 1
+                if depth == 0:
+                    return True
+            elif t.text not in (",", "*", "&", ":", "."):
+                return False
+        elif t.kind not in ("id", "num"):
+            return False
+        j -= 1
+        steps += 1
+    return False
+
+
 def _cpp_chain(toks: list[Tok], i: int):
     """id ((. | -> | ::) id)* — '->' and '::' arrive as two single-char
     punct tokens from the shared tokenizer. Returns (parts, j_after)."""
@@ -612,15 +638,19 @@ def extract_cpp_hints(source: str):
         prev = toks[i - 1] if i > 0 else None
         prev2 = toks[i - 2] if i > 1 else None
         # declaration guard (`Order order(...)`, `void run() {`) and
-        # chain-continuation guard — ONLY after a genuine '::' or '->'
-        # tail or '.': a lone ':' is a case/goto label and a lone '>' a
-        # comparison, after which a call is a fresh expression
+        # chain-continuation guard — after '.', a genuine '::' or '->'
+        # tail, or a template-argument close ('vector<int> name(...)' is a
+        # declaration). A lone ':' is a case/goto label and a lone
+        # non-template '>' a comparison, after which a call is fresh.
         cont = prev is not None and prev.kind == "punct" and (
             prev.text == "."
             or (prev.text == ":" and prev2 is not None
                 and prev2.kind == "punct" and prev2.text == ":")
-            or (prev.text == ">" and prev2 is not None
-                and prev2.kind == "punct" and prev2.text == "-")
+            or (prev.text == ">" and (
+                (prev2 is not None and prev2.kind == "punct"
+                 and prev2.text == "-")
+                or _cpp_is_template_close(toks, i - 1)
+            ))
         )
         if cont or (
             prev is not None and prev.kind == "id"
@@ -780,7 +810,7 @@ def extract_csharp_hints(source: str):
             # '[': attributes `[TestCase(1)]` are not invocation expressions
             if prev is not None and (
                 (prev.kind == "id" and prev.text not in _STMT_KEYWORD_PREV)
-                or (prev.kind == "punct" and prev.text in (".", ">", "["))
+                or (prev.kind == "punct" and prev.text in (".", "?.", ">", "["))
             ):
                 i += 1
                 continue
@@ -868,7 +898,7 @@ def extract_kotlin_hints(source: str):
             # '@': annotations `@Suite("x")` are not call expressions
             if prev is not None and (
                 (prev.kind == "id" and prev.text not in _STMT_KEYWORD_PREV)
-                or (prev.kind == "punct" and prev.text in (".", "@"))
+                or (prev.kind == "punct" and prev.text in (".", "?.", "@"))
             ):
                 i += 1
                 continue

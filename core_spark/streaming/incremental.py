@@ -157,7 +157,9 @@ def stream_curation(
             "n_tokens >= 5 AND alpha_ratio >= 0.5 AND digit_ratio <= 0.3"
         )
         if lang is not None:
-            gated = gated.filter(f"{sql_lang_id('text')} = '{lang}'")
+            # Column equality, not string interpolation — a quote in `lang`
+            # must compare falsely, never break the generated SQL
+            gated = gated.filter(F.expr(sql_lang_id("text")) == F.lit(lang))
         gated = gated.selectExpr(
             "doc_id", f"{spark_fingerprint('text')} AS fp"
         )
@@ -181,6 +183,5 @@ def curation_from_ledger(spark, output_dir: str):
         .parquet(output_dir)
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_count"))
-        .drop("fp")
         .select("doc_id", "dup_count")
     )

@@ -860,3 +860,30 @@ def test_kotlin_safe_call_keeps_receiver():
     # receiver preserved: 'mock?.verify' must NOT collapse to the
     # blacklisted bare 'verify'
     assert {"svc.deliver", "mock.verify"} <= set(h["calls"])
+
+
+def test_cpp_template_declaration_not_a_call():
+    from core_spark.functions.domain_hints import extract_cpp_hints
+
+    h = extract_cpp_hints(
+        "void f() {\n    std::vector<int> names(3);\n"
+        "    std::unique_ptr<Foo> p(new Foo);\n    svc.go(1);\n}"
+    )
+    got = set(h["calls"])
+    assert "svc.go" in got
+    assert not {"names", "p"} & got
+    # comparisons after which a call IS fresh still work
+    h = extract_cpp_hints("void f() { if (a > check(1)) { run(2); } }")
+    assert {"check", "run"} <= set(h["calls"])
+
+
+def test_safe_call_tail_not_captured_bare():
+    from core_spark.functions.domain_hints import (
+        extract_csharp_hints,
+        extract_kotlin_hints,
+    )
+
+    h = extract_kotlin_hints("fun main() {\n    repo.load(id)?.save()\n}")
+    assert "repo.load" in h["calls"] and "save" not in h["calls"]
+    h = extract_csharp_hints("class C { void M() { factory.BuildMock()?.Verify(); } }")
+    assert "factory.BuildMock" in h["calls"] and "Verify" not in h["calls"]
