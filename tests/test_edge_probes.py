@@ -89,3 +89,40 @@ class TestSparkProbes:
         tdf = spark.createDataFrame([(1, None), (2, "a b")], "doc_id bigint, text string")
         rows = {r.doc_id: r.simhash for r in with_simhash(tdf).collect()}
         assert rows[1] is None and rows[2] is not None
+
+
+@pytest.mark.spark
+class TestCurationEdges:
+    def test_curation_gates_null_empty_whitespace(self, spark):
+        """NULL, empty, and whitespace-only text must be gated out without
+        error; a real English doc survives with dup_count 1."""
+        import core_spark.operators.dedup as dd
+        from core_spark.functions.textstats import spark_quality_cols, sql_lang_id
+
+        df = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "   \t\n "),
+             (4, "the cat and the dog sat on the mat together")],
+            "doc_id bigint, text string",
+        )
+        cols = spark_quality_cols("text")
+        gated = df.selectExpr(
+            "doc_id", "text",
+            f"{cols['n_tokens']} AS n_tokens",
+            f"{cols['alpha_ratio']} AS alpha_ratio",
+            f"{cols['digit_ratio']} AS digit_ratio",
+        ).filter(
+            "n_tokens >= 5 AND alpha_ratio >= 0.5 AND digit_ratio <= 0.3"
+        ).filter(f"{sql_lang_id('text')} = 'en'")
+        out = sorted((r.doc_id, r.dup_count) for r in dd.exact_dedup(gated).collect())
+        assert out == [(4, 1)]
+
+    def test_dedup_family_empty_inputs(self, spark):
+        """Empty tables flow through every pair generator and the star
+        contraction without error (0 rows out, no non-convergence raise)."""
+        import core_spark.operators.dedup as dd
+
+        empty = spark.createDataFrame([], "doc_id bigint, text string")
+        assert dd.ngram_jaccard_pairs(empty, k=3, threshold=0.5).count() == 0
+        assert dd.minhash_lsh_pairs(empty, k=2, n_perm=8, bands=4).count() == 0
+        pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+        assert dd.connected_components(pairs).count() == 0
