@@ -227,10 +227,13 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_text_langid(spark, sf_dir):
-    """Stopword-marker language ID (portable CASE cascade)."""
-    return _docs(spark, sf_dir, wide=False).selectExpr(
-        "doc_id", f"{ts.sql_lang_id('text')} AS lang_pred"
-    )
+    """Stopword-marker language ID — stepwise score columns + array arg-max
+    on Spark (codegen-safe; textstats.lang_id_steps), monolithic portable
+    CASE on DuckDB (same arg-max semantics)."""
+    return hx.apply_steps(
+        _docs(spark, sf_dir, wide=False).select("doc_id", "text"),
+        ts.lang_id_steps("text"),
+    ).select("doc_id", "lang_pred")
 
 
 def q_fingerprint(spark, sf_dir):
@@ -423,8 +426,11 @@ def q_corpus_curation(spark, sf_dir):
     primitives (textstats quality cols, sql_lang_id, exact_dedup), so the
     DuckDB twin is the same CTE chain over the same emissions. At 10^12
     rows the plan is scan -> codegen'd filters (pushdown-friendly) -> one
-    hash-agg shuffle on a uniform 60-bit fingerprint."""
-    from core_spark.functions.textstats import spark_quality_cols, sql_lang_id
+    hash-agg shuffle on a uniform 60-bit fingerprint. The language gate
+    uses the stepwise lang_id emission (textstats.lang_id_steps): the
+    former monolithic CASE inside the filter was a 40 KB expression that
+    failed janino compilation and ran interpreted (24.6s -> target ~5s)."""
+    from core_spark.functions.textstats import lang_id_steps, spark_quality_cols
 
     docs = _docs(spark, sf_dir)
     cols = spark_quality_cols("text")
@@ -435,7 +441,12 @@ def q_corpus_curation(spark, sf_dir):
         f"{cols['digit_ratio']} AS digit_ratio",
     ).filter(
         "n_tokens >= 5 AND alpha_ratio >= 0.5 AND digit_ratio <= 0.3"
-    ).filter(f"{sql_lang_id('text')} = 'en'")
+    )
+    gated = (
+        hx.apply_steps(gated, lang_id_steps("text"))
+        .filter("lang_pred = 'en'")
+        .drop("lang_pred")
+    )
     return dd.exact_dedup(gated).selectExpr(
         "doc_id", "CAST(dup_count AS BIGINT) AS dup_count"
     )
@@ -1143,13 +1154,22 @@ def q_test_file_filter(spark, sf_dir):
     """F1: the 11-language candidate-file predicate over generated paths.
     The ORACLE runs the IDENTICAL generated SQL in DuckDB (portable
     POSITION/LEFT/RIGHT/LOWER string ops) — exact cross-engine parity of
-    the scan-level pushdown predicate."""
+    the scan-level pushdown predicate.
+
+    ``path`` is projected ONCE in an inner select on BOTH engines: the
+    predicate references its input ~114x, and inlining the 12-arm path
+    CASE at every reference tripled the runtime (6.1s -> 2.x; Catalyst
+    keeps the stepwise alias un-collapsed per SPARK-36718 because it is
+    non-cheap and multiply referenced)."""
     from core_spark.sources.ingest import sql_test_file_candidate
 
-    return _docs(spark, sf_dir).selectExpr(
+    return _docs(spark, sf_dir, wide=False).selectExpr(
         "doc_id",
         f"{_path_gen_sql()} AS path",
-        f"{sql_test_file_candidate(_path_gen_sql())} AS is_candidate",
+    ).selectExpr(
+        "doc_id",
+        "path",
+        f"{sql_test_file_candidate('path')} AS is_candidate",
     )
 
 
@@ -1157,9 +1177,8 @@ def _sql_test_file_filter_oracle() -> str:
     from core_spark.sources.ingest import sql_test_file_candidate
 
     return (
-        f"SELECT doc_id, {_path_gen_sql()} AS path, "
-        f"{sql_test_file_candidate(_path_gen_sql())} AS is_candidate "
-        f"FROM documents"
+        f"SELECT doc_id, path, {sql_test_file_candidate('path')} AS is_candidate "
+        f"FROM (SELECT doc_id, {_path_gen_sql()} AS path FROM documents)"
     )
 
 

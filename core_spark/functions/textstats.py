@@ -175,10 +175,53 @@ def sql_lang_id(text_col: str, langs: list[str] | None = None) -> str:
     return "CASE " + " ".join(arms) + " ELSE 'und' END"
 
 
-def with_lang_id(df, text_col: str = "text", out_col: str = "lang_pred"):
-    from pyspark.sql import functions as F
+def lang_id_steps(text_col: str, langs: list[str] | None = None,
+                  out: str = "lang_pred") -> list[tuple[str, str]]:
+    """Language-ID as STEPWISE (col_name, sql) emissions for the Spark side.
 
-    return df.withColumn(out_col, F.expr(sql_lang_id(text_col)))
+    Same semantics as ``sql_lang_id`` (arg-max score, first-listed wins
+    ties, 'und' when no marker fires) but each language score is emitted
+    ONCE as its own column and the arg-max is array-based:
+    ``array_position(scores, array_max(scores))`` returns the FIRST index
+    achieving the max — exactly the cascade's tie-break — so no score
+    expression is ever textually repeated. The monolithic CASE repeated
+    every score across its comparison arms (~330 ``replace()`` calls,
+    40 KB): janino failed to compile ``processNext()`` and the stage ran
+    INTERPRETED (24.6s for corpus_curation at sf0.1). Stepwise columns are
+    protected from re-inlining by SPARK-36718 (CollapseProject refuses to
+    duplicate non-cheap aliases) — the hexgrid.cell_steps rule.
+
+    Apply with ``hexgrid.apply_steps``; intermediates are '_'-prefixed and
+    dropped. The DuckDB oracle keeps the portable ``sql_lang_id`` monolith
+    (equivalent arg-max; DuckDB's vector engine has no codegen cliff).
+    """
+    langs = langs or list(LANG_MARKERS)
+    p = f"_{out}_"
+    steps: list[tuple[str, str]] = [
+        (f"{p}pad", f"(' ' || lower({text_col}) || ' ')")
+    ]
+    for lang in langs:
+        score = " + ".join(
+            _count_occurrences_spark(f"{p}pad", m) for m in LANG_MARKERS[lang]
+        )
+        steps.append((f"{p}s_{lang}", f"({score})"))
+    arr = "array(" + ", ".join(f"{p}s_{lang}" for lang in langs) + ")"
+    names = "array(" + ", ".join(f"'{lang}'" for lang in langs) + ")"
+    steps.append((f"{p}arr", arr))
+    steps.append((f"{p}mx", f"array_max({p}arr)"))
+    steps.append((
+        out,
+        f"(CASE WHEN {p}mx > 0 "
+        f"THEN element_at({names}, CAST(array_position({p}arr, {p}mx) AS INT)) "
+        f"ELSE 'und' END)",
+    ))
+    return steps
+
+
+def with_lang_id(df, text_col: str = "text", out_col: str = "lang_pred"):
+    from core_spark.functions.hexgrid import apply_steps
+
+    return apply_steps(df, lang_id_steps(text_col, out=out_col))
 
 
 # ---------------------------------------------------------------------------

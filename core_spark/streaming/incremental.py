@@ -134,10 +134,11 @@ def stream_curation(
     """
     from pyspark.sql import functions as F
 
+    from core_spark.functions.hexgrid import apply_steps
     from core_spark.functions.textstats import (
+        lang_id_steps,
         spark_fingerprint,
         spark_quality_cols,
-        sql_lang_id,
     )
 
     stream = (
@@ -158,8 +159,13 @@ def stream_curation(
         )
         if lang is not None:
             # Column equality, not string interpolation — a quote in `lang`
-            # must compare falsely, never break the generated SQL
-            gated = gated.filter(F.expr(sql_lang_id("text")) == F.lit(lang))
+            # must compare falsely, never break the generated SQL. Stepwise
+            # lang-id emission (codegen-safe; same rule as batch curation).
+            gated = (
+                apply_steps(gated, lang_id_steps("text"))
+                .filter(F.col("lang_pred") == F.lit(lang))
+                .drop("lang_pred")
+            )
         gated = gated.selectExpr(
             "doc_id", f"{spark_fingerprint('text')} AS fp"
         )

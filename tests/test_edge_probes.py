@@ -97,7 +97,8 @@ class TestCurationEdges:
         """NULL, empty, and whitespace-only text must be gated out without
         error; a real English doc survives with dup_count 1."""
         import core_spark.operators.dedup as dd
-        from core_spark.functions.textstats import spark_quality_cols, sql_lang_id
+        from core_spark.functions.hexgrid import apply_steps
+        from core_spark.functions.textstats import lang_id_steps, spark_quality_cols
 
         df = spark.createDataFrame(
             [(1, None), (2, ""), (3, "   \t\n "),
@@ -112,7 +113,12 @@ class TestCurationEdges:
             f"{cols['digit_ratio']} AS digit_ratio",
         ).filter(
             "n_tokens >= 5 AND alpha_ratio >= 0.5 AND digit_ratio <= 0.3"
-        ).filter(f"{sql_lang_id('text')} = 'en'")
+        )
+        gated = (
+            apply_steps(gated, lang_id_steps("text"))
+            .filter("lang_pred = 'en'")
+            .drop("lang_pred")
+        )
         out = sorted((r.doc_id, r.dup_count) for r in dd.exact_dedup(gated).collect())
         assert out == [(4, 1)]
 

@@ -103,6 +103,37 @@ class TestTextStatsParity:
         assert got["lang_pred"].tolist()[3] == "de"
         assert got["lang_pred"].tolist()[4] == "fr"
 
+    def test_lang_id_steps_equiv_monolith(self, spark):
+        """Stepwise arg-max emission (lang_id_steps) must agree with the
+        monolithic CASE cascade (sql_lang_id) on ties, NULL, empty, no-hit,
+        and genuine multi-language rows — the oracle keeps the monolith, so
+        this equivalence is what licenses the Spark-side swap."""
+        from core_spark.functions.hexgrid import apply_steps
+
+        rows = [
+            (1, "the cat and the dog that is here"),          # en
+            (2, "der hund und die katze ist nicht da"),       # de
+            (3, None),                                        # NULL -> und
+            (4, ""),                                          # empty -> und
+            (5, "xyzzy plugh 12345"),                         # no marker -> und
+            (6, " the la "),                                  # en/fr tie -> first listed (en)
+            (7, " que es "),                                  # es/pt tie on 'que'
+            (8, " de la le et est les "),                     # fr-heavy
+            (9, " и в не что это "),                          # ru
+            (10, "o de que é uma coisa"),                # pt
+        ]
+        sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+        mono = {
+            r.doc_id: r.m
+            for r in sdf.selectExpr("doc_id", f"{ts.sql_lang_id('text')} AS m").collect()
+        }
+        step = {
+            r.doc_id: r.lang_pred
+            for r in apply_steps(sdf, ts.lang_id_steps("text")).collect()
+        }
+        assert mono == step
+        assert step[3] == "und" and step[4] == "und" and step[5] == "und"
+
     def test_fingerprint_portable(self, spark, duck):
         sdf = spark.createDataFrame(DOCS)
         got = (
