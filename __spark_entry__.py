@@ -1231,10 +1231,20 @@ def q_dedup_cluster(spark, sf_dir):
     """Near-dup clustering end-to-end: MinHash-LSH candidates -> exact
     Jaccard verify -> connected components (alternating star contraction)
     -> the kept representative set. Oracled against an INDEPENDENT DuckDB
-    plan (recursive transitive-closure CTE + min label)."""
+    plan (recursive transitive-closure CTE + min label).
+
+    The hashed-shingle sets are materialized ONCE (localCheckpoint) and
+    shared by the signature stage and both sides of the verify join — one
+    md5 tokenize pass over the corpus instead of three."""
+    from pyspark.sql import functions as F
+
     docs = _docs(spark, sf_dir)
-    cands = dd.minhash_lsh_pairs(docs, k=3, n_perm=8, bands=4)
-    pairs = dd.verify_pairs_jaccard(cands, docs, k=3, threshold=0.5)
+    hs = docs.select(
+        F.col("doc_id"),
+        F.expr(dd.spark_hashed_shingles("text", 3)).alias("_shs"),
+    ).localCheckpoint(eager=True)
+    cands = dd.minhash_lsh_pairs(docs, k=3, n_perm=8, bands=4, hashed_sets=hs)
+    pairs = dd.verify_pairs_jaccard(cands, docs, k=3, threshold=0.5, hashed_sets=hs)
     return dd.dedup_keep_representatives(docs, pairs).selectExpr("doc_id")
 
 

@@ -273,19 +273,40 @@ WHERE len(list_intersect(sa.shs, sb.shs))
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _spark_minhash_sig(shingles_col: str, perm: int) -> str:
-    """One MinHash signature value: min over shingles of the md5-derived
-    60-bit hash salted with the permutation index. References an already-
-    materialized shingle-array column — computing the array inline would be
-    re-evaluated once PER PERMUTATION (Catalyst duplicates collapsed
-    projections; the hexgrid stepwise-emission lesson, measured 69s -> ~9s
-    at sf0.1)."""
-    h = f"CAST(conv(substr(md5(concat('p{perm}:', x)), 1, 15), 16, 10) AS BIGINT)"
-    return f"array_min(transform({shingles_col}, x -> {h}))"
+_MH_MOD = 2147483647       # 2^31 - 1 (Mersenne prime)
+_MH_BASE_MOD = 1073741824  # 2^30: keeps a*h < 2^60, BIGINT-overflow-safe
+
+
+def _mh_consts(perm: int) -> tuple[int, int]:
+    """Deterministic affine-permutation constants (a odd => injective mod
+    2^30; Knuth multiplicative-hash multipliers, no runtime randomness)."""
+    a = ((2654435761 * (perm + 1)) % _MH_BASE_MOD) | 1
+    b = (40503 * (perm + 1) + 2654435769 * perm) % _MH_MOD
+    return a, b
+
+
+def _spark_minhash_sig(hashed_col: str, perm: int) -> str:
+    """One MinHash signature value: min over the doc's 60-bit hashed
+    shingles of an affine permutation (a*h + b) mod p.
+
+    ONE md5 per shingle total (the shared ``spark_hashed_shingles``
+    emission), vs the former scheme's one md5 per shingle PER PERMUTATION
+    — an n_perm-fold reduction of the dominant signature cost. References
+    an already-materialized hashed-shingle array column — computing the
+    array inline would be re-evaluated once per permutation (Catalyst
+    duplicates collapsed projections; the hexgrid stepwise-emission
+    lesson, measured 69s -> ~9s at sf0.1).
+    """
+    a, b = _mh_consts(perm)
+    return (
+        f"array_min(transform({hashed_col}, "
+        f"h -> ({a} * (h % {_MH_BASE_MOD}) + {b}) % {_MH_MOD}))"
+    )
 
 
 def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
-                      k: int = 3, n_perm: int = 12, bands: int = 4):
+                      k: int = 3, n_perm: int = 12, bands: int = 4,
+                      hashed_sets=None):
     """Candidate near-dup pairs via banded MinHash LSH.
 
     n_perm signatures in ``bands`` bands of r = n_perm/bands rows; documents
@@ -297,16 +318,26 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     Returns DISTINCT (id_a < id_b) candidate pairs; callers refine with
     ngram_jaccard or exact comparison (two-phase: cheap-filter-then-verify,
     the reference's detection-cascade discipline).
+
+    ``hashed_sets``: optional pre-materialized (id_col, _shs) table (same k
+    and hashing as verify_pairs_jaccard) — candidate+verify pipelines then
+    pay the md5 tokenize pass ONCE for both stages.
     """
     from pyspark.sql import functions as F
 
     r = n_perm // bands
     assert bands * r == n_perm
-    sigs = (
-        df.select(F.col(id_col), F.expr(spark_shingles(text_col, k)).alias("_sh"))
-        .select(
+    if hashed_sets is not None:
+        base = hashed_sets.select(F.col(id_col), F.col("_shs").alias("_shh"))
+    else:
+        base = df.select(
             F.col(id_col),
-            *[F.expr(_spark_minhash_sig("_sh", p)).alias(f"mh{p}") for p in range(n_perm)],
+            F.expr(spark_hashed_shingles(text_col, k)).alias("_shh"),
+        )
+    sigs = (
+        base.select(
+            F.col(id_col),
+            *[F.expr(_spark_minhash_sig("_shh", p)).alias(f"mh{p}") for p in range(n_perm)],
         )
     )
     band_keys = sigs.select(
@@ -345,18 +376,19 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
 def sql_minhash_lsh_pairs(docs_table: str, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 3,
                           n_perm: int = 12, bands: int = 4) -> str:
-    """DuckDB oracle: same signatures (identical md5 arithmetic), same bands."""
+    """DuckDB oracle: same signatures (identical md5 + affine arithmetic,
+    all in nonnegative BIGINT range so %% agrees across engines), same
+    bands."""
     r = n_perm // bands
-    toks = f"string_split_regex(trim({text_col}), '\\s+')"
-    sh = (
-        f"CASE WHEN len({toks}) < {k} THEN [array_to_string({toks}, ' ')] "
-        f"ELSE list_distinct([array_to_string({toks}[i:i+{k}-1], ' ') "
-        f"for i in range(1, len({toks}) - {k} + 2)]) END"
-    )
-    sig_cols = ", ".join(
-        f"list_min([(('0x' || substr(md5('p{p}:' || x), 1, 15))::BIGINT) for x in {sh}]) AS mh{p}"
-        for p in range(n_perm)
-    )
+
+    def _sig(p: int) -> str:
+        a, b = _mh_consts(p)
+        return (
+            f"list_min([({a} * (h % {_MH_BASE_MOD}) + {b}) % {_MH_MOD} "
+            f"for h in hs]) AS mh{p}"
+        )
+
+    sig_cols = ", ".join(_sig(p) for p in range(n_perm))
     band_selects = " UNION ALL ".join(
         f"SELECT {id_col}, {b} AS band, "
         + " || '_' || ".join(f"CAST(mh{b * r + i} AS VARCHAR)" for i in range(r))
@@ -364,7 +396,8 @@ def sql_minhash_lsh_pairs(docs_table: str, text_col: str = "text",
         for b in range(bands)
     )
     return f"""
-WITH sigs AS (SELECT {id_col}, {sig_cols} FROM {docs_table}),
+WITH hsets AS (SELECT {id_col}, {duck_hashed_shingles(text_col, k)} AS hs FROM {docs_table}),
+sigs AS (SELECT {id_col}, {sig_cols} FROM hsets),
 bk AS ({band_selects})
 SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
 FROM bk a JOIN bk b
