@@ -662,6 +662,14 @@ _JS_TEMPLATES = [
     # var-declaration unwrap + RuleTester.run
     "const t = xit('var <<I>>', () => {}); "
     "ruleTester.run('rule <<I>>', rule, { valid: 1, invalid: 2 });",
+    # playwright import-alias + fixture-extend re-binding
+    # (playwright/definition.go:187-339)
+    "import { test as base } from '@playwright/test';\n"
+    "const test = base.extend({ u: 1 });\n"
+    "test('ext <<I>>', async () => {});\n"
+    "base.describe('fixture suite <<I>>', () => {"
+    " base('aliased <<I>>', () => {});"
+    " base.fixme('broken <<I>>', () => {}); });",
 ]
 
 _PY_TEMPLATES = [
@@ -897,30 +905,39 @@ def _sql_js_inventory_oracle() -> str:
     arms = [
         # k=0
         f"SELECT doc_id, 'suite' AS kind, '' AS suite_path, 'Suite ' || {i} AS name,"
-        f" 'active' AS status, '' AS modifier FROM documents WHERE doc_id % 6 = 0",
+        f" 'active' AS status, '' AS modifier FROM documents WHERE doc_id % 7 = 0",
         f"SELECT doc_id, 'test', 'Suite ' || {i}, 'alpha ' || {i}, 'active', ''"
-        f" FROM documents WHERE doc_id % 6 = 0",
+        f" FROM documents WHERE doc_id % 7 = 0",
         f"SELECT doc_id, 'test', 'Suite ' || {i}, 'beta ' || {i}, 'skipped', 'skip'"
-        f" FROM documents WHERE doc_id % 6 = 0",
+        f" FROM documents WHERE doc_id % 7 = 0",
         # k=1
         f"SELECT doc_id, 'test', '', 'case %d of ' || {i} || ' (dynamic cases)',"
-        f" 'active', '' FROM documents WHERE doc_id % 6 = 1",
+        f" 'active', '' FROM documents WHERE doc_id % 7 = 1",
         # k=2
         "SELECT doc_id, 'test', '', '(dynamic) (dynamic cases)', 'active', ''"
-        " FROM documents WHERE doc_id % 6 = 2",
+        " FROM documents WHERE doc_id % 7 = 2",
         # k=3
         f"SELECT doc_id, 'suite', '', 'ternary ' || {i}, 'active', ''"
-        f" FROM documents WHERE doc_id % 6 = 3",
+        f" FROM documents WHERE doc_id % 7 = 3",
         f"SELECT doc_id, 'test', 'ternary ' || {i}, 'focus ' || {i}, 'focused', 'fit'"
-        f" FROM documents WHERE doc_id % 6 = 3",
+        f" FROM documents WHERE doc_id % 7 = 3",
         # k=4 (template literal kept raw; '$' || '{' avoids f-string noise)
         f"SELECT doc_id, 'test', '', 'dyn ${{item}} ' || {i} || ' (dynamic cases)',"
-        f" 'active', '' FROM documents WHERE doc_id % 6 = 4",
+        f" 'active', '' FROM documents WHERE doc_id % 7 = 4",
         # k=5
         f"SELECT doc_id, 'test', '', 'var ' || {i}, 'skipped', 'xit'"
-        f" FROM documents WHERE doc_id % 6 = 5",
+        f" FROM documents WHERE doc_id % 7 = 5",
         f"SELECT doc_id, 'test', '', 'rule ' || {i} || ' (dynamic cases)', 'active', ''"
-        f" FROM documents WHERE doc_id % 6 = 5",
+        f" FROM documents WHERE doc_id % 7 = 5",
+        # k=6 playwright alias + extend
+        f"SELECT doc_id, 'test', '', 'ext ' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 7 = 6",
+        f"SELECT doc_id, 'suite', '', 'fixture suite ' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 7 = 6",
+        f"SELECT doc_id, 'test', 'fixture suite ' || {i}, 'aliased ' || {i}, 'active', ''"
+        f" FROM documents WHERE doc_id % 7 = 6",
+        f"SELECT doc_id, 'test', 'fixture suite ' || {i}, 'broken ' || {i},"
+        f" 'skipped', 'fixme' FROM documents WHERE doc_id % 7 = 6",
     ]
     return " UNION ALL ".join(arms)
 

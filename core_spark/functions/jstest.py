@@ -608,6 +608,131 @@ def parse_function_name(desc) -> tuple[str, str, str]:
     return "", status, modifier
 
 
+PLAYWRIGHT_IMPORT_PATH = "@playwright/test"
+
+# the well-known base-fixture object names Playwright suites extend from
+# (playwright/definition.go:286)
+_EXTEND_BASES = {"base", "baseTest", "browserTest", "contextTest", "playwrightTest"}
+
+
+def extract_playwright_test_aliases(toks: list[Tok]) -> set[str]:
+    """Playwright test-alias pre-pass (playwright/definition.go:187-339).
+
+    Walks TOP-LEVEL statements only (depth 0 — the reference iterates the
+    root node's children) and returns the set of identifiers that denote
+    the Playwright ``test`` object:
+
+      * always ``test``;
+      * every named-import alias of ``test`` from '@playwright/test'
+        (``import { test as setup } from '@playwright/test'``), ignoring
+        statement-level type-only imports (definition.go:229-238);
+      * ``it``/``test`` re-bound via a fixture-extend call
+        (``const test = base.extend({...})``) where the extended object is
+        a known alias or a conventional base-fixture name
+        (definition.go:240-287 — note the reference only re-binds the
+        names ``it`` and ``test``, not arbitrary identifiers);
+      * ``it`` when the file has NO value import from '@playwright/test'
+        (the indirect-fixture convention, definition.go:208-210).
+    """
+    aliases = {"test"}
+    has_pw_import = False
+    i, n = 0, len(toks)
+    depth = 0
+    while i < n:
+        t = toks[i]
+        if t.kind == "punct":
+            if t.text in _OPEN:
+                depth += 1
+            elif t.text in _CLOSE:
+                depth -= 1
+            i += 1
+            continue
+        if depth != 0 or t.kind != "id":
+            i += 1
+            continue
+        if t.text == "import":
+            i, is_pw = _scan_import_aliases(toks, i, n, aliases)
+            has_pw_import = has_pw_import or is_pw
+            continue
+        if t.text in ("const", "let", "var"):
+            _scan_extend_decl(toks, i, n, aliases)
+        i += 1
+    if not has_pw_import:
+        aliases.add("it")
+    return aliases
+
+
+def _scan_import_aliases(toks, i, n, aliases) -> tuple[int, bool]:
+    """Consume one import statement starting at ``i``; collect ``test``
+    aliases if it is a value import from '@playwright/test'. Returns
+    (index after the statement, is_playwright_value_import)."""
+    j = i + 1
+    type_only = j < n and toks[j].kind == "id" and toks[j].text == "type"
+    # module path = first string token before the statement terminator
+    path_idx = -1
+    k = j
+    while k < n:
+        tk = toks[k]
+        if tk.kind == "str":
+            path_idx = k
+            break
+        if tk.kind == "punct" and tk.text == ";":
+            break
+        if tk.kind == "id" and tk.text == "import" and k > i:
+            break  # next import statement — malformed/side-effect form
+        k += 1
+    if path_idx < 0:
+        return i + 1, False
+    path = unquote_string(toks[path_idx].text)
+    if type_only or path != PLAYWRIGHT_IMPORT_PATH:
+        return path_idx + 1, False
+    # named specifiers: { a, test as x, ... } between import and the path
+    b = i + 1
+    while b < path_idx and not (toks[b].kind == "punct" and toks[b].text == "{"):
+        b += 1
+    if b < path_idx:
+        spec: list[Tok] = []
+        for k in range(b + 1, path_idx):
+            tk = toks[k]
+            if tk.kind == "punct" and tk.text in (",", "}"):
+                _add_spec_alias(spec, aliases)
+                spec = []
+                if tk.text == "}":
+                    break
+            else:
+                spec.append(tk)
+        _add_spec_alias(spec, aliases)
+    return path_idx + 1, True
+
+
+def _add_spec_alias(spec: list[Tok], aliases: set[str]) -> None:
+    """`test as X` import specifier -> alias X (definition.go:322-339)."""
+    if (
+        len(spec) == 3
+        and spec[0].kind == "id" and spec[0].text == "test"
+        and spec[1].kind == "id" and spec[1].text == "as"
+        and spec[2].kind == "id"
+    ):
+        aliases.add(spec[2].text)
+
+
+def _scan_extend_decl(toks, i, n, aliases) -> None:
+    """`const X = OBJ.extend(...)` with X in {it, test} and OBJ a known
+    alias/base name -> X stays a test alias (definition.go:240-287)."""
+    if i + 5 >= n:
+        return
+    name, eq, obj, dot, ext = toks[i + 1:i + 6]
+    if (
+        name.kind == "id" and name.text in ("it", "test")
+        and eq.kind == "punct" and eq.text == "="
+        and obj.kind == "id"
+        and dot.kind == "punct" and dot.text == "."
+        and ext.kind == "id" and ext.text == "extend"
+        and (obj.text in aliases or obj.text in _EXTEND_BASES)
+    ):
+        aliases.add(name.text)
+
+
 def _classify_arg(toks: list[Tok], lo: int, hi: int) -> str:
     """Mirror tree-sitter's node type for the purposes of ExtractTestName /
     IsFirstArgString (helpers.go:156-185)."""
@@ -667,8 +792,9 @@ def _find_callback_arg(toks, args, last=False):
 
 
 class _Extractor:
-    def __init__(self, toks: list[Tok]):
+    def __init__(self, toks: list[Tok], extra_tests: frozenset = frozenset()):
         self.toks = toks
+        self.extra_tests = extra_tests  # playwright import-aliases of `test`
         self.rows: list[dict] = []
 
     def emit(self, kind, path, name, status, modifier, span):
@@ -861,7 +987,7 @@ class _Extractor:
         if fname in SUITE_FUNCS:
             self._suite(args, span, path, status, modifier, dynamic)
             return
-        if fname in TEST_FUNCS:
+        if fname in TEST_FUNCS or fname in self.extra_tests:
             self._test(args, span, path, status, modifier, dynamic)
             return
         if fname == "defineTest":
@@ -934,7 +1060,13 @@ def parse_js_tests(source: str, filename: str = "test.ts") -> list[dict]:
     Rows: {kind: 'suite'|'test', suite_path: [ancestors...], name, status,
     modifier, line (1-based)} in document order (parents before children).
     """
-    ex = _Extractor(tokenize(source))
+    toks = tokenize(source)
+    # playwright alias pre-pass: import aliases of `test` become test
+    # callees for this file; it/test/specify are already generic, so only
+    # genuinely new names flow through (no behavior change for non-aliased
+    # files; playwright/definition.go:181-182)
+    extra = frozenset(extract_playwright_test_aliases(toks)) - TEST_FUNCS
+    ex = _Extractor(toks, extra_tests=extra)
     ex.scan(0, len(ex.toks), (), dynamic=False)
     return ex.rows
 

@@ -714,3 +714,102 @@ def test_playwright_test_describe_skip_chain():
 def test_playwright_conditional_fixme_not_a_test():
     rows = parse_js_tests("test.fixme(process.env.CI, 'reason');")
     assert not tops(rows, "test")
+
+
+# -- Playwright test-alias tracking (playwright/definition.go:187-339; ------
+# fixtures ported from playwright/definition_test.go:381-689)
+
+def test_playwright_setup_alias():
+    rows = parse_js_tests(
+        "import { test as setup } from '@playwright/test';\n"
+        "setup('authenticate', async ({ request }) => {\n"
+        "  await request.post('/api/login');\n"
+        "});\n"
+    )
+    assert [t["name"] for t in tops(rows, "test")] == ["authenticate"]
+
+
+def test_playwright_teardown_alias_with_modifiers():
+    rows = parse_js_tests(
+        "import { test as teardown } from '@playwright/test';\n"
+        "teardown('cleanup', async ({ page }) => {});\n"
+        "teardown.skip('later', async ({ page }) => {});\n"
+        "teardown.fixme('broken', async ({ page }) => {});\n"
+    )
+    got = [(t["name"], t["status"]) for t in tops(rows, "test")]
+    assert got == [("cleanup", "active"), ("later", "skipped"), ("broken", "skipped")]
+
+
+def test_playwright_multiple_aliases_detect_all():
+    rows = parse_js_tests(
+        "import { test, test as setup, expect } from '@playwright/test';\n"
+        "setup('auth setup', async ({ request }) => {});\n"
+        "test('regular test', async ({ page }) => {});\n"
+    )
+    assert [t["name"] for t in tops(rows, "test")] == ["auth setup", "regular test"]
+
+
+def test_playwright_non_playwright_alias_not_detected():
+    rows = parse_js_tests(
+        "import { test as customTest } from './custom-utils';\n"
+        "import { test } from '@playwright/test';\n"
+        "customTest('should not be detected', async () => {});\n"
+        "test('should be detected', async ({ page }) => {});\n"
+    )
+    assert [t["name"] for t in tops(rows, "test")] == ["should be detected"]
+
+
+def test_playwright_type_only_import_no_alias():
+    # statement-level `import type` never contributes aliases
+    # (definition.go:229-238); the value import on the next line does
+    rows = parse_js_tests(
+        "import type { Page } from '@playwright/test';\n"
+        "import { test, expect } from '@playwright/test';\n"
+        "test('should work normally', async ({ page }) => {});\n"
+    )
+    assert [t["name"] for t in tops(rows, "test")] == ["should work normally"]
+
+
+def test_playwright_alias_conditional_skip_filtered():
+    # the vitest/playwright conditional-skip rule applies to aliases too
+    rows = parse_js_tests(
+        "import { test as setup } from '@playwright/test';\n"
+        "setup.skip(process.env.CI, 'reason');\n"
+        "setup('real', async () => {});\n"
+    )
+    assert [t["name"] for t in tops(rows, "test")] == ["real"]
+
+
+def test_playwright_extend_rebinding_and_describe():
+    # const test = base.extend({...}) keeps `test` a test name
+    # (definition.go:240-287); alias.describe(...) opens a suite
+    rows = parse_js_tests(
+        "import { test as base } from '@playwright/test';\n"
+        "const test = base.extend({ user: async ({}, use) => use('u') });\n"
+        "test('extended fixture test', async ({ user }) => {});\n"
+        "base.describe('alias suite', () => {\n"
+        "  base('inner', async () => {});\n"
+        "});\n"
+    )
+    assert [t["name"] for t in tops(rows, "test")] == ["extended fixture test"]
+    assert [s["name"] for s in tops(rows, "suite")] == ["alias suite"]
+    assert [t["name"] for t in children(rows, ["alias suite"], "test")] == ["inner"]
+
+
+def test_playwright_alias_extraction_unit():
+    from core_spark.functions.jstest import extract_playwright_test_aliases, tokenize
+
+    # no playwright import -> `it` joins via the indirect-fixture fallback
+    toks = tokenize("import { browserTest as it } from '../config/browserTest';\n"
+                    "it('x', async () => {});")
+    assert extract_playwright_test_aliases(toks) == {"test", "it"}
+    # playwright value import suppresses the `it` fallback
+    toks = tokenize("import { test } from '@playwright/test';\nit('x', () => {});")
+    assert extract_playwright_test_aliases(toks) == {"test"}
+    # extend of an unknown object does NOT re-bind
+    toks = tokenize("const test = weird.extend({});")
+    assert "it" in extract_playwright_test_aliases(toks)  # no pw import
+    # nested (non-top-level) declarations are ignored
+    toks = tokenize("function f() { const test = base.extend({}); }\n"
+                    "import { test as setup } from '@playwright/test';")
+    assert extract_playwright_test_aliases(toks) == {"test", "setup"}
