@@ -66,8 +66,129 @@ class TestKernels:
         assert parse_media_header(blob[:10])["media_error"] == "truncated_header"
         assert parse_media_header(blob[:-1])["media_error"] == "truncated_payload"
         assert parse_media_header(b"\x89PNG\r\n\x1a\nxxxx")["media_format"] == "image/png"
-        with pytest.raises(NotImplementedError):
+        # corrupt PNG body -> error-as-data ValueError, not a crash
+        with pytest.raises(ValueError):
             decode_image(b"\x89PNG\r\n\x1a\n" + b"0" * 100)
+        # JPEG stays stubbed (no DCT decoder in this container)
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff" + b"0" * 100)
+
+    def test_png_roundtrip_all_color_types(self):
+        from core_spark.operators.multimodal import encode_png
+
+        rng = np.random.RandomState(7)
+        for c in (1, 2, 3, 4):
+            img = rng.randint(0, 256, size=(5, 4, c), dtype=np.uint8)
+            blob = encode_png(img)
+            meta = parse_media_header(blob)
+            assert meta["media_ok"] and meta["media_format"] == "image/png"
+            assert (meta["width"], meta["height"], meta["channels"]) == (4, 5, c)
+            assert np.array_equal(decode_image(blob), img)
+
+    def test_png_filters_1_to_4(self):
+        """Hand-filter each scanline with a different filter type (the
+        encoder only emits 0) and require exact reconstruction."""
+        import struct
+        import zlib
+
+        from core_spark.operators.multimodal import PNG_MAGIC
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8)
+        h, w, c = img.shape
+        bpp = c
+
+        def paeth(a, b, cc):
+            p = a + b - cc
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+
+        raw = bytearray()
+        flat = img.reshape(h, w * bpp).astype(int)
+        for y, ft in enumerate([0, 1, 2, 3, 4]):
+            row = flat[y]
+            prev = flat[y - 1] if y else np.zeros(w * bpp, dtype=int)
+            raw.append(ft)
+            for i in range(w * bpp):
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                if ft == 0:
+                    v = row[i]
+                elif ft == 1:
+                    v = row[i] - left
+                elif ft == 2:
+                    v = row[i] - prev[i]
+                elif ft == 3:
+                    v = row[i] - ((left + prev[i]) >> 1)
+                else:
+                    v = row[i] - paeth(left, prev[i], ul)
+                raw.append(v & 0xFF)
+
+        def chunk(ctype, data):
+            body = ctype + data
+            return struct.pack(">I", len(data)) + body + struct.pack(
+                ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        blob = (PNG_MAGIC + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+        assert np.array_equal(decode_image(blob), img)
+
+    def test_png_palette(self):
+        import struct
+        import zlib
+
+        from core_spark.operators.multimodal import PNG_MAGIC
+
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+        idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+
+        def chunk(ctype, data):
+            body = ctype + data
+            return struct.pack(">I", len(data)) + body + struct.pack(
+                ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+        ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+        blob = (PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal.tobytes())
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        meta = parse_media_header(blob)
+        assert meta["media_ok"] and meta["channels"] == 3
+        assert np.array_equal(decode_image(blob), pal[idx])
+
+    def test_png_unsupported_variants_and_truncation(self):
+        import struct
+        import zlib
+
+        from core_spark.operators.multimodal import PNG_MAGIC, encode_png
+
+        def chunk(ctype, data):
+            body = ctype + data
+            return struct.pack(">I", len(data)) + body + struct.pack(
+                ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+        # 16-bit depth -> metadata parses, decode raises NotImplementedError
+        ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        blob16 = (PNG_MAGIC + chunk(b"IHDR", ihdr16)
+                  + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+                  + chunk(b"IEND", b""))
+        meta = parse_media_header(blob16)
+        assert not meta["media_ok"]
+        assert meta["media_error"] == "unsupported_png_variant"
+        assert (meta["width"], meta["height"]) == (2, 2)
+        with pytest.raises(NotImplementedError):
+            decode_image(blob16)
+        # IDAT that inflates to fewer bytes than h*(stride+1) -> ValueError
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+        short = (PNG_MAGIC + chunk(b"IHDR", ihdr)
+                 + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+                 + chunk(b"IEND", b""))
+        with pytest.raises(ValueError):
+            decode_image(short)
+        # missing IDAT entirely -> ValueError
+        noidat = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+        with pytest.raises(ValueError):
+            decode_image(noidat)
 
 
 @pytest.mark.spark
@@ -256,24 +377,34 @@ class TestEmbeddingOps:
 @pytest.mark.spark
 class TestMultimodalStage:
     def test_media_metadata_stage(self, spark):
+        from core_spark.operators.multimodal import (
+            encode_png,
+            with_media_metadata,
+            with_thumbnail,
+        )
+
         img = (np.arange(4 * 4 * 3) % 251).astype(np.uint8).reshape(4, 4, 3)
         rows = [
             (0, bytearray(encode_fake_image(img))),
             (1, bytearray(b"\xff\xd8\xffjpegdata")),
             (2, None),
+            (3, bytearray(encode_png(img))),  # real PNG bytes end-to-end
         ]
         df = spark.createDataFrame(rows, "media_id bigint, media binary")
-        from core_spark.operators.multimodal import with_media_metadata, with_thumbnail
 
         meta = with_media_metadata(df).orderBy("media_id").toPandas()
-        assert meta["media_ok"].tolist() == [True, False, False]
-        assert meta["media_format"].tolist() == ["fakeimg/v1", "image/jpeg", None]
-        assert meta["width"].tolist()[0] == 4
+        assert meta["media_ok"].tolist() == [True, False, False, True]
+        assert meta["media_format"].tolist() == [
+            "fakeimg/v1", "image/jpeg", None, "image/png",
+        ]
+        assert meta["width"].tolist()[0] == 4 and meta["width"].tolist()[3] == 4
 
         thumb = with_thumbnail(df, size=2).orderBy("media_id").toPandas()
         assert thumb["thumb"].iloc[0] is not None and len(thumb["thumb"].iloc[0]) == 4
         assert thumb["thumb"].iloc[1] is None  # stubbed codec -> error-as-data
         assert "no decoder" in thumb["decode_error"].iloc[1]
+        # PNG decodes to the SAME pixels as the fake codec -> same features
+        assert thumb["thumb"].iloc[3] == thumb["thumb"].iloc[0]
 
 
 @pytest.mark.spark
