@@ -332,8 +332,8 @@ def parse_pytest_config(cfg_path: str, content: str) -> dict | None:
         scope["test_patterns"] = _STR_ITEM.findall(m.group(1))
     else:
         m = _PYTEST_TESTPATHS_INI.search(content)
-        if m:
-            scope["test_patterns"] = m.group(1).split()
+        # [] fallback keeps the scope shape consistent (mirror python_files)
+        scope["test_patterns"] = m.group(1).split() if m else []
     m = _PYTEST_PYFILES_TOML.search(content)
     if m:
         scope["python_files"] = _STR_ITEM.findall(m.group(1))

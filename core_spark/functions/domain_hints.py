@@ -641,11 +641,22 @@ def extract_cpp_hints(source: str):
         # chain-continuation guard — after '.', a genuine '::' or '->'
         # tail, or a template-argument close ('vector<int> name(...)' is a
         # declaration). A lone ':' is a case/goto label and a lone
-        # non-template '>' a comparison, after which a call is fresh.
+        # non-template '>' a comparison, after which a call is fresh —
+        # EXCEPT after an access specifier (`public: Foo(int);` is a
+        # constructor/declaration, never a call; tree-sitter's
+        # call_expression query never matches declarations, cpp.go:32-51).
         cont = prev is not None and prev.kind == "punct" and (
             prev.text == "."
             or (prev.text == ":" and prev2 is not None
                 and prev2.kind == "punct" and prev2.text == ":")
+            or (prev.text == ":" and prev2 is not None
+                and prev2.kind == "id"
+                and prev2.text in ("public", "private", "protected"))
+            # statement-position destructor declaration `~Foo();`
+            or (prev.text == "~" and (
+                prev2 is None
+                or (prev2.kind == "punct" and prev2.text in (";", "{", "}", ":"))
+            ))
             or (prev.text == ">" and (
                 (prev2 is not None and prev2.kind == "punct"
                  and prev2.text == "-")

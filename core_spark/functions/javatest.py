@@ -216,9 +216,33 @@ class _JavaExtractor:
                     j = j + 1
                 mods = []
                 k = i - 1
-                while k >= 0 and toks[k].kind == "id":
-                    mods.append(toks[k].text)
-                    k -= 1
+                while k >= 0:
+                    tk = toks[k]
+                    if tk.kind == "id":
+                        mods.append(tk.text)
+                        k -= 1
+                        continue
+                    if tk.kind == "punct" and set(tk.text) == {">"}:
+                        # generic return type (`public List<String> foo()`):
+                        # skip the balanced <...> group in reverse so the
+                        # span still starts at the modifiers — the
+                        # reference's method_declaration node span. The
+                        # shared tokenizer lexes '>>'/'>>>' as one shift
+                        # token (nested generics), hence the set() counts.
+                        d = len(tk.text)
+                        k -= 1
+                        while k >= 0 and d > 0:
+                            if toks[k].kind == "punct":
+                                if set(toks[k].text) == {">"}:
+                                    d += len(toks[k].text)
+                                elif set(toks[k].text) == {"<"}:
+                                    d -= len(toks[k].text)
+                            k -= 1
+                        continue
+                    if tk.kind == "punct" and tk.text in ("[", "]"):
+                        k -= 1  # array return type component
+                        continue
+                    break
                 # method_declaration span: annotations (modifiers node in
                 # the reference's tree) through body close / ';'
                 mstart = pend_start if anns else (k + 1 if mods else i)

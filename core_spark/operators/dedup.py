@@ -803,19 +803,25 @@ def sql_cosine(a: str, b: str) -> str:
 
 
 def embedding_dup_pairs(df, vec_col: str = "embedding", id_col: str = "vec_id",
-                        threshold: float = 0.95, n_planes: int = 8):
+                        threshold: float = 0.95, n_planes: int = 8,
+                        dim: int | None = None):
     """Cosine near-dup pairs via random-hyperplane LSH blocking + exact refine.
 
     Hyperplanes are deterministic (splitmix64 of plane index — resume-safe).
     Docs agreeing on the full sign-sketch land in one bucket; exact cosine
     refines. Recall is per-bucket (sketch collisions); raise n_planes for
     precision, lower for recall, or use brute_force_pairs as ground truth.
+
+    Pass ``dim`` (the embedding width) explicitly where known — omitting it
+    falls back to a one-row driver action at plan-build time, which is a
+    blocking round-trip a 10^12-row pipeline should not pay.
     """
     from pyspark.sql import functions as F
 
     from core_spark.data.synth import u01
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = []
     for p in range(n_planes):
         v = u01(np.arange(dim, dtype=np.uint64), 500 + p) * 2.0 - 1.0

@@ -842,6 +842,21 @@ def test_cpp_call_after_comparison():
     assert {"check", "run"} <= set(h["calls"])
 
 
+def test_cpp_ctor_decl_after_access_specifier_not_a_call():
+    """`public: Foo(int x);` is a constructor DECLARATION — tree-sitter's
+    call_expression query never matches it (cpp.go:22-28); case labels
+    right before a genuine call still count."""
+    from core_spark.functions.domain_hints import extract_cpp_hints
+
+    h = extract_cpp_hints(
+        "class Foo {\npublic:\n  Foo(int x);\n  ~Foo();\n"
+        "private:\n  Bar(int y);\n  void run() { fire(1); }\n};"
+    )
+    calls = set(h["calls"])
+    assert "Foo" not in calls and "Bar" not in calls
+    assert "fire" in calls
+
+
 def test_csharp_using_statement_keeps_inner_calls():
     from core_spark.functions.domain_hints import extract_csharp_hints
 

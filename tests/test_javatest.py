@@ -196,3 +196,23 @@ def test_testng_class_enabled_false_inherited():
     s = suites(rows)[0]
     assert s["status"] == "skipped"
     assert _tests(rows, ["T"])[0]["status"] == "skipped"
+
+
+def test_testng_generic_return_type_public_method():
+    """`public List<String> foo()` — the modifier walk-back crosses the
+    balanced type-argument group, so TestNG class-level @Test still sees
+    `public` and the span starts at the modifiers (the reference's
+    method_declaration node span)."""
+    rows = parse_java_tests(
+        TESTNG_HEADER
+        + "@Test\npublic class GenTests {\n"
+        "    public List<String> names() { return null; }\n"
+        "    public Map<String, List<Integer>> nested() { return null; }\n"
+        "    public String[] arr() { return null; }\n"
+        "    private List<String> helper() { return null; }\n}\n"
+    )
+    got = _tests(rows, ["GenTests"])
+    assert [t["name"] for t in got] == ["names", "nested", "arr"]
+    # span starts at the `public` modifier column (4), not the method name
+    assert got[0]["start_col"] == 4
+    assert got[1]["start_col"] == 4
