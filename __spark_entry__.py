@@ -145,12 +145,14 @@ def q_knn(spark, sf_dir):
     from core_spark.operators.knn import knn_adaptive
     from core_spark.operators.tiles import assign_tiles
 
-    # eager checkpoint: the tiled docs feed the ring join AND the
-    # brute-force fallback — materializing once means the hexgrid
-    # expression tree is planned and executed a single time
-    docs = assign_tiles(
-        _points(spark, sf_dir), resolutions=(KNN_RES,)
-    ).localCheckpoint(eager=True)
+    # NO eager checkpoint on the 800k-row tiled docs (round-4 change): with
+    # max_rounds=1 the docs plan has exactly ONE consumer in the common
+    # path — knn_adaptive checkpoints the (tiny) ring-join output, the
+    # remainder anti-join never touches docs, and the brute-force fallback
+    # is gated on a non-empty remainder (almost never fires; recomputing
+    # the cheap scan+cell-steps plan in that rare case beats always paying
+    # a full-corpus materialization, which measured 6-15s of the query).
+    docs = assign_tiles(_points(spark, sf_dir), resolutions=(KNN_RES,))
     queries = spark.createDataFrame(
         [(q, la, lo) for q, la, lo in KNN_QUERIES],
         "query_id bigint, qlat double, qlon double",

@@ -47,24 +47,28 @@ def build_spark(cpus: int):
     )
 
 
-def materialize_corpus(spark, n_docs: int, partitions: int) -> str:
+def materialize_corpus(spark, n_docs: int, partitions: int) -> tuple[str, bool]:
     """Write the synthetic corpus to parquet once (cached across runs).
 
     Generation is the stand-in for the Iceberg input table, not engine work —
-    the flagship measurement starts at the table scan.
-    """
+    the flagship measurement starts at the table scan. Returns
+    (path, generated_now): callers should RESTART the Spark session when the
+    corpus was generated in-process — the multi-GB generation job leaves the
+    JVM with inflated heap/GC state that measured 4-5x on the subsequent
+    timed pass (23.3s vs 4.8s flagship on the same host)."""
     import glob
 
     from core_spark.data.synth import webpages_spark
 
     path = f"/tmp/spark_graft_corpus_{n_docs}"
-    if not glob.glob(os.path.join(path, "_SUCCESS")):
-        # fixed file count independent of this session's cpus: both scaling
-        # runs must see identical on-disk layout
-        webpages_spark(spark, n_docs, max(partitions, 64)).select(
-            "doc_id", "url", "warc_ts", "html", "lang"
-        ).write.mode("overwrite").parquet(path)
-    return path
+    if glob.glob(os.path.join(path, "_SUCCESS")):
+        return path, False
+    # fixed file count independent of this session's cpus: both scaling
+    # runs must see identical on-disk layout
+    webpages_spark(spark, n_docs, max(partitions, 64)).select(
+        "doc_id", "url", "warc_ts", "html", "lang"
+    ).write.mode("overwrite").parquet(path)
+    return path, True
 
 
 def run_flagship(spark, corpus_path: str, n_docs: int) -> float:
@@ -109,7 +113,12 @@ def main() -> None:
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    corpus = materialize_corpus(spark, n_docs, partitions=cpus * 2)
+    corpus, generated = materialize_corpus(spark, n_docs, partitions=cpus * 2)
+    if generated:
+        # fresh JVM for the measurement (see materialize_corpus docstring)
+        spark.stop()
+        spark = build_spark(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
     pipeline_sec = run_flagship(spark, corpus, n_docs)
 
     timings = {}

@@ -132,7 +132,35 @@ def main() -> None:
         "worker per task — chained mapInPandas stages were measured to",
         "anti-scale and were fused (core_spark/functions/fused.py docstring).",
         "",
-        "Regenerate: `python scripts/scaling_bench.py 400000 4:16 8:32`.",
+        "Regenerate (ONE pair per invocation, quiet host):",
+        "`python scripts/scaling_bench.py 400000 2:8` then `... 8:32`.",
+        "",
+        "## localCheckpoint on a real cluster (reliability note)",
+        "",
+        "Every self-join input in this repo (MinHash band keys, AllPairs",
+        "prefix sets, simhash buckets, embedding sketches, kNN tiled docs,",
+        "the shared hashed-shingle table) is eagerly materialized with",
+        "`localCheckpoint` before the join — correct and fastest in local",
+        "mode, but executor-LOCAL: on a multi-executor cluster those blocks",
+        "die with their executor, and a lost block FAILS the job (the",
+        "lineage was truncated, so Spark cannot recompute it). For a",
+        "production deployment pick one of:",
+        "",
+        "- `spark.checkpoint.dir` on durable storage + `df.checkpoint()` —",
+        "  reliable checkpoints survive executor loss (the resume-safe",
+        "  choice for the long dedup/cluster pipelines; the manifest/resume",
+        "  layer in plans/pipeline.py already persists stage outputs the",
+        "  same way);",
+        "- `persist(StorageLevel.MEMORY_AND_DISK_2)` (replica 2) — cheaper",
+        "  than a checkpoint, tolerates single-executor loss, keeps lineage",
+        "  for recompute as the last resort;",
+        "- accept recompute: plain `persist()` + task retry re-runs the",
+        "  truncation-free lineage (only viable where the input stage is",
+        "  cheap).",
+        "",
+        "The operator code keeps `localCheckpoint` because the bench",
+        "contract is single-node; the swap is a one-line site change at",
+        "each `grep localCheckpoint` hit and does not alter results.",
     ]
     with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
