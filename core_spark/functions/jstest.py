@@ -1064,8 +1064,14 @@ def parse_js_tests(source: str, filename: str = "test.ts") -> list[dict]:
     # playwright alias pre-pass: import aliases of `test` become test
     # callees for this file; it/test/specify are already generic, so only
     # genuinely new names flow through (no behavior change for non-aliased
-    # files; playwright/definition.go:181-182)
-    extra = frozenset(extract_playwright_test_aliases(toks)) - TEST_FUNCS
+    # files; playwright/definition.go:181-182). Names outside TEST_FUNCS
+    # can ONLY come from a '@playwright/test' named import (extend may
+    # re-bind only it/test), so files without that literal skip the walk —
+    # keeps the pre-pass off the hot path for the jest/vitest majority.
+    if PLAYWRIGHT_IMPORT_PATH in source:
+        extra = frozenset(extract_playwright_test_aliases(toks)) - TEST_FUNCS
+    else:
+        extra = frozenset()
     ex = _Extractor(toks, extra_tests=extra)
     ex.scan(0, len(ex.toks), (), dynamic=False)
     return ex.rows
