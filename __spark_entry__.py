@@ -1296,6 +1296,65 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_media_pipeline(spark, sf_dir):
+    """Multimodal decode pipeline, driver-gated by a generation-rule oracle.
+
+    Per-doc constant gray images are synthesized from doc_id templates in
+    three real codecs — the fake header, PNG (RFC 2083) and baseline JPEG
+    (ITU-T T.81, functions/jpeg.py) — plus a deterministic corrupt arm,
+    then decoded back through with_media_metadata -> with_thumbnail. Gray
+    values are chosen ≡ 128 (mod 5) so the JPEG DC survives the flat
+    quantization exactly (jpeg.py docstring): every codec round-trips
+    BIT-exactly, and DuckDB emits the EXPECTED output straight from the
+    generation rules — the decoders are oracle-gated without a SQL
+    reimplementation (same trick as inventory_spans).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from core_spark.functions.jpeg import encode_jpeg
+    from core_spark.operators.multimodal import (
+        encode_fake_image,
+        encode_png,
+        with_media_metadata,
+        with_thumbnail,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v = 128 + 5 * ((did * 7) % 19 - 9)
+                w, h = 5 + did % 7, 4 + did % 6
+                img = np.full((h, w, 3), v, np.uint8)
+                arm = did % 4
+                if arm == 1:
+                    blob = encode_png(img)
+                elif arm == 2:
+                    blob = encode_jpeg(img)
+                else:
+                    blob = encode_fake_image(img)
+                    if arm == 3:
+                        blob = blob[:-1]  # -> truncated_payload, error-as-data
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    blobs = docs.mapInPandas(gen, "doc_id bigint, media binary")
+    return with_thumbnail(with_media_metadata(blobs), size=2).select(
+        "doc_id",
+        "media_format",
+        F.col("media_ok").cast("int").alias("media_ok"),
+        "width",
+        "height",
+        F.element_at("thumb", 1).alias("thumb_v"),
+        "decode_error",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1351,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "managed_inventory": q_managed_inventory,
         "framework_detect": q_framework_detect,
         "test_file_filter": q_test_file_filter,
+        "media_pipeline": q_media_pipeline,
     }
 
 
@@ -1579,6 +1639,25 @@ def oracle_sql() -> dict[str, str]:
                      unnest(string_split_regex(trim(text), '\\s+')) AS token
               FROM documents
             ) WHERE token IN ({", ".join(f"'{t}'" for t in GAZ_TOKENS)})
+        """,
+        # generation-rule oracle (q_media_pipeline docstring): DuckDB emits
+        # the EXPECTED decode output straight from the doc_id templates —
+        # exactness relies on gray values ≡ 128 (mod 5) round-tripping
+        # bit-identically through all three codecs (pinned in tests/test_jpeg.py)
+        "media_pipeline": """
+            SELECT doc_id,
+                   CASE doc_id % 4 WHEN 1 THEN 'image/png'
+                                   WHEN 2 THEN 'image/jpeg'
+                                   ELSE 'fakeimg/v1' END AS media_format,
+                   CAST(doc_id % 4 <> 3 AS INT) AS media_ok,
+                   CAST(5 + doc_id % 7 AS INT) AS width,
+                   CAST(4 + doc_id % 6 AS INT) AS height,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        ELSE CAST(128 + 5 * ((doc_id * 7) % 19 - 9) AS DOUBLE)
+                   END AS thumb_v,
+                   CASE WHEN doc_id % 4 = 3 THEN 'truncated_payload' END
+                       AS decode_error
+            FROM documents
         """,
         # s2_assign, extract_invariant: rows-only (no SQL equivalent)
     }

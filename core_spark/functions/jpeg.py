@@ -1,0 +1,525 @@
+"""Baseline JPEG codec (ITU-T T.81) on stdlib struct + numpy — no libjpeg/PIL.
+
+Decoder: baseline sequential DCT (SOF0; SOF1 decodes identically for 8-bit),
+Huffman entropy coding with tables read from DHT (so real-world files using
+the Annex K typical tables decode too), multiple quant tables, arbitrary
+integer sampling factors (4:4:4 / 4:2:2 / 4:2:0 covered by the generic MCU
+walk), restart markers (DRI/RSTn), grayscale or YCbCr->RGB output.
+Progressive (SOF2), arithmetic coding (SOF9+), lossless, hierarchical and
+12-bit precision raise NotImplementedError — they surface as
+`decode_error` rows in the Spark stage, never a stage failure
+(operators/multimodal.py error-as-data contract).
+
+Encoder: fixture-grade baseline writer used by tests and the synthetic
+media corpus. Flat quantization (default q=10) and fixed-length canonical
+Huffman tables (every DC symbol 4 bits, every AC run/size symbol 9 bits) —
+deliberately suboptimal compression but trivially correct, and expressed
+through the same DHT/DQT segments a real encoder writes, so decoding a
+fixture exercises exactly the general paths. Supports 4:4:4 and 4:2:0,
+optional restart intervals.
+
+Determinism contract used by the `media_pipeline` driver oracle: a constant
+GRAY image (R=G=B=v) whose level-shifted DC survives quantization exactly
+(8*(v-128) divisible by the flat q, i.e. v ≡ 128 mod 5 at q=10) round-trips
+BIT-EXACTLY: chroma is constant 128 (zero after level shift, zero DC), the
+luma block is DC-only, and the orthonormal IDCT of a DC-only block is
+constant to ~1e-15 before the final round. tests/test_jpeg.py pins this.
+
+Spec lineage is public: ITU-T T.81 (1992) sections F.2 (decoding), A.3.3
+(DCT), E.2.4 (byte stuffing). No code is derived from libjpeg.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# shared tables
+# --------------------------------------------------------------------------
+
+# zigzag index k -> (row, col); built, not transcribed (T.81 fig. A.6:
+# even diagonals run bottom-left -> top-right, odd ones top-right -> bottom-left)
+_ZIGZAG: list[tuple[int, int]] = []
+for _d in range(15):
+    _ij = [(_i, _d - _i) for _i in range(_d + 1) if _i < 8 and _d - _i < 8]
+    _ZIGZAG += _ij if _d % 2 else _ij[::-1]
+_ZZ_ROWS = np.array([ij[0] for ij in _ZIGZAG])
+_ZZ_COLS = np.array([ij[1] for ij in _ZIGZAG])
+
+# orthonormal 8-point DCT-II matrix: forward F = C @ f @ C.T, inverse
+# f = C.T @ F @ C.  DC of a constant level-shifted block a is 8a, matching
+# the T.81 convention.
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else 0.5
+    for _n in range(8):
+        _C[_u, _n] = _a * np.cos((2 * _n + 1) * _u * np.pi / 16)
+
+_SOF_BASELINE = {0xC0, 0xC1}  # SOF0 baseline, SOF1 extended sequential (8-bit)
+_SOF_OTHER = {0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t-bit magnitude to signed coefficient."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# --------------------------------------------------------------------------
+# header scan (cheap; no entropy decode) — feeds parse_media_header
+# --------------------------------------------------------------------------
+
+
+def jpeg_header(blob: bytes) -> dict:
+    """Marker walk up to SOF: width/height/channels + decodability verdict.
+
+    Never raises; mirrors _parse_png_header's error-as-data shape.
+    """
+    base = {"media_format": "image/jpeg", "n_bytes": len(blob), "width": None,
+            "height": None, "channels": None}
+    n = len(blob)
+    if n < 4 or blob[:2] != b"\xff\xd8":
+        return {"media_ok": False, "media_error": "truncated_header", **base}
+    pos = 2
+    while pos + 4 <= n:
+        if blob[pos] != 0xFF:
+            return {"media_ok": False, "media_error": "jpeg_bad_marker", **base}
+        marker = blob[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", blob, pos + 2)
+        if marker in _SOF_BASELINE or marker in _SOF_OTHER:
+            if pos + 2 + seglen > n or seglen < 8:
+                return {"media_ok": False, "media_error": "truncated_header", **base}
+            depth = blob[pos + 4]
+            h, w = struct.unpack_from(">HH", blob, pos + 5)
+            nc = blob[pos + 9]
+            base.update(width=int(w), height=int(h),
+                        channels=3 if nc == 3 else int(nc))
+            if marker in _SOF_OTHER:
+                return {"media_ok": False,
+                        "media_error": "unsupported_jpeg_variant", **base}
+            ok = depth == 8 and nc in (1, 3) and w > 0 and h > 0
+            return {"media_ok": ok,
+                    "media_error": None if ok else "unsupported_jpeg_variant",
+                    **base}
+        pos += 2 + seglen
+    return {"media_ok": False, "media_error": "truncated_header", **base}
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+
+
+class _Bits:
+    """MSB-first bit reader over an unstuffed entropy segment."""
+
+    __slots__ = ("buf", "pos", "bit")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.bit = 0
+
+    def read1(self) -> int:
+        if self.pos >= len(self.buf):
+            raise ValueError("jpeg_entropy_truncated")
+        b = (self.buf[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.read1()
+        return v
+
+
+def _huff_table(counts: bytes, symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical (length, code) -> symbol map from a DHT segment (T.81 C.2)."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(bits: _Bits, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.read1()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg_bad_huffman_code")
+
+
+def _decode_block(bits: _Bits, dc_tab, ac_tab, qtab: np.ndarray,
+                  pred: int) -> tuple[np.ndarray, int]:
+    """One 8x8 block: Huffman -> dequant -> de-zigzag -> IDCT (+128 shift)."""
+    t = _huff_decode(bits, dc_tab)
+    pred += _extend(bits.read(t), t)
+    zz = np.zeros(64)
+    zz[0] = pred * qtab[0]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(bits, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("jpeg_coeff_index_overflow")
+        zz[k] = _extend(bits.read(s), s) * qtab[k]
+        k += 1
+    coef = np.zeros((8, 8))
+    coef[_ZZ_ROWS, _ZZ_COLS] = zz
+    return _C.T @ coef @ _C + 128.0, pred
+
+
+def _entropy_intervals(blob: bytes, pos: int) -> list[bytes]:
+    """Split the scan at RSTn markers, removing 0xFF00 stuffing (E.2.4)."""
+    out: list[bytes] = []
+    cur = bytearray()
+    n = len(blob)
+    while pos < n:
+        b = blob[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        m = blob[pos + 1] if pos + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:
+            out.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # any true marker ends the scan
+            break
+    out.append(bytes(cur))
+    return out
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to (h, w, 3) RGB or (h, w, 1) gray uint8."""
+    hdr = jpeg_header(blob)
+    if not hdr["media_ok"]:
+        if hdr["media_error"] == "unsupported_jpeg_variant":
+            raise NotImplementedError("jpeg variant not decodable here")
+        raise ValueError(hdr["media_error"] or "jpeg_undecodable")
+
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    comps: list[dict] = []
+    restart = 0
+    w = h = 0
+    pos = 2
+    n = len(blob)
+    while pos + 4 <= n:
+        if blob[pos] != 0xFF:
+            raise ValueError("jpeg_bad_marker")
+        marker = blob[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if 0xD0 <= marker <= 0xD8 or marker == 0x01:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", blob, pos + 2)
+        if pos + 2 + seglen > n:
+            raise ValueError("jpeg_truncated_segment")
+        seg = blob[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:  # DQT — one or more tables per segment
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                if sp + 65 > len(seg):
+                    raise ValueError("jpeg_truncated_segment")
+                qtabs[tq] = np.frombuffer(seg, np.uint8, 64, sp + 1).astype(float)
+                sp += 65
+        elif marker == 0xC4:  # DHT — one or more tables per segment
+            sp = 0
+            while sp + 17 <= len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0x0F
+                counts = seg[sp + 1:sp + 17]
+                nsym = sum(counts)
+                if sp + 17 + nsym > len(seg):
+                    raise ValueError("jpeg_truncated_segment")
+                htabs[(tc, th)] = _huff_table(counts, seg[sp + 17:sp + 17 + nsym])
+                sp += 17 + nsym
+        elif marker in _SOF_BASELINE:
+            h, w = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            if any(c["h"] < 1 or c["v"] < 1 for c in comps):
+                raise ValueError("jpeg_bad_sampling")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0] if seg else 0
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("jpeg_truncated_segment")
+            scan = []
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                matches = [c for c in comps if c["id"] == cid]
+                if not matches:
+                    raise ValueError("jpeg_unknown_scan_component")
+                scan.append((matches[0], tabs >> 4, tabs & 0x0F))
+            return _decode_scan(blob, pos + 2 + seglen, w, h, scan,
+                                qtabs, htabs, restart)
+        pos += 2 + seglen
+    raise ValueError("jpeg_missing_sos")
+
+
+def _decode_scan(blob, pos, w, h, scan, qtabs, htabs, restart) -> np.ndarray:
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = [np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
+              for c, _, _ in scan]
+    for c, _, _ in scan:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError("non-integer chroma upsampling ratio")
+
+    intervals = _entropy_intervals(blob, pos)
+    n_mcus = mcus_x * mcus_y
+    per = restart if restart else n_mcus
+    bits = None
+    iv = 0
+    preds = [0] * len(scan)
+    for m in range(n_mcus):
+        if m % per == 0:
+            if iv >= len(intervals):
+                raise ValueError("jpeg_entropy_truncated")
+            bits = _Bits(intervals[iv])
+            iv += 1
+            preds = [0] * len(scan)
+        my, mx = divmod(m, mcus_x)
+        for ci, (c, dc_id, ac_id) in enumerate(scan):
+            try:
+                dc_tab = htabs[(0, dc_id)]
+                ac_tab = htabs[(1, ac_id)]
+                qtab = qtabs[c["tq"]]
+            except KeyError:
+                raise ValueError("jpeg_missing_table") from None
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    block, preds[ci] = _decode_block(
+                        bits, dc_tab, ac_tab, qtab, preds[ci])
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+
+    full = []
+    for (c, _, _), plane in zip(scan, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# encoder (fixtures + synthetic media corpus)
+# --------------------------------------------------------------------------
+
+_ENC_Q = 10  # flat quantization step; see module docstring for the exactness rule
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # E.2.4 byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        """Byte-align with 1-bits (F.1.2.3)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """Signed coefficient -> (size t, t-bit magnitude code) (F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    t = int(abs(v)).bit_length()
+    return t, v if v >= 0 else v + (1 << t) - 1
+
+
+# fixed-length canonical tables: DC symbols 0..11 as 4-bit codes (code = symbol),
+# AC symbols 0..254 as 9-bit codes.  Neither assigns the all-ones code of its
+# length (12th of 16 / 255th of 512), as T.81 C.2 requires.
+_DC_COUNTS = bytes([0, 0, 0, 12] + [0] * 12)
+_DC_SYMBOLS = bytes(range(12))
+_AC_COUNTS = bytes([0] * 8 + [255] + [0] * 7)
+_AC_SYMBOLS = bytes(range(255))
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, pred: int) -> int:
+    """Forward DCT + flat quant + zigzag RLE with the fixed-length tables."""
+    coef = _C @ (block - 128.0) @ _C.T
+    zz = np.round(coef[_ZZ_ROWS, _ZZ_COLS] / _ENC_Q).astype(int)
+    t, mag = _mag_bits(int(zz[0]) - pred)
+    bw.write(t, 4)
+    if t:
+        bw.write(mag, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(0xF0, 9)  # ZRL
+            run -= 16
+        t, mag = _mag_bits(v)
+        bw.write((run << 4) | t, 9)
+        bw.write(mag, t)
+        run = 0
+    if run:
+        bw.write(0x00, 9)  # EOB
+    return int(zz[0])
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def encode_jpeg(arr: np.ndarray, subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Encode (h, w[, c]) uint8 (c in {1, 3}) as a baseline JPEG.
+
+    subsample=True emits 4:2:0 (2x2-mean chroma), else 4:4:4.  A nonzero
+    restart_interval emits DRI + RSTn every that-many MCUs.
+    """
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in (1, 3):
+        raise ValueError("jpeg encoder supports 1 or 3 channels")
+    a = arr.astype(float)
+    if c == 3:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            samp = [(2, 2), (1, 1), (1, 1)]
+            planes = [y, _box2(cb), _box2(cr)]
+        else:
+            samp = [(1, 1)] * 3
+            planes = [y, cb, cr]
+    else:
+        samp = [(1, 1)]
+        planes = [a[:, :, 0]]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    padded = []
+    for (sh, sv), p in zip(samp, planes):
+        th, tw = mcus_y * sv * 8, mcus_x * sh * 8
+        padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                             mode="edge"))
+
+    bw = _BitWriter()
+    chunks: list[bytes] = []
+    preds = [0] * len(planes)
+    n_mcus = mcus_x * mcus_y
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            chunks.append(bytes(bw.out))
+            chunks.append(bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8]))
+            bw = _BitWriter()
+            preds = [0] * len(planes)
+        my, mx = divmod(m, mcus_x)
+        for ci, ((sh, sv), p) in enumerate(zip(samp, padded)):
+            for by in range(sv):
+                for bx in range(sh):
+                    y0 = (my * sv + by) * 8
+                    x0 = (mx * sh + bx) * 8
+                    preds[ci] = _encode_block(
+                        bw, p[y0:y0 + 8, x0:x0 + 8], preds[ci])
+    bw.flush()
+    chunks.append(bytes(bw.out))
+
+    qtab = bytes([_ENC_Q] * 64)
+    out = [b"\xff\xd8",
+           _seg(0xDB, bytes([0x00]) + qtab),
+           _seg(0xDB, bytes([0x01]) + qtab)]
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, len(planes)))
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out.append(_seg(0xC0, bytes(sof)))
+    out.append(_seg(0xC4, bytes([0x00]) + _DC_COUNTS + _DC_SYMBOLS))
+    out.append(_seg(0xC4, bytes([0x10]) + _AC_COUNTS + _AC_SYMBOLS))
+    if len(planes) == 3:
+        out.append(_seg(0xC4, bytes([0x01]) + _DC_COUNTS + _DC_SYMBOLS))
+        out.append(_seg(0xC4, bytes([0x11]) + _AC_COUNTS + _AC_SYMBOLS))
+    if restart_interval:
+        out.append(_seg(0xDD, struct.pack(">H", restart_interval)))
+    sos = bytearray([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out.append(_seg(0xDA, bytes(sos)))
+    out.extend(chunks)
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+def _box2(p: np.ndarray) -> np.ndarray:
+    """2x2 box-mean downsample with edge replication for odd sizes."""
+    h, w = p.shape
+    if h % 2 or w % 2:
+        p = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+    return 0.25 * (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])

@@ -1,13 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container ships no decode libraries (no PIL/cv2/ffmpeg). PNG decode is
-implemented here from the public spec (RFC 2083) on stdlib zlib+struct —
-8-bit gray/RGB/palette/gray-alpha/RGBA, filters 0-4, non-interlaced — which
-covers the dominant web format end-to-end; JPEG (DCT entropy coding) stays
-STUBBED with NotImplementedError. Every piece of Spark plumbing is real and
-tested either way: the schema contract, the mapInPandas batch shape, the
-partition sizing rule, and the metadata extraction that runs BEFORE any
-decode (so corrupt bytes never kill a 10^12-row stage).
+The container ships no decode libraries (no PIL/cv2/ffmpeg). Both dominant
+web formats are implemented from their public specs: PNG (RFC 2083) on
+stdlib zlib+struct — 8-bit gray/RGB/palette/gray-alpha/RGBA, filters 0-4,
+non-interlaced — and baseline JPEG (ITU-T T.81) in functions/jpeg.py —
+Huffman sequential DCT, 4:4:4/4:2:2/4:2:0, restart markers. Exotic variants
+(progressive/arithmetic JPEG, 16-bit or interlaced PNG) raise
+NotImplementedError and surface as `decode_error` rows. Every piece of
+Spark plumbing is real and tested: the schema contract, the mapInPandas
+batch shape, the partition sizing rule, and the metadata extraction that
+runs BEFORE any decode (so corrupt bytes never kill a 10^12-row stage).
 
 The fake codec ("fakeimg/v1") is a deterministic header the synthetic corpus
 can emit: b"FAKEIMG1" + width(u32 LE) + height(u32 LE) + channels(u8) +
@@ -25,6 +27,8 @@ import struct
 
 import numpy as np
 import pandas as pd
+
+from core_spark.functions.jpeg import decode_jpeg, encode_jpeg, jpeg_header  # noqa: F401
 
 FAKE_MAGIC = b"FAKEIMG1"
 
@@ -58,8 +62,9 @@ def parse_media_header(blob: bytes | None) -> dict:
                 "media_error": None}
     if n >= 8 and blob[:8] == PNG_MAGIC:
         return _parse_png_header(blob)
-    fmt = "image/jpeg" if n >= 3 and blob[:3] == b"\xff\xd8\xff" else None
-    return {"media_ok": False, "media_format": fmt, "width": None, "height": None,
+    if n >= 3 and blob[:3] == b"\xff\xd8\xff":
+        return jpeg_header(blob)
+    return {"media_ok": False, "media_format": None, "width": None, "height": None,
             "channels": None, "n_bytes": n, "media_error": "unsupported_codec"}
 
 
@@ -214,9 +219,9 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 def decode_image(blob: bytes) -> np.ndarray:
     """Decode to (h, w, c) uint8. Implemented here: the deterministic fake
-    codec and PNG (stdlib zlib decoder above). JPEG raises
-    NotImplementedError (STUB — DCT entropy decode needs libjpeg/PIL; swap
-    in on a real cluster), as do exotic PNG variants (16-bit, interlaced)."""
+    codec, PNG (stdlib zlib decoder above) and baseline JPEG
+    (functions/jpeg.py). Exotic variants (progressive JPEG, 16-bit or
+    interlaced PNG) raise NotImplementedError."""
     meta = parse_media_header(blob)
     if meta["media_format"] == "image/png":
         if meta["media_ok"]:
@@ -224,9 +229,9 @@ def decode_image(blob: bytes) -> np.ndarray:
         if meta["media_error"] == "unsupported_png_variant":
             raise NotImplementedError("png variant not decodable here")
         raise ValueError(meta["media_error"] or "undecodable")
+    if meta["media_format"] == "image/jpeg":
+        return decode_jpeg(blob)
     if not meta["media_ok"]:
-        if meta["media_format"] == "image/jpeg":
-            raise NotImplementedError("no decoder for image/jpeg in this container")
         raise ValueError(meta["media_error"] or "undecodable")
     w, h, c = meta["width"], meta["height"], meta["channels"]
     return np.frombuffer(blob, dtype=np.uint8, offset=17, count=w * h * c).reshape(h, w, c)

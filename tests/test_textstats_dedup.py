@@ -69,9 +69,16 @@ class TestKernels:
         # corrupt PNG body -> error-as-data ValueError, not a crash
         with pytest.raises(ValueError):
             decode_image(b"\x89PNG\r\n\x1a\n" + b"0" * 100)
-        # JPEG stays stubbed (no DCT decoder in this container)
-        with pytest.raises(NotImplementedError):
+        # corrupt JPEG body -> error-as-data ValueError, not a crash
+        with pytest.raises(ValueError):
             decode_image(b"\xff\xd8\xff" + b"0" * 100)
+        # real baseline JPEG decodes (codec in functions/jpeg.py)
+        from core_spark.functions.jpeg import encode_jpeg
+
+        jimg = np.full((6, 5, 3), 158, np.uint8)
+        jmeta = parse_media_header(encode_jpeg(jimg))
+        assert jmeta["media_ok"] and jmeta["media_format"] == "image/jpeg"
+        assert np.array_equal(decode_image(encode_jpeg(jimg)), jimg)
 
     def test_png_roundtrip_all_color_types(self):
         from core_spark.operators.multimodal import encode_png
@@ -388,26 +395,31 @@ class TestMultimodalStage:
             with_thumbnail,
         )
 
+        from core_spark.functions.jpeg import encode_jpeg
+
         img = (np.arange(4 * 4 * 3) % 251).astype(np.uint8).reshape(4, 4, 3)
+        jimg = np.full((4, 4, 3), 158, np.uint8)  # exact JPEG round trip
         rows = [
             (0, bytearray(encode_fake_image(img))),
-            (1, bytearray(b"\xff\xd8\xffjpegdata")),
+            (1, bytearray(encode_jpeg(jimg))),  # real JPEG bytes end-to-end
             (2, None),
             (3, bytearray(encode_png(img))),  # real PNG bytes end-to-end
+            (4, bytearray(b"\xff\xd8\xffjpegdata")),  # corrupt JPEG
         ]
         df = spark.createDataFrame(rows, "media_id bigint, media binary")
 
         meta = with_media_metadata(df).orderBy("media_id").toPandas()
-        assert meta["media_ok"].tolist() == [True, False, False, True]
+        assert meta["media_ok"].tolist() == [True, True, False, True, False]
         assert meta["media_format"].tolist() == [
-            "fakeimg/v1", "image/jpeg", None, "image/png",
+            "fakeimg/v1", "image/jpeg", None, "image/png", "image/jpeg",
         ]
         assert meta["width"].tolist()[0] == 4 and meta["width"].tolist()[3] == 4
 
         thumb = with_thumbnail(df, size=2).orderBy("media_id").toPandas()
         assert thumb["thumb"].iloc[0] is not None and len(thumb["thumb"].iloc[0]) == 4
-        assert thumb["thumb"].iloc[1] is None  # stubbed codec -> error-as-data
-        assert "no decoder" in thumb["decode_error"].iloc[1]
+        assert thumb["thumb"].iloc[1] == [158.0] * 4  # constant gray, exact
+        assert thumb["thumb"].iloc[4] is None  # corrupt -> error-as-data
+        assert "truncated" in thumb["decode_error"].iloc[4]
         # PNG decodes to the SAME pixels as the fake codec -> same features
         assert thumb["thumb"].iloc[3] == thumb["thumb"].iloc[0]
 
