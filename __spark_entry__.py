@@ -1317,8 +1317,7 @@ def q_media_pipeline(spark, sf_dir):
     from core_spark.operators.multimodal import (
         encode_fake_image,
         encode_png,
-        with_media_metadata,
-        with_thumbnail,
+        with_media_features,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
@@ -1344,7 +1343,9 @@ def q_media_pipeline(spark, sf_dir):
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
 
     blobs = docs.mapInPandas(gen, "doc_id bigint, media binary")
-    return with_thumbnail(with_media_metadata(blobs), size=2).select(
+    # ONE fused Arrow stage for decode (metadata + thumb): chained
+    # mapInPandas anti-scales (CLAUDE.md / with_media_features docstring)
+    return with_media_features(blobs, size=2).select(
         "doc_id",
         "media_format",
         F.col("media_ok").cast("int").alias("media_ok"),

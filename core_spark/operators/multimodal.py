@@ -217,12 +217,15 @@ def encode_png(arr: np.ndarray) -> bytes:
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
-def decode_image(blob: bytes) -> np.ndarray:
+def decode_image(blob: bytes, meta: dict | None = None) -> np.ndarray:
     """Decode to (h, w, c) uint8. Implemented here: the deterministic fake
     codec, PNG (stdlib zlib decoder above) and baseline JPEG
     (functions/jpeg.py). Exotic variants (progressive JPEG, 16-bit or
-    interlaced PNG) raise NotImplementedError."""
-    meta = parse_media_header(blob)
+    interlaced PNG) raise NotImplementedError. Pass ``meta`` (a
+    parse_media_header result for the SAME blob) to skip the re-parse when
+    the caller already has it (with_media_features)."""
+    if meta is None:
+        meta = parse_media_header(blob)
     if meta["media_format"] == "image/png":
         if meta["media_ok"]:
             return _decode_png(blob)
@@ -298,3 +301,49 @@ def with_thumbnail(df, blob_col: str = "media", size: int = 8):
             yield out
 
     return df.mapInPandas(run, fields + ", thumb array<double>, decode_error string")
+
+
+def with_media_features(df, blob_col: str = "media", size: int = 8):
+    """Metadata + thumbnail in ONE fused Arrow stage (the CLAUDE.md rule:
+    chained mapInPandas anti-scales — each stage is its own Python worker
+    pipeline with a JVM round-trip between). Semantically identical to
+    `with_thumbnail(with_media_metadata(df))` minus the blob column
+    (projected away so downstream shuffles stay thin); the header is parsed
+    once and reused by the decoder. Use this in pipelines; keep the two
+    single-purpose stages for metadata-only or features-only passes."""
+    keep_names = [f.name for f in df.schema.fields if f.name != blob_col]
+    fields = ", ".join(
+        f.name + " " + f.dataType.simpleString()
+        for f in df.schema.fields if f.name != blob_col
+    )
+
+    def run(batches):
+        for pdf in batches:
+            metas, feats, errs = [], [], []
+            for b in pdf[blob_col]:
+                meta = parse_media_header(b)
+                metas.append(meta)
+                try:
+                    img = decode_image(b, meta)
+                    h, w, _ = img.shape
+                    yi = (np.arange(size) * h // size).clip(0, h - 1)
+                    xi = (np.arange(size) * w // size).clip(0, w - 1)
+                    thumb = img[np.ix_(yi, xi)].mean(axis=2)
+                    feats.append([float(v) for v in thumb.ravel()])
+                    errs.append(None)
+                except (NotImplementedError, ValueError) as e:
+                    feats.append(None)
+                    errs.append(str(e)[:80])
+            out = pdf[keep_names].copy()
+            mdf = pd.DataFrame(metas)
+            for col in ("media_ok", "media_format", "width", "height",
+                        "channels", "n_bytes", "media_error"):
+                out[col] = mdf[col].to_numpy()
+            out["thumb"] = feats
+            out["decode_error"] = errs
+            yield out
+
+    return df.mapInPandas(
+        run,
+        fields + ", " + MEDIA_META_SCHEMA + ", thumb array<double>, decode_error string",
+    )

@@ -423,6 +423,40 @@ class TestMultimodalStage:
         # PNG decodes to the SAME pixels as the fake codec -> same features
         assert thumb["thumb"].iloc[3] == thumb["thumb"].iloc[0]
 
+    def test_fused_features_match_chained(self, spark):
+        """with_media_features (ONE Arrow stage) == metadata->thumbnail
+        chain, row for row, on the mixed ok/corrupt/null batch."""
+        from core_spark.operators.multimodal import (
+            encode_png,
+            with_media_features,
+            with_media_metadata,
+            with_thumbnail,
+        )
+
+        from core_spark.functions.jpeg import encode_jpeg
+
+        img = (np.arange(6 * 5 * 3) % 241).astype(np.uint8).reshape(6, 5, 3)
+        rows = [
+            (0, bytearray(encode_fake_image(img))),
+            (1, bytearray(encode_jpeg(np.full((4, 4, 3), 103, np.uint8)))),
+            (2, None),
+            (3, bytearray(encode_png(img))),
+            (4, bytearray(b"\xff\xd8\xffjpegdata")),
+            (5, bytearray(encode_fake_image(img))[:-3]),  # truncated fake
+        ]
+        df = spark.createDataFrame(rows, "media_id bigint, media binary")
+
+        fused = with_media_features(df, size=3).orderBy("media_id").toPandas()
+        chained = (
+            with_thumbnail(with_media_metadata(df), size=3)
+            .orderBy("media_id").toPandas()
+        )
+        assert list(fused.columns) == list(chained.columns)
+        pd.testing.assert_frame_equal(fused, chained)  # NaN-aligned equality
+        # exactly one Python-worker stage in the fused plan
+        plan = with_media_features(df, size=3)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1
+
 
 @pytest.mark.spark
 class TestConnectedComponents:
