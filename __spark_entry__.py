@@ -1356,6 +1356,109 @@ def q_media_pipeline(spark, sf_dir):
     )
 
 
+def q_audio_features(spark, sf_dir):
+    """WAV audio decode + features, driver-gated by a generation-rule oracle.
+
+    Per-doc PCM16 square waves (alternating +A/-A, amplitude and length
+    from doc_id templates, mono/stereo alternating) are encoded with
+    functions/wav.py and decoded back through the fused
+    with_audio_features stage. Every emitted feature is integer-derived
+    (peak = mean_abs = A exactly; duration = n/8000, plain IEEE division
+    in both engines), so DuckDB emits the EXPECTED output straight from
+    the templates. One arm truncates the data chunk: fmt-derived fields
+    survive, features NULL, error recorded — error-as-data end to end.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from core_spark.functions.wav import encode_wav
+    from core_spark.operators.multimodal import with_audio_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 97
+                amp = 100 + (did * 11) % 900
+                wave = (amp * (-1) ** np.arange(n)).astype(np.int16)
+                if did % 2:
+                    wave = np.column_stack([wave, wave])
+                blob = encode_wav(wave, 8000)
+                if did % 5 == 4:
+                    blob = blob[:-3]  # -> truncated_payload, error-as-data
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "audio": blobs})
+
+    blobs = docs.mapInPandas(gen, "doc_id bigint, audio binary")
+    return with_audio_features(blobs).select(
+        "doc_id",
+        F.col("audio_ok").cast("int").alias("audio_ok"),
+        "channels",
+        "sample_rate",
+        "n_samples",
+        "duration_s",
+        "peak_amp",
+        "mean_abs",
+        "audio_error",
+    )
+
+
+def q_video_frames(spark, sf_dir):
+    """MJPEG frame sampling, driver-gated by a generation-rule oracle.
+
+    Per-doc motion-JPEG streams (2-6 constant-gray frames; sizes, counts
+    and per-frame gray levels from doc_id templates, levels ≡ 128 mod 5
+    so the JPEG DC survives quantization exactly — jpeg.py docstring) are
+    split marker-aware and every 2nd frame decoded in the fused
+    with_video_frames stage. DuckDB emits the expected sampled rows from
+    the templates via a VALUES cross join (frame_idx ∈ {0,2,4} under
+    n_frames); one arm cuts the final EOI — a single error row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from core_spark.functions.jpeg import encode_jpeg
+    from core_spark.operators.multimodal import with_video_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = 2 + did % 5
+                w, h = 6 + did % 5, 5 + did % 4
+                frames = []
+                for f in range(nf):
+                    v = 128 + 5 * ((did * 7 + f * 3) % 19 - 9)
+                    frames.append(encode_jpeg(np.full((h, w, 3), v, np.uint8)))
+                blob = b"".join(frames)
+                if did % 7 == 6:
+                    blob = blob[:-2]  # cut the final EOI -> one error row
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "video": blobs})
+
+    blobs = docs.mapInPandas(gen, "doc_id bigint, video binary")
+    return with_video_frames(blobs, every=2).select(
+        "doc_id",
+        F.col("video_ok").cast("int").alias("video_ok"),
+        "n_frames",
+        "frame_idx",
+        "frame_w",
+        "frame_h",
+        "frame_mean",
+        "video_error",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1412,6 +1515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "framework_detect": q_framework_detect,
         "test_file_filter": q_test_file_filter,
         "media_pipeline": q_media_pipeline,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
     }
 
 
@@ -1659,6 +1764,47 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 4 = 3 THEN 'truncated_payload' END
                        AS decode_error
             FROM documents
+        """,
+        # generation-rule oracles (q_audio_features / q_video_frames
+        # docstrings): expected rows emitted straight from the doc_id
+        # templates; exactness pinned in tests/test_audio_video.py
+        "audio_features": """
+            SELECT doc_id,
+                   CAST(doc_id % 5 <> 4 AS INT) AS audio_ok,
+                   CAST(1 + doc_id % 2 AS INT) AS channels,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CASE WHEN doc_id % 5 = 4 THEN NULL
+                        ELSE CAST(64 + doc_id % 97 AS BIGINT) END AS n_samples,
+                   CASE WHEN doc_id % 5 = 4 THEN NULL
+                        ELSE CAST(64 + doc_id % 97 AS DOUBLE) / 8000.0
+                   END AS duration_s,
+                   CASE WHEN doc_id % 5 = 4 THEN NULL
+                        ELSE CAST(100 + (doc_id * 11) % 900 AS INT)
+                   END AS peak_amp,
+                   CASE WHEN doc_id % 5 = 4 THEN NULL
+                        ELSE CAST(100 + (doc_id * 11) % 900 AS DOUBLE)
+                   END AS mean_abs,
+                   CASE WHEN doc_id % 5 = 4 THEN 'truncated_payload' END
+                       AS audio_error
+            FROM documents
+        """,
+        "video_frames": """
+            SELECT d.doc_id,
+                   CAST(1 AS INT) AS video_ok,
+                   CAST(2 + d.doc_id % 5 AS INT) AS n_frames,
+                   CAST(f.frame_idx AS INT) AS frame_idx,
+                   CAST(6 + d.doc_id % 5 AS INT) AS frame_w,
+                   CAST(5 + d.doc_id % 4 AS INT) AS frame_h,
+                   CAST(128 + 5 * ((d.doc_id * 7 + f.frame_idx * 3) % 19 - 9)
+                        AS DOUBLE) AS frame_mean,
+                   CAST(NULL AS VARCHAR) AS video_error
+            FROM documents d
+            CROSS JOIN (VALUES (0), (2), (4)) AS f(frame_idx)
+            WHERE d.doc_id % 7 <> 6 AND f.frame_idx < 2 + d.doc_id % 5
+            UNION ALL
+            SELECT doc_id, CAST(0 AS INT), NULL, NULL, NULL, NULL, NULL,
+                   'mjpeg_truncated_frame'
+            FROM documents WHERE doc_id % 7 = 6
         """,
         # s2_assign, extract_invariant: rows-only (no SQL equivalent)
     }

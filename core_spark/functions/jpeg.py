@@ -517,6 +517,68 @@ def encode_jpeg(arr: np.ndarray, subsample: bool = False,
     return b"".join(out)
 
 
+def frame_spans_mjpeg(blob: bytes) -> list[tuple[int, int]]:
+    """Frame byte spans [(start, end)) of a motion-JPEG elementary stream —
+    concatenated baseline JPEGs, the payload format of raw .mjpeg files and
+    HTTP multipart MJPEG.
+
+    Marker-aware, not a byte-pattern scan: segment lengths are honored (a
+    0xFFD9 inside a DQT/DHT/APPn payload is table data, not EOI) and
+    entropy-coded data respects E.2.4 stuffing (0xFF00), RSTn and fill
+    bytes, so the split is exact. Raises ValueError on truncation or
+    garbage; callers surface that as error-as-data
+    (operators/multimodal.py contract).
+    """
+    spans: list[tuple[int, int]] = []
+    n = len(blob)
+    pos = 0
+    while pos < n:
+        if blob[pos:pos + 2] != b"\xff\xd8":
+            raise ValueError("mjpeg_bad_frame_start")
+        start = pos
+        pos += 2
+        in_scan = False
+        while True:
+            if in_scan:
+                if pos >= n:
+                    raise ValueError("mjpeg_truncated_frame")
+                if blob[pos] != 0xFF:
+                    pos += 1
+                    continue
+                if pos + 1 >= n:
+                    raise ValueError("mjpeg_truncated_frame")
+                m = blob[pos + 1]
+                if m == 0x00 or 0xD0 <= m <= 0xD7:
+                    pos += 2
+                    continue
+                if m == 0xFF:  # fill byte
+                    pos += 1
+                    continue
+                in_scan = False  # any true marker ends the scan
+                continue
+            if pos + 2 > n:
+                raise ValueError("mjpeg_truncated_frame")
+            if blob[pos] != 0xFF:
+                raise ValueError("mjpeg_bad_marker")
+            m = blob[pos + 1]
+            if m == 0xD9:  # EOI — frame complete
+                pos += 2
+                spans.append((start, pos))
+                break
+            if m == 0x01 or 0xD0 <= m <= 0xD8 or m == 0xFF:
+                pos += 2 if m != 0xFF else 1
+                continue
+            if pos + 4 > n:
+                raise ValueError("mjpeg_truncated_frame")
+            (seglen,) = struct.unpack_from(">H", blob, pos + 2)
+            if seglen < 2 or pos + 2 + seglen > n:
+                raise ValueError("mjpeg_truncated_frame")
+            if m == 0xDA:
+                in_scan = True
+            pos += 2 + seglen
+    return spans
+
+
 def _box2(p: np.ndarray) -> np.ndarray:
     """2x2 box-mean downsample with edge replication for odd sizes."""
     h, w = p.shape

@@ -347,3 +347,129 @@ def with_media_features(df, blob_col: str = "media", size: int = 8):
         run,
         fields + ", " + MEDIA_META_SCHEMA + ", thumb array<double>, decode_error string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio (WAV PCM) and video (MJPEG elementary stream) — same contracts:
+# header-parse before decode, error-as-data, ONE fused Arrow stage each.
+# ---------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = (
+    "audio_ok boolean, audio_format string, channels int, sample_rate int, "
+    "n_samples bigint, audio_error string"
+)
+
+
+def with_audio_features(df, blob_col: str = "audio"):
+    """Metadata + features for WAV audio blobs in ONE fused Arrow stage.
+
+    Appends AUDIO_META_SCHEMA plus `duration_s` (n_samples / rate),
+    `peak_amp` (max |sample|) and `mean_abs` (mean |sample| across all
+    channels) — integer-derived, so a generation-rule oracle can emit them
+    exactly. Undecodable rows keep whatever the header parse recovered and
+    NULL features, with the error recorded (never a stage failure). The
+    blob is projected away.
+    """
+    from core_spark.functions.wav import decode_wav, wav_header
+
+    keep_names = [f.name for f in df.schema.fields if f.name != blob_col]
+    fields = ", ".join(
+        f.name + " " + f.dataType.simpleString()
+        for f in df.schema.fields if f.name != blob_col
+    )
+
+    def run(batches):
+        for pdf in batches:
+            metas, durs, peaks, means, errs = [], [], [], [], []
+            for b in pdf[blob_col]:
+                meta = wav_header(b)
+                metas.append(meta)
+                if not meta["audio_ok"]:
+                    durs.append(None); peaks.append(None); means.append(None)
+                    errs.append(meta["audio_error"])
+                    continue
+                try:
+                    arr, rate = decode_wav(b)
+                    ns = arr.shape[0]
+                    if ns == 0:
+                        durs.append(0.0); peaks.append(None); means.append(None)
+                        errs.append(None)
+                    else:
+                        a = np.abs(arr.astype(np.int64))
+                        durs.append(ns / rate)
+                        peaks.append(int(a.max()))
+                        means.append(float(a.mean()))
+                        errs.append(None)
+                except (NotImplementedError, ValueError) as e:
+                    durs.append(None); peaks.append(None); means.append(None)
+                    errs.append(str(e)[:80])
+            out = pdf[keep_names].copy()
+            mdf = pd.DataFrame(metas)
+            for col in ("audio_ok", "audio_format", "channels",
+                        "sample_rate", "n_samples"):
+                out[col] = mdf[col].to_numpy()
+            out["audio_error"] = errs
+            out["duration_s"] = durs
+            out["peak_amp"] = peaks
+            out["mean_abs"] = means
+            yield out
+
+    return df.mapInPandas(
+        run,
+        fields + ", " + AUDIO_META_SCHEMA
+        + ", duration_s double, peak_amp int, mean_abs double",
+    )
+
+
+def with_video_frames(df, blob_col: str = "video", every: int = 1):
+    """Frame-sample an MJPEG elementary stream (concatenated baseline
+    JPEGs) in ONE fused Arrow stage: split frames (marker-aware,
+    functions/jpeg.py:frame_spans_mjpeg), decode every ``every``-th frame,
+    emit one row per SAMPLED frame with its dimensions and mean intensity.
+    Corrupt/unsupported streams emit a single error row (video_ok=false,
+    NULL frame fields) — error-as-data, never a stage failure. The blob is
+    projected away; output can exceed input rows (a frame explode).
+    """
+    from core_spark.functions.jpeg import decode_jpeg, frame_spans_mjpeg
+
+    keep_names = [f.name for f in df.schema.fields if f.name != blob_col]
+    fields = ", ".join(
+        f.name + " " + f.dataType.simpleString()
+        for f in df.schema.fields if f.name != blob_col
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, rec in pdf.iterrows():
+                base = {k: rec[k] for k in keep_names}
+                b = rec[blob_col]
+                try:
+                    if b is None:
+                        raise ValueError("null_blob")
+                    bb = bytes(b)
+                    spans = frame_spans_mjpeg(bb)
+                    for i in range(0, len(spans), every):
+                        s, e = spans[i]
+                        img = decode_jpeg(bb[s:e])
+                        h, w = img.shape[:2]
+                        rows.append({**base, "video_ok": True,
+                                     "n_frames": len(spans), "frame_idx": i,
+                                     "frame_w": w, "frame_h": h,
+                                     "frame_mean": float(img.mean()),
+                                     "video_error": None})
+                except (NotImplementedError, ValueError) as e:
+                    rows.append({**base, "video_ok": False, "n_frames": None,
+                                 "frame_idx": None, "frame_w": None,
+                                 "frame_h": None, "frame_mean": None,
+                                 "video_error": str(e)[:80]})
+            cols = keep_names + ["video_ok", "n_frames", "frame_idx",
+                                 "frame_w", "frame_h", "frame_mean",
+                                 "video_error"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(
+        run,
+        fields + ", video_ok boolean, n_frames int, frame_idx int, "
+        "frame_w int, frame_h int, frame_mean double, video_error string",
+    )
