@@ -1323,14 +1323,15 @@ def q_media_pipeline(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
 
     def gen(batches):
-        for pdf in batches:
-            blobs = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                v = 128 + 5 * ((did * 7) % 19 - 9)
-                w, h = 5 + did % 7, 4 + did % 6
+        # fixture-generation cost control (NOT the operator under test):
+        # the template space is small (4 arms x 7w x 6h x 19 gray levels),
+        # memoize the pure-Python encoders per worker
+        cache: dict = {}
+
+        def _blob(arm, w, h, v):
+            blob = cache.get((arm, w, h, v))
+            if blob is None:
                 img = np.full((h, w, 3), v, np.uint8)
-                arm = did % 4
                 if arm == 1:
                     blob = encode_png(img)
                 elif arm == 2:
@@ -1338,8 +1339,16 @@ def q_media_pipeline(spark, sf_dir):
                 else:
                     blob = encode_fake_image(img)
                     if arm == 3:
-                        blob = blob[:-1]  # -> truncated_payload, error-as-data
-                blobs.append(blob)
+                        blob = blob[:-1]  # -> truncated_payload
+                cache[(arm, w, h, v)] = blob
+            return blob
+
+        for pdf in batches:
+            blobs = [
+                _blob(int(did) % 4, 5 + int(did) % 7, 4 + int(did) % 6,
+                      128 + 5 * ((int(did) * 7) % 19 - 9))
+                for did in pdf["doc_id"]
+            ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
 
     blobs = docs.mapInPandas(gen, "doc_id bigint, media binary")
@@ -1430,17 +1439,28 @@ def q_video_frames(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
 
     def gen(batches):
+        # fixture-generation cost control, NOT part of the operator under
+        # test: the template space is <= 5*4*19 distinct constant-gray
+        # frames, so memoize the pure-Python encoder per worker (cache
+        # lives inside gen — a decorated local won't pickle)
+        cache: dict = {}
+
+        def _frame(w, h, v):
+            blob = cache.get((w, h, v))
+            if blob is None:
+                blob = cache[(w, h, v)] = encode_jpeg(
+                    np.full((h, w, 3), v, np.uint8))
+            return blob
+
         for pdf in batches:
             blobs = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 nf = 2 + did % 5
                 w, h = 6 + did % 5, 5 + did % 4
-                frames = []
-                for f in range(nf):
-                    v = 128 + 5 * ((did * 7 + f * 3) % 19 - 9)
-                    frames.append(encode_jpeg(np.full((h, w, 3), v, np.uint8)))
-                blob = b"".join(frames)
+                blob = b"".join(
+                    _frame(w, h, 128 + 5 * ((did * 7 + f * 3) % 19 - 9))
+                    for f in range(nf))
                 if did % 7 == 6:
                     blob = blob[:-2]  # cut the final EOI -> one error row
                 blobs.append(blob)
