@@ -441,9 +441,9 @@ def with_video_frames(df, blob_col: str = "video", every: int = 1):
     def run(batches):
         for pdf in batches:
             rows = []
-            for _, rec in pdf.iterrows():
-                base = {k: rec[k] for k in keep_names}
-                b = rec[blob_col]
+            keep_vals = [pdf[k].to_numpy() for k in keep_names]
+            for ri, b in enumerate(pdf[blob_col]):
+                base = {k: vals[ri] for k, vals in zip(keep_names, keep_vals)}
                 try:
                     if b is None:
                         raise ValueError("null_blob")

@@ -124,6 +124,31 @@ class TestMjpeg:
         f = encode_jpeg(np.full((24, 24, 3), 118, np.uint8), restart_interval=2)
         assert len(frame_spans_mjpeg(f + f)) == 2
 
+    def test_fuzz_terminates_raise_or_spans(self):
+        """Junk, truncations, and random mutations of a valid stream must
+        yield spans or a ValueError — never a hang or another exception."""
+        rng = np.random.default_rng(23)
+        stream = b"".join(encode_jpeg(np.full((6, 6, 3), v, np.uint8))
+                          for v in (108, 128, 148))
+        for _ in range(150):
+            junk = bytes(rng.integers(0, 256, int(rng.integers(0, 200)),
+                                      dtype=np.uint8))
+            for blob in (junk, b"\xff\xd8" + junk, stream[:int(rng.integers(0, len(stream)))]):
+                try:
+                    frame_spans_mjpeg(blob)
+                except ValueError:
+                    pass
+        mutated = bytearray(stream)
+        for _ in range(150):
+            i = int(rng.integers(0, len(mutated)))
+            old = mutated[i]
+            mutated[i] = int(rng.integers(0, 256))
+            try:
+                frame_spans_mjpeg(bytes(mutated))
+            except ValueError:
+                pass
+            mutated[i] = old
+
 
 @pytest.mark.spark
 class TestAudioVideoStages:
