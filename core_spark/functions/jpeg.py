@@ -121,61 +121,99 @@ def jpeg_header(blob: bytes) -> dict:
 
 
 class _Bits:
-    """MSB-first bit reader over an unstuffed entropy segment."""
+    """MSB-first bit reader over an unstuffed entropy segment.
 
-    __slots__ = ("buf", "pos", "bit")
+    Accumulator-based (the libjpeg bit-buffer idea): bytes are folded into
+    an int and fields extracted by shift/mask, so Huffman decode peeks 16
+    bits in O(1) instead of looping read1(). Exhaustion semantics match
+    the bit-by-bit reader: consuming more bits than the segment holds
+    raises jpeg_entropy_truncated.
+    """
+
+    __slots__ = ("buf", "n", "pos", "acc", "nacc")
 
     def __init__(self, buf: bytes):
         self.buf = buf
+        self.n = len(buf)
         self.pos = 0
-        self.bit = 0
+        self.acc = 0
+        self.nacc = 0
+
+    def _fill(self):
+        while self.nacc <= 24 and self.pos < self.n:
+            self.acc = (self.acc << 8) | self.buf[self.pos]
+            self.pos += 1
+            self.nacc += 8
+
+    def peek16(self) -> int:
+        """Next 16 bits zero-padded past end-of-segment. Safe: a phantom
+        match on padding always has length > nacc (prefix-free codes), so
+        the subsequent consume() raises exactly where read1() would."""
+        if self.nacc < 16:
+            self._fill()
+        if self.nacc >= 16:
+            return (self.acc >> (self.nacc - 16)) & 0xFFFF
+        return (self.acc << (16 - self.nacc)) & 0xFFFF
+
+    def consume(self, k: int):
+        if k > self.nacc:
+            raise ValueError("jpeg_entropy_truncated")
+        self.nacc -= k
+        self.acc &= (1 << self.nacc) - 1
+
+    def read(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.nacc < k:
+            self._fill()
+            if self.nacc < k:
+                raise ValueError("jpeg_entropy_truncated")
+        self.nacc -= k
+        v = self.acc >> self.nacc
+        self.acc &= (1 << self.nacc) - 1
+        return v
 
     def read1(self) -> int:
-        if self.pos >= len(self.buf):
-            raise ValueError("jpeg_entropy_truncated")
-        b = (self.buf[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
-
-    def read(self, nbits: int) -> int:
-        v = 0
-        for _ in range(nbits):
-            v = (v << 1) | self.read1()
-        return v
+        return self.read(1)
 
 
 @functools.lru_cache(maxsize=256)
-def _huff_table(counts: bytes, symbols: bytes) -> dict[tuple[int, int], int]:
-    """Canonical (length, code) -> symbol map from a DHT segment (T.81 C.2).
+def _huff_table(counts: bytes, symbols: bytes) -> tuple[bytes, bytes]:
+    """Canonical-code lookup tables from a DHT segment (T.81 C.2), as a
+    (lengths, symbols) pair indexed by the next 16 bits of the stream:
+    every 16-bit word whose prefix is code C of length L maps to
+    lengths[w]=L, syms[w]=symbol; words matching no code have length 0.
 
     Cached on the raw DHT bytes: an MJPEG stream (and most single-encoder
-    corpora) repeats identical tables in every frame, and rebuilding the
-    map was ~20% of small-frame decode time (profiled). Callers treat the
-    returned dict as read-only.
+    corpora) repeats identical tables in every frame, and per-frame table
+    construction was ~20% of small-frame decode time (profiled). bytes
+    objects index to ints faster than numpy scalars here.
     """
-    table: dict[tuple[int, int], int] = {}
+    lengths = bytearray(1 << 16)
+    syms = bytearray(1 << 16)
     code = 0
     k = 0
     for length in range(1, 17):
+        span = 1 << (16 - length)
         for _ in range(counts[length - 1]):
-            table[(length, code)] = symbols[k]
+            if code >= 1 << length:  # corrupt DHT: canonical code overflow
+                raise ValueError("jpeg_bad_huffman_table")
+            lo = code << (16 - length)
+            lengths[lo:lo + span] = bytes([length]) * span
+            syms[lo:lo + span] = bytes([symbols[k]]) * span
             code += 1
             k += 1
         code <<= 1
-    return table
+    return bytes(lengths), bytes(syms)
 
 
-def _huff_decode(bits: _Bits, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | bits.read1()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("jpeg_bad_huffman_code")
+def _huff_decode(bits: _Bits, table: tuple[bytes, bytes]) -> int:
+    w = bits.peek16()
+    length = table[0][w]
+    if length == 0:
+        raise ValueError("jpeg_bad_huffman_code")
+    bits.consume(length)
+    return table[1][w]
 
 
 def _decode_block(bits: _Bits, dc_tab, ac_tab, qtab: np.ndarray,
