@@ -1296,31 +1296,18 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
-def q_media_pipeline(spark, sf_dir):
-    """Multimodal decode pipeline, driver-gated by a generation-rule oracle.
-
-    Per-doc constant gray images are synthesized from doc_id templates in
-    three real codecs — the fake header, PNG (RFC 2083) and baseline JPEG
-    (ITU-T T.81, functions/jpeg.py) — plus a deterministic corrupt arm,
-    then decoded back through with_media_metadata -> with_thumbnail. Gray
-    values are chosen ≡ 128 (mod 5) so the JPEG DC survives the flat
-    quantization exactly (jpeg.py docstring): every codec round-trips
-    BIT-exactly, and DuckDB emits the EXPECTED output straight from the
-    generation rules — the decoders are oracle-gated without a SQL
-    reimplementation (same trick as inventory_spans).
-    """
+def _media_blobs(docs):
+    """doc_id DataFrame -> (doc_id, media binary) via the doc_id templates
+    shared by q_media_pipeline and q_multimodal_curation (and mirrored by
+    their oracles' CASE expressions): arm = doc_id%4 picks the codec
+    (fake/PNG/JPEG/truncated-fake), size and gray level are doc_id mod
+    templates with gray ≡ 128 (mod 5) so the JPEG DC survives the flat
+    quantization exactly (jpeg.py docstring)."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import functions as F
 
     from core_spark.functions.jpeg import encode_jpeg
-    from core_spark.operators.multimodal import (
-        encode_fake_image,
-        encode_png,
-        with_media_features,
-    )
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    from core_spark.operators.multimodal import encode_fake_image, encode_png
 
     def gen(batches):
         # fixture-generation cost control (NOT the operator under test):
@@ -1351,7 +1338,28 @@ def q_media_pipeline(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
 
-    blobs = docs.mapInPandas(gen, "doc_id bigint, media binary")
+    return docs.mapInPandas(gen, "doc_id bigint, media binary")
+
+
+def q_media_pipeline(spark, sf_dir):
+    """Multimodal decode pipeline, driver-gated by a generation-rule oracle.
+
+    Per-doc constant gray images are synthesized from doc_id templates in
+    three real codecs — the fake header, PNG (RFC 2083) and baseline JPEG
+    (ITU-T T.81, functions/jpeg.py) — plus a deterministic corrupt arm
+    (_media_blobs), then decoded back through the fused stage. Gray
+    values are chosen ≡ 128 (mod 5) so the JPEG DC survives the flat
+    quantization exactly (jpeg.py docstring): every codec round-trips
+    BIT-exactly, and DuckDB emits the EXPECTED output straight from the
+    generation rules — the decoders are oracle-gated without a SQL
+    reimplementation (same trick as inventory_spans).
+    """
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.multimodal import with_media_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    blobs = _media_blobs(docs)
     # ONE fused Arrow stage for decode (metadata + thumb): chained
     # mapInPandas anti-scales (CLAUDE.md / with_media_features docstring)
     return with_media_features(blobs, size=2).select(
@@ -1479,6 +1487,82 @@ def q_video_frames(spark, sf_dir):
     )
 
 
+def q_multimodal_curation(spark, sf_dir):
+    """Multimodal curation flow: the text quality gate (same C4/Gopher-ish
+    thresholds as corpus_curation) joined with the decoded media features
+    of the SAME documents (_media_blobs templates -> fused Arrow stage),
+    keeping only decodable media, rolled up per media format.
+
+    Composition is the point: Arrow-stage output participates in ordinary
+    JVM relational ops (equi-join on doc_id -> hash agg). At 10^12 rows
+    the plan is two codegen'd scans -> one shuffle join on the uniform
+    doc_id key -> tiny agg; the media branch's blob never crosses a
+    shuffle (with_media_features projects it away inside the stage). The
+    oracle composes the textstats twins with the media generation rules.
+    """
+    from pyspark.sql import functions as F
+
+    from core_spark.functions.textstats import spark_quality_cols
+    from core_spark.operators.multimodal import with_media_features
+
+    docs = _docs(spark, sf_dir)
+    cols = spark_quality_cols("text")
+    gated = (
+        docs.selectExpr(
+            "doc_id",
+            f"{cols['n_tokens']} AS n_tokens",
+            f"{cols['alpha_ratio']} AS alpha_ratio",
+            f"{cols['digit_ratio']} AS digit_ratio",
+        )
+        .filter("n_tokens >= 5 AND alpha_ratio >= 0.5 AND digit_ratio <= 0.3")
+        .select("doc_id", "n_tokens")
+    )
+    media = (
+        with_media_features(_media_blobs(docs.select("doc_id")), size=2)
+        .filter("media_ok")
+        .select("doc_id", "media_format", "width", "height")
+    )
+    return (
+        gated.join(media, "doc_id")
+        .groupBy("media_format")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum(F.expr("CAST(width * height AS BIGINT)")).alias("sum_pixels"),
+        )
+    )
+
+
+def _sql_multimodal_curation_oracle() -> str:
+    from core_spark.functions.textstats import duck_quality_cols
+
+    cols = duck_quality_cols("text")
+    return f"""
+WITH gated AS (
+  SELECT doc_id, {cols['n_tokens']} AS n_tokens
+  FROM documents
+  WHERE {cols['n_tokens']} >= 5
+    AND {cols['alpha_ratio']} >= 0.5
+    AND {cols['digit_ratio']} <= 0.3
+),
+media AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 1 THEN 'image/png'
+                         WHEN 2 THEN 'image/jpeg'
+                         ELSE 'fakeimg/v1' END AS media_format,
+         5 + doc_id % 7 AS width,
+         4 + doc_id % 6 AS height
+  FROM documents WHERE doc_id % 4 <> 3
+)
+SELECT m.media_format,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(g.n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(m.width * m.height) AS BIGINT) AS sum_pixels
+FROM gated g JOIN media m USING (doc_id)
+GROUP BY m.media_format
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1537,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pipeline": q_media_pipeline,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        "multimodal_curation": q_multimodal_curation,
     }
 
 
@@ -1826,5 +1911,6 @@ def oracle_sql() -> dict[str, str]:
                    'mjpeg_truncated_frame'
             FROM documents WHERE doc_id % 7 = 6
         """,
+        "multimodal_curation": _sql_multimodal_curation_oracle(),
         # s2_assign, extract_invariant: rows-only (no SQL equivalent)
     }
