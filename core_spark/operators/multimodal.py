@@ -449,6 +449,12 @@ def with_video_frames(df, blob_col: str = "video", every: int = 1):
                         raise ValueError("null_blob")
                     bb = bytes(b)
                     spans = frame_spans_mjpeg(bb)
+                    if not spans:  # zero-frame stream: keep the row visible
+                        rows.append({**base, "video_ok": True, "n_frames": 0,
+                                     "frame_idx": None, "frame_w": None,
+                                     "frame_h": None, "frame_mean": None,
+                                     "video_error": None})
+                        continue
                     for i in range(0, len(spans), every):
                         s, e = spans[i]
                         img = decode_jpeg(bb[s:e])

@@ -209,3 +209,27 @@ class TestAudioVideoStages:
         assert errs["frame_idx"].isna().all()
         plan = with_video_frames(df)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("MapInPandas") == 1
+
+    def test_zero_frame_stream_and_empty_tables(self, spark):
+        """A 0-byte stream is a visible n_frames=0 row (every input doc
+        appears at least once), and all three fused stages accept an empty
+        input table without failing."""
+        from core_spark.operators.multimodal import (
+            with_audio_features,
+            with_media_features,
+            with_video_frames,
+        )
+
+        df = spark.createDataFrame(
+            [(0, bytearray(b""))], "media_id bigint, video binary")
+        out = with_video_frames(df).toPandas()
+        assert len(out) == 1
+        assert bool(out["video_ok"].iloc[0]) and out["n_frames"].iloc[0] == 0
+        assert out["video_error"].iloc[0] is None and pd.isna(out["frame_idx"].iloc[0])
+
+        empty = spark.createDataFrame([], "media_id bigint, media binary")
+        assert with_media_features(empty).count() == 0
+        assert with_video_frames(
+            empty.withColumnRenamed("media", "video")).count() == 0
+        assert with_audio_features(
+            empty.withColumnRenamed("media", "audio")).count() == 0
