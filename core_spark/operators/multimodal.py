@@ -427,8 +427,11 @@ def with_video_frames(df, blob_col: str = "video", every: int = 1):
     functions/jpeg.py:frame_spans_mjpeg), decode every ``every``-th frame,
     emit one row per SAMPLED frame with its dimensions and mean intensity.
     Corrupt/unsupported streams emit a single error row (video_ok=false,
-    NULL frame fields) — error-as-data, never a stage failure. The blob is
-    projected away; output can exceed input rows (a frame explode).
+    NULL frame fields) — error-as-data, never a stage failure. Per-doc
+    output is transactional: a decode failure on ANY sampled frame
+    replaces that doc's partial frame rows with its one error row, so a
+    doc never mixes ok and error rows. The blob is projected away; output
+    can exceed input rows (a frame explode).
     """
     from core_spark.functions.jpeg import decode_jpeg, frame_spans_mjpeg
 
@@ -444,6 +447,7 @@ def with_video_frames(df, blob_col: str = "video", every: int = 1):
             keep_vals = [pdf[k].to_numpy() for k in keep_names]
             for ri, b in enumerate(pdf[blob_col]):
                 base = {k: vals[ri] for k, vals in zip(keep_names, keep_vals)}
+                doc_start = len(rows)
                 try:
                     if b is None:
                         raise ValueError("null_blob")
@@ -465,6 +469,7 @@ def with_video_frames(df, blob_col: str = "video", every: int = 1):
                                      "frame_mean": float(img.mean()),
                                      "video_error": None})
                 except (NotImplementedError, ValueError) as e:
+                    del rows[doc_start:]  # drop partial frame rows: per-doc all-or-error
                     rows.append({**base, "video_ok": False, "n_frames": None,
                                  "frame_idx": None, "frame_w": None,
                                  "frame_h": None, "frame_mean": None,

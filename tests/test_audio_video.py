@@ -210,6 +210,26 @@ class TestAudioVideoStages:
         plan = with_video_frames(df)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("MapInPandas") == 1
 
+    def test_mid_stream_corrupt_frame_is_transactional(self, spark):
+        """A stream whose 2nd frame splits cleanly but fails to decode
+        (SOI+EOI, no SOF/SOS) yields ONE error row for that doc — the
+        partial ok rows are dropped, never mixed with the error row."""
+        from core_spark.operators.multimodal import with_video_frames
+
+        good = encode_jpeg(np.full((5, 4, 3), 128, np.uint8))
+        bad_tail = good + b"\xff\xd8\xff\xd9"  # frame 1 has no SOF/SOS
+        assert len(frame_spans_mjpeg(bad_tail)) == 2  # splitter is fine with it
+        df = spark.createDataFrame(
+            [(0, bytearray(bad_tail)), (1, bytearray(good * 2))],
+            "media_id bigint, video binary")
+        out = with_video_frames(df).toPandas().sort_values(
+            ["media_id", "frame_idx"])
+        doc0 = out[out["media_id"] == 0]
+        assert len(doc0) == 1 and not doc0["video_ok"].iloc[0]
+        assert doc0["video_error"].iloc[0] == "truncated_header"
+        doc1 = out[out["media_id"] == 1]
+        assert len(doc1) == 2 and doc1["video_ok"].all()
+
     def test_zero_frame_stream_and_empty_tables(self, spark):
         """A 0-byte stream is a visible n_frames=0 row (every input doc
         appears at least once), and all three fused stages accept an empty
