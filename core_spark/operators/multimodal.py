@@ -435,6 +435,8 @@ def with_video_frames(df, blob_col: str = "video", every: int = 1):
     """
     from core_spark.functions.jpeg import decode_jpeg, frame_spans_mjpeg
 
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
     keep_names = [f.name for f in df.schema.fields if f.name != blob_col]
     fields = ", ".join(
         f.name + " " + f.dataType.simpleString()

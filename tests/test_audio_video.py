@@ -230,6 +230,14 @@ class TestAudioVideoStages:
         doc1 = out[out["media_id"] == 1]
         assert len(doc1) == 2 and doc1["video_ok"].all()
 
+    def test_every_must_be_positive(self, spark):
+        from core_spark.operators.multimodal import with_video_frames
+
+        df = spark.createDataFrame([(0, bytearray(b""))],
+                                   "media_id bigint, video binary")
+        with pytest.raises(ValueError, match="every"):
+            with_video_frames(df, every=0)
+
     def test_zero_frame_stream_and_empty_tables(self, spark):
         """A 0-byte stream is a visible n_frames=0 row (every input doc
         appears at least once), and all three fused stages accept an empty
