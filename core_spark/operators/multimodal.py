@@ -127,10 +127,12 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
-    """Reverse per-scanline filters 0-4 -> (h, w*bpp) uint8. Up/None rows
-    are vectorized; Sub/Average/Paeth carry a per-byte left dependency, so
-    they run as scalar loops — acceptable for thumbnail-sized fixtures (a
-    real cluster swaps in libvips for bulk decode, same schema contract)."""
+    """Reverse per-scanline filters 0-4 -> (h, w*bpp) uint8. None/Up rows
+    are vectorized, and Sub's left-recurrence is a per-channel uint8
+    cumsum (wrapping addition IS mod-256), so the three common filters run
+    at numpy speed; Average/Paeth mix left and up dependencies and stay
+    scalar loops — acceptable for thumbnail-sized fixtures (a real cluster
+    swaps in libvips for bulk decode, same schema contract)."""
     stride = w * bpp
     need = h * (stride + 1)
     if len(raw) < need:
@@ -146,10 +148,8 @@ def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
         prev = out[y - 1] if y else zero
         if ft == 0:
             cur = row
-        elif ft == 1:  # Sub
-            cur = row
-            for i in range(bpp, stride):
-                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif ft == 1:  # Sub: per-channel prefix sum, uint8 wrap = mod 256
+            cur = np.cumsum(row.reshape(-1, bpp), axis=0, dtype=np.uint8).ravel()
         elif ft == 2:  # Up (uint8 addition wraps mod 256 by construction)
             cur = row + prev
         elif ft == 3:  # Average
