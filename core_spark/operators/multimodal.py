@@ -183,7 +183,10 @@ def _decode_png(blob: bytes) -> np.ndarray:
     plte = next((d for t, d in _png_chunks(blob) if t == b"PLTE"), None)
     if not idat:
         raise ValueError("png_missing_idat")
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:  # corrupt stream: error-as-data, never a stage kill
+        raise ValueError(f"png_bad_idat: {e}") from e
     px = _png_unfilter(raw, h, w, raw_c).reshape(h, w, raw_c)
     if color == 3:  # palette -> RGB
         if plte is None or len(plte) % 3:

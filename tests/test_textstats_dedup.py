@@ -16,6 +16,7 @@ from core_spark.operators import dedup as dd
 from core_spark.operators.multimodal import (
     decode_image,
     encode_fake_image,
+    encode_png,
     parse_media_header,
 )
 
@@ -69,6 +70,13 @@ class TestKernels:
         # corrupt PNG body -> error-as-data ValueError, not a crash
         with pytest.raises(ValueError):
             decode_image(b"\x89PNG\r\n\x1a\n" + b"0" * 100)
+        # well-formed chunks but zlib-corrupt IDAT -> ValueError, not zlib.error
+        good = encode_png(np.zeros((3, 3, 3), np.uint8))
+        idat_at = good.index(b"IDAT")
+        bad = bytearray(good)
+        bad[idat_at + 4:idat_at + 12] = b"\x00" * 8  # clobber the deflate stream
+        with pytest.raises(ValueError, match="png_bad_idat"):
+            decode_image(bytes(bad))
         # corrupt JPEG body -> error-as-data ValueError, not a crash
         with pytest.raises(ValueError):
             decode_image(b"\xff\xd8\xff" + b"0" * 100)
