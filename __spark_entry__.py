@@ -220,6 +220,16 @@ def q_dedup_minhash(spark, sf_dir):
     return dd.minhash_lsh_pairs(_docs(spark, sf_dir), k=2, n_perm=8, bands=4)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup, integer-exact oracled variant: quantized
+    vectors + planted md5-noise near-dup copies (the raw table is random
+    vectors with no near pairs), literal-hyperplane sketch blocking, exact
+    cross-multiplied integer cosine verify. The float-general operator is
+    dd.embedding_dup_pairs (pytest-gated); this one is bit-portable."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dd.embedding_dup_pairs_int(vecs, dim=64, n_planes=8)
+
+
 def q_text_quality(spark, sf_dir):
     """Quality signals: char/token counts, alpha/punct/digit/stopword ratios."""
     return _docs(spark, sf_dir).selectExpr(
@@ -1584,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_embedding": q_dedup_embedding,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "fingerprint": q_fingerprint,
@@ -1690,6 +1701,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dd.sql_exact_dedup("documents"),
         "dedup_ngram": dd.sql_ngram_jaccard_pairs("documents", k=3, threshold=0.4),
         "dedup_minhash": dd.sql_minhash_lsh_pairs("documents", k=2, n_perm=8, bands=4),
+        "dedup_embedding": dd.sql_embedding_dup_pairs("embeddings"),
         "simhash_pairs": dd.sql_simhash_pairs("documents", max_hamming=3),
         "jstest_inventory": _sql_js_inventory_oracle(),
         "pytest_inventory": _sql_py_inventory_oracle(),

@@ -857,3 +857,181 @@ def embedding_dup_pairs(df, vec_col: str = "embedding", id_col: str = "vec_id",
             "cosine",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup, integer-exact oracled variant
+# ---------------------------------------------------------------------------
+#
+# The float variant above is the general operator, but float dot products are
+# not bit-portable between Spark and DuckDB (summation order), so it can only
+# be pytest-gated. This variant makes the WHOLE pipeline exact integer math:
+#
+#   1. quantize:  q_i = clamp(floor(x_i * 512), +-600)  — float->double->*2^k
+#      ->floor is IEEE-exact, so both engines produce identical BIGINTs;
+#   2. plant near-dups: a copy of every vector at id+COPY_OFFSET with
+#      md5-derived noise in [-3, 3] per dim (generation-rule oracle pattern —
+#      the raw embeddings table is random vectors with no near pairs);
+#   3. sketch: sign bits of dot products against EMISSION-TIME literal +-1
+#      hyperplanes (Charikar 2002 random-hyperplane LSH) — integer sums,
+#      zero per-row hashing at scale;
+#   4. candidates: equi-join on the full sketch (buckets are uniform:
+#      ~n^2/2^n_planes pairs reach the verify stage, never all-pairs);
+#   5. verify: cosine >= sqrt(T_NUM/T_DEN) decided by the cross-multiplied
+#      integer test  dot>0 AND T_DEN*dot^2 >= T_NUM*|a|^2*|b|^2  — with
+#      |q_i| <= 603 and dim 64, T_DEN*dot^2 <= 50*(64*603^2)^2 ~ 2.7e16,
+#      comfortably inside BIGINT, and every compared column is exact.
+#
+# Reference analog: none (specvital/core has no vector subsystem); the
+# cheap-blocking-then-exact-verify discipline mirrors minhash_lsh_pairs.
+
+EMB_SCALE = 512.0       # power of two: float*scale is IEEE-exact
+EMB_CLAMP = 600         # quantized values clamped to +-600 (overflow headroom)
+EMB_NOISE_MOD = 7       # planted noise: md5 % 7 - 3 in [-3, 3]
+EMB_COPY_OFFSET = 1_000_000
+EMB_T_NUM, EMB_T_DEN = 49, 50   # threshold^2 = 49/50  (cosine ~ 0.98995)
+
+
+def emb_planes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic +-1 hyperplanes, fixed at SQL-emission time (hashlib md5
+    of 'pl_<p>_<i>' — identical every run, so resume/oracle-safe) and emitted
+    as literal arrays into BOTH engines' SQL: no per-row hashing at scale."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"pl_{p}_{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _emb_quant(x: str) -> str:
+    """Shared Spark/DuckDB scalar: clamp(floor(x*512), +-600) as BIGINT."""
+    return (
+        f"LEAST(GREATEST(CAST(FLOOR(CAST({x} AS DOUBLE) * {EMB_SCALE}) AS BIGINT), "
+        f"CAST(-{EMB_CLAMP} AS BIGINT)), CAST({EMB_CLAMP} AS BIGINT))"
+    )
+
+
+def _emb_noise(id_col: str) -> str:
+    """Shared md5-derived per-(id, dim) noise term in [-3, 3]; `HEXINT` is the
+    per-engine 15-hex-digit->BIGINT cast spliced in by the callers."""
+    return f"(HEXINT % {EMB_NOISE_MOD}) - {EMB_NOISE_MOD // 2}"
+
+
+def embedding_dup_pairs_int(df, vec_col: str = "embedding", id_col: str = "vec_id",
+                            dim: int = 64, n_planes: int = 8):
+    """Integer-exact cosine near-dup pairs with planted duplicates.
+
+    Input: a vectors table (id, array<float>). Output columns (all BIGINT,
+    bit-portable): id_a, id_b, dot_q, na2, nb2 — the quantized dot product
+    and squared norms of every same-sketch pair passing the threshold test.
+    sql_embedding_dup_pairs emits the matching DuckDB plan.
+    """
+    from pyspark.sql import functions as F
+
+    planes = emb_planes(n_planes, dim)
+    clamp_q = _emb_quant("x")
+    base = df.selectExpr(
+        f"{id_col} AS id",
+        f"transform(CAST({vec_col} AS array<double>), x -> {clamp_q}) AS qv",
+    )
+    hexint = (
+        f"CAST(conv(substr(md5(concat(CAST({id_col} AS STRING), '_', "
+        f"CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    noise = _emb_noise(id_col).replace("HEXINT", hexint)
+    elem_q = _emb_quant(f"element_at(CAST({vec_col} AS array<double>), i)")
+    noisy = df.selectExpr(
+        f"{id_col} + {EMB_COPY_OFFSET} AS id",
+        f"transform(sequence(1, {dim}), i -> {elem_q} + {noise}) AS qv",
+    )
+    uni = base.unionAll(noisy)
+
+    # stepwise columns (CLAUDE.md invariant): one d<p> per plane, then the
+    # sketch over plain column refs — never one fused mega-expression
+    d_steps = {
+        f"d{p}": F.expr(
+            "aggregate(zip_with(qv, array("
+            + ", ".join(f"{s}L" for s in planes[p])
+            + "), (x, y) -> x * y), CAST(0 AS BIGINT), (s, v) -> s + v)"
+        )
+        for p in range(n_planes)
+    }
+    dd_df = uni.withColumns(
+        {**d_steps,
+         "na2": F.expr("aggregate(qv, CAST(0 AS BIGINT), (s, v) -> s + v * v)")}
+    )
+    sketch = " + ".join(
+        f"(CASE WHEN d{p} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(n_planes)
+    )
+    sk = dd_df.selectExpr("id", "qv", "na2", f"{sketch} AS sketch")
+    # eager checkpoint: the sketch table feeds both sides of the self-join
+    # (self-join branches recompute their input plan)
+    sk = sk.localCheckpoint(eager=True)
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sketch") == F.col("b.sketch")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.expr(
+                "aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), "
+                "CAST(0 AS BIGINT), (s, v) -> s + v)"
+            ).alias("dot_q"),
+            F.col("a.na2").alias("na2"),
+            F.col("b.na2").alias("nb2"),
+        )
+        .filter(
+            f"dot_q > 0 AND {EMB_T_DEN} * dot_q * dot_q >= {EMB_T_NUM} * na2 * nb2"
+        )
+    )
+
+
+def sql_embedding_dup_pairs(vecs_table: str = "embeddings",
+                            vec_col: str = "embedding", id_col: str = "vec_id",
+                            dim: int = 64, n_planes: int = 8) -> str:
+    """DuckDB oracle for embedding_dup_pairs_int: same quantization, same
+    planted noise, same literal planes, same integer threshold test."""
+    planes = emb_planes(n_planes, dim)
+    rng = f"range(1, {dim + 1})"
+    base_qv = f"[{_emb_quant('x')} for x in CAST({vec_col} AS DOUBLE[])]"
+    hexint = (
+        f"('0x' || substr(md5(CAST({id_col} AS VARCHAR) || '_' || "
+        f"CAST(i AS VARCHAR)), 1, 15))::BIGINT"
+    )
+    noise = _emb_noise(id_col).replace("HEXINT", hexint)
+    elem_q = _emb_quant(f"{vec_col}[i]")
+    noisy_qv = f"[{elem_q} + {noise} for i in {rng}]"
+    d_cols = ", ".join(
+        f"CAST(list_sum([qv[i] * ([{','.join(map(str, planes[p]))}])[i] "
+        f"for i in {rng}]) AS BIGINT) AS d{p}"
+        for p in range(n_planes)
+    )
+    sketch = " + ".join(
+        f"(CASE WHEN d{p} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(n_planes)
+    )
+    return f"""
+WITH uni AS (
+  SELECT {id_col} AS id, {base_qv} AS qv FROM {vecs_table}
+  UNION ALL
+  SELECT {id_col} + {EMB_COPY_OFFSET} AS id, {noisy_qv} AS qv FROM {vecs_table}
+),
+dd AS (SELECT id, qv, {d_cols},
+              CAST(list_sum([q * q for q in qv]) AS BIGINT) AS na2 FROM uni),
+sk AS (SELECT id, qv, na2, {sketch} AS sketch FROM dd),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(list_sum([a.qv[i] * b.qv[i] for i in {rng}]) AS BIGINT) AS dot_q,
+         a.na2 AS na2, b.na2 AS nb2
+  FROM sk a JOIN sk b ON a.sketch = b.sketch AND a.id < b.id
+)
+SELECT id_a, id_b, dot_q, na2, nb2 FROM cand
+WHERE dot_q > 0 AND {EMB_T_DEN} * dot_q * dot_q >= {EMB_T_NUM} * na2 * nb2
+"""

@@ -369,6 +369,56 @@ class TestEmbeddingOps:
         assert top["vec_id"].tolist()[0] == 2  # itself
         assert 5 in top["vec_id"].tolist()     # its near-dup next
 
+    def test_embedding_dup_pairs_int_matches_numpy(self, spark):
+        """Dual implementation: the integer-exact oracled variant must equal
+        an independent numpy application of the same generation rules
+        (quantize, md5 noise copies, literal planes, integer threshold)."""
+        import hashlib
+
+        rng = np.random.default_rng(11)
+        dim, n_planes = 16, 4
+        X = (rng.normal(size=(30, dim)) * 0.3).astype(np.float32)
+        rows = [(i, [float(x) for x in X[i]]) for i in range(30)]
+        vdf = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        got = (
+            dd.embedding_dup_pairs_int(vdf, dim=dim, n_planes=n_planes)
+            .orderBy("id_a", "id_b")
+            .toPandas()
+        )
+
+        # independent reimplementation
+        def md5int(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        def quant(x):
+            return int(min(max(np.floor(float(np.float64(x)) * dd.EMB_SCALE),
+                               -dd.EMB_CLAMP), dd.EMB_CLAMP))
+
+        uni = {}
+        for i in range(30):
+            uni[i] = np.array([quant(x) for x in X[i]], dtype=np.int64)
+            uni[i + dd.EMB_COPY_OFFSET] = np.array(
+                [quant(X[i][j]) + md5int(f"{i}_{j + 1}") % dd.EMB_NOISE_MOD
+                 - dd.EMB_NOISE_MOD // 2 for j in range(dim)],
+                dtype=np.int64,
+            )
+        planes = np.array(dd.emb_planes(n_planes, dim), dtype=np.int64)
+        sketch = {
+            k: sum((1 << p) for p in range(n_planes) if planes[p] @ v >= 0)
+            for k, v in uni.items()
+        }
+        want = []
+        for a in sorted(uni):
+            for b in sorted(uni):
+                if a < b and sketch[a] == sketch[b]:
+                    dot = int(uni[a] @ uni[b])
+                    na2, nb2 = int(uni[a] @ uni[a]), int(uni[b] @ uni[b])
+                    if dot > 0 and dd.EMB_T_DEN * dot * dot >= dd.EMB_T_NUM * na2 * nb2:
+                        want.append((a, b, dot, na2, nb2))
+        assert [tuple(r) for r in got.itertuples(index=False)] == want
+        # planted copies must dominate the result (non-trivial positives)
+        assert sum(1 for a, b, *_ in want if b - a == dd.EMB_COPY_OFFSET) >= 25
+
     def test_ivf_recall(self, spark):
         rng = np.random.default_rng(5)
         X = rng.normal(size=(300, 8))
