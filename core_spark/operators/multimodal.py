@@ -2,11 +2,12 @@
 
 The container ships no decode libraries (no PIL/cv2/ffmpeg). Both dominant
 web formats are implemented from their public specs: PNG (RFC 2083) on
-stdlib zlib+struct — 8-bit gray/RGB/palette/gray-alpha/RGBA, filters 0-4,
-non-interlaced — and baseline JPEG (ITU-T T.81) in functions/jpeg.py —
-Huffman sequential DCT, 4:4:4/4:2:2/4:2:0, restart markers. Exotic variants
-(progressive/arithmetic JPEG, 16-bit or interlaced PNG) raise
-NotImplementedError and surface as `decode_error` rows. Every piece of
+stdlib zlib+struct — every legal bit depth (1/2/4/8/16) and color type
+(gray/RGB/palette/gray-alpha/RGBA), filters 0-4, non-interlaced and Adam7
+interlaced — and baseline JPEG (ITU-T T.81) in functions/jpeg.py — Huffman
+sequential DCT, 4:4:4/4:2:2/4:2:0, restart markers. Remaining exotic
+variants (progressive/arithmetic/12-bit JPEG) raise NotImplementedError
+and surface as `decode_error` rows. Every piece of
 Spark plumbing is real and tested: the schema contract, the mapInPandas
 batch shape, the partition sizing rule, and the metadata extraction that
 runs BEFORE any decode (so corrupt bytes never kill a 10^12-row stage).
@@ -78,10 +79,21 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_COLOR_CHANNELS = {0: (1, 1), 2: (3, 3), 3: (1, 3), 4: (2, 2), 6: (4, 4)}
 
 
+# legal bit depths per color type (RFC 2083 §4.1.1); anything else is an
+# invalid PNG, surfaced as unsupported_png_variant (error-as-data)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+# Adam7 interlace pass origins/strides (RFC 2083 §2.6): (x0, y0, dx, dy)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
 def _parse_png_header(blob: bytes) -> dict:
-    """IHDR parse (bounds-checked; never raises). media_ok=True iff this
-    variant is decodable here: bit depth 8, color type 0/2/3/4/6,
-    compression 0, filter method 0, non-interlaced."""
+    """IHDR parse (bounds-checked; never raises). media_ok=True iff this is
+    a spec-legal PNG we decode: any legal (bit depth, color type) combo —
+    1/2/4/8/16-bit, gray/RGB/palette/alpha — compression 0, filter method 0,
+    non-interlaced or Adam7."""
     n = len(blob)
     base = {"media_format": "image/png", "n_bytes": n, "width": None,
             "height": None, "channels": None}
@@ -92,8 +104,9 @@ def _parse_png_header(blob: bytes) -> dict:
     chans = _PNG_COLOR_CHANNELS.get(color)
     if chans is not None:
         base.update(width=int(w), height=int(h), channels=chans[1])
-    ok = (depth == 8 and chans is not None and comp == 0 and filt == 0
-          and interlace == 0 and w > 0 and h > 0)
+    ok = (chans is not None and depth in _PNG_DEPTHS.get(color, ())
+          and comp == 0 and filt == 0 and interlace in (0, 1)
+          and w > 0 and h > 0)
     return {"media_ok": ok,
             "media_error": None if ok else "unsupported_png_variant", **base}
 
@@ -126,19 +139,22 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
-    """Reverse per-scanline filters 0-4 -> (h, w*bpp) uint8. None/Up rows
-    are vectorized, and Sub's left-recurrence is a per-channel uint8
-    cumsum (wrapping addition IS mod-256), so the three common filters run
-    at numpy speed; Average/Paeth mix left and up dependencies and stay
-    scalar loops — acceptable for thumbnail-sized fixtures (a real cluster
-    swaps in libvips for bulk decode, same schema contract)."""
-    stride = w * bpp
-    need = h * (stride + 1)
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int,
+                  offset: int = 0) -> np.ndarray:
+    """Reverse per-scanline filters 0-4 -> (h, stride) uint8, reading h
+    scanlines of ``stride`` bytes (each prefixed by its filter byte) from
+    ``raw`` starting at ``offset`` — interlaced decode calls this once per
+    Adam7 pass with a running offset. None/Up rows are vectorized, and
+    Sub's left-recurrence is a per-channel uint8 cumsum (wrapping addition
+    IS mod-256), so the three common filters run at numpy speed;
+    Average/Paeth mix left and up dependencies and stay scalar loops —
+    acceptable for thumbnail-sized fixtures (a real cluster swaps in
+    libvips for bulk decode, same schema contract)."""
+    need = offset + h * (stride + 1)
     if len(raw) < need:
         raise ValueError("png_truncated_idat")
     out = np.zeros((h, stride), dtype=np.uint8)
-    pos = 0
+    pos = offset
     zero = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
         ft = raw[pos]
@@ -169,15 +185,37 @@ def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _rows_to_samples(rows: np.ndarray, w: int, raw_c: int, depth: int) -> np.ndarray:
+    """Unfiltered scanline bytes (h, stride) -> per-pixel samples
+    (h, w, raw_c) uint8. 16-bit samples keep the most-significant byte
+    (standard display downconversion); sub-byte depths are big-endian
+    bit-packed within each scanline (RFC 2083 §2.3) and unpack via
+    np.unpackbits; palette indices pass through unscaled."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * raw_c].reshape(h, w, raw_c)
+    if depth == 16:
+        u16 = rows.reshape(h, -1, 2)[:, : w * raw_c, 0]  # MSB of each >u2
+        return u16.reshape(h, w, raw_c)
+    # depth in {1, 2, 4}: gray or palette index, one channel by spec
+    bits = np.unpackbits(rows, axis=1)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    samples = (bits.reshape(h, -1, depth) * weights).sum(axis=2).astype(np.uint8)
+    return samples[:, :w].reshape(h, w, 1)
+
+
 def _decode_png(blob: bytes) -> np.ndarray:
-    """Decode a supported PNG (see _parse_png_header) to (h, w, c) uint8."""
+    """Decode a supported PNG (see _parse_png_header) to (h, w, c) uint8:
+    all legal bit depths (1/2/4/8/16), all five color types, non-interlaced
+    or Adam7-interlaced. 16-bit channels are downconverted to their high
+    byte; tRNS transparency is ignored (thumbnail contract)."""
     import zlib
 
     meta = _parse_png_header(blob)
     if not meta["media_ok"]:
         raise ValueError(meta["media_error"] or "png_undecodable")
     w, h = meta["width"], meta["height"]
-    color = blob[25]
+    depth, color, interlace = blob[24], blob[25], blob[28]
     raw_c, out_c = _PNG_COLOR_CHANNELS[color]
     idat = b"".join(d for t, d in _png_chunks(blob) if t == b"IDAT")
     plte = next((d for t, d in _png_chunks(blob) if t == b"PLTE"), None)
@@ -187,7 +225,27 @@ def _decode_png(blob: bytes) -> np.ndarray:
         raw = zlib.decompress(idat)
     except zlib.error as e:  # corrupt stream: error-as-data, never a stage kill
         raise ValueError(f"png_bad_idat: {e}") from e
-    px = _png_unfilter(raw, h, w, raw_c).reshape(h, w, raw_c)
+
+    bpp = max(1, (depth * raw_c) // 8)  # filter byte distance (RFC 2083 §6.2)
+
+    def stride_of(width: int) -> int:
+        return (width * raw_c * depth + 7) // 8
+
+    if interlace == 0:
+        px = _rows_to_samples(_png_unfilter(raw, h, stride_of(w), bpp), w, raw_c, depth)
+    else:  # Adam7: seven independently-filtered sub-images, scattered back
+        px = np.zeros((h, w, raw_c), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # empty pass contributes no scanlines at all
+            stride = stride_of(wp)
+            sub = _png_unfilter(raw, hp, stride, bpp, offset)
+            offset += hp * (stride + 1)
+            px[y0::dy, x0::dx] = _rows_to_samples(sub, wp, raw_c, depth)
+
     if color == 3:  # palette -> RGB
         if plte is None or len(plte) % 3:
             raise ValueError("png_bad_palette")
@@ -196,6 +254,8 @@ def _decode_png(blob: bytes) -> np.ndarray:
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("png_palette_index_oob")
         return pal[idx]
+    if color == 0 and depth < 8:  # gray: expand sample range to 0..255
+        return (px * np.uint8(255 // ((1 << depth) - 1))).reshape(h, w, out_c)
     return px.reshape(h, w, out_c)
 
 
@@ -222,17 +282,18 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 def decode_image(blob: bytes, meta: dict | None = None) -> np.ndarray:
     """Decode to (h, w, c) uint8. Implemented here: the deterministic fake
-    codec, PNG (stdlib zlib decoder above) and baseline JPEG
-    (functions/jpeg.py). Exotic variants (progressive JPEG, 16-bit or
-    interlaced PNG) raise NotImplementedError. Pass ``meta`` (a
-    parse_media_header result for the SAME blob) to skip the re-parse when
-    the caller already has it (with_media_features)."""
+    codec, PNG (stdlib zlib decoder above — all legal depth/color/interlace
+    combos) and baseline JPEG (functions/jpeg.py). Exotic variants
+    (progressive/arithmetic JPEG) raise NotImplementedError. Pass ``meta``
+    (a parse_media_header result for the SAME blob) to skip the re-parse
+    when the caller already has it (with_media_features)."""
     if meta is None:
         meta = parse_media_header(blob)
     if meta["media_format"] == "image/png":
         if meta["media_ok"]:
             return _decode_png(blob)
         if meta["media_error"] == "unsupported_png_variant":
+            # spec-illegal depth/color combo or unknown interlace method
             raise NotImplementedError("png variant not decodable here")
         raise ValueError(meta["media_error"] or "undecodable")
     if meta["media_format"] == "image/jpeg":

@@ -182,17 +182,19 @@ class TestKernels:
             return struct.pack(">I", len(data)) + body + struct.pack(
                 ">I", zlib.crc32(body) & 0xFFFFFFFF)
 
-        # 16-bit depth -> metadata parses, decode raises NotImplementedError
-        ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
-        blob16 = (PNG_MAGIC + chunk(b"IHDR", ihdr16)
-                  + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
-                  + chunk(b"IEND", b""))
-        meta = parse_media_header(blob16)
+        # spec-illegal combo (2-bit RGB) -> metadata parses, decode raises
+        # NotImplementedError (16-bit and interlaced are now DECODED; the
+        # dedicated round-trip tests below cover them)
+        ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 2, 2, 0, 0, 0)
+        blob_bad = (PNG_MAGIC + chunk(b"IHDR", ihdr_bad)
+                    + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+                    + chunk(b"IEND", b""))
+        meta = parse_media_header(blob_bad)
         assert not meta["media_ok"]
         assert meta["media_error"] == "unsupported_png_variant"
         assert (meta["width"], meta["height"]) == (2, 2)
         with pytest.raises(NotImplementedError):
-            decode_image(blob16)
+            decode_image(blob_bad)
         # IDAT that inflates to fewer bytes than h*(stride+1) -> ValueError
         ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
         short = (PNG_MAGIC + chunk(b"IHDR", ihdr)
@@ -204,6 +206,92 @@ class TestKernels:
         noidat = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
         with pytest.raises(ValueError):
             decode_image(noidat)
+
+    @staticmethod
+    def _png_blob(w, h, depth, color, interlace, raw, plte=None):
+        import struct
+        import zlib
+
+        from core_spark.operators.multimodal import PNG_MAGIC
+
+        def chunk(ctype, data):
+            body = ctype + data
+            return struct.pack(">I", len(data)) + body + struct.pack(
+                ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        out = PNG_MAGIC + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    def test_png_16bit_decodes_to_high_byte(self):
+        rng = np.random.RandomState(3)
+        img16 = rng.randint(0, 65536, size=(4, 5, 3), dtype=np.uint16)
+        raw = b"".join(
+            b"\x00" + img16[y].astype(">u2").tobytes() for y in range(4))
+        blob = self._png_blob(5, 4, 16, 2, 0, raw)
+        meta = parse_media_header(blob)
+        assert meta["media_ok"] and meta["channels"] == 3
+        assert np.array_equal(decode_image(blob), (img16 >> 8).astype(np.uint8))
+        # 16-bit gray-alpha too (raw channels 2)
+        ga16 = rng.randint(0, 65536, size=(3, 2, 2), dtype=np.uint16)
+        raw = b"".join(b"\x00" + ga16[y].astype(">u2").tobytes() for y in range(3))
+        got = decode_image(self._png_blob(2, 3, 16, 4, 0, raw))
+        assert np.array_equal(got, (ga16 >> 8).astype(np.uint8))
+
+    def test_png_subbyte_gray_and_palette(self):
+        # 4-bit gray: samples scale by 17; odd width exercises row padding
+        g4 = np.array([[0, 15, 7], [3, 8, 1]], dtype=np.uint8)
+        raw = b"".join(
+            b"\x00" + np.packbits(
+                np.unpackbits(g4[y].reshape(-1, 1), axis=1)[:, 4:].ravel()
+            ).tobytes()
+            for y in range(2))
+        assert np.array_equal(
+            decode_image(self._png_blob(3, 2, 4, 0, 0, raw)),
+            (g4 * 17)[:, :, None])
+        # 1-bit gray: 0/255
+        g1 = np.array([[1, 0, 1, 1, 0]], dtype=np.uint8)
+        raw = b"\x00" + np.packbits(g1.ravel()).tobytes()
+        assert np.array_equal(
+            decode_image(self._png_blob(5, 1, 1, 0, 0, raw)),
+            (g1 * 255)[:, :, None])
+        # 2-bit palette indices
+        pal = np.array([[9, 8, 7], [1, 2, 3], [250, 0, 250], [0, 0, 0]],
+                       dtype=np.uint8)
+        idx = np.array([[0, 3, 2], [1, 1, 0]], dtype=np.uint8)
+        raw = b"".join(
+            b"\x00" + np.packbits(
+                np.unpackbits(idx[y].reshape(-1, 1), axis=1)[:, 6:].ravel()
+            ).tobytes()
+            for y in range(2))
+        got = decode_image(self._png_blob(3, 2, 2, 3, 0, raw, plte=pal.tobytes()))
+        assert np.array_equal(got, pal[idx])
+
+    def test_png_adam7_interlace_roundtrip(self):
+        from core_spark.operators.multimodal import _ADAM7
+
+        rng = np.random.RandomState(5)
+        # sizes straddling the 8x8 interlace tile: some passes empty, some
+        # single-pixel
+        for (h, w, c, color) in [(9, 10, 3, 2), (4, 3, 1, 0), (8, 8, 4, 6),
+                                 (1, 1, 3, 2), (2, 11, 2, 4)]:
+            img = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+            raw = bytearray()
+            for x0, y0, dx, dy in _ADAM7:
+                sub = img[y0::dy, x0::dx]
+                if sub.shape[0] == 0 or sub.shape[1] == 0:
+                    continue
+                for y in range(sub.shape[0]):
+                    raw += b"\x00" + sub[y].tobytes()
+            blob = self._png_blob(w, h, 8, color, 1, bytes(raw))
+            meta = parse_media_header(blob)
+            assert meta["media_ok"], (h, w, c)
+            assert np.array_equal(decode_image(blob), img), (h, w, c)
+        # interlaced + truncated stream still surfaces as ValueError
+        with pytest.raises(ValueError):
+            decode_image(self._png_blob(10, 9, 8, 2, 1, b"\x00" * 8))
 
 
 @pytest.mark.spark
