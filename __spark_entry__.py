@@ -1309,10 +1309,12 @@ def q_simhash_pairs(spark, sf_dir):
 def _media_blobs(docs):
     """doc_id DataFrame -> (doc_id, media binary) via the doc_id templates
     shared by q_media_pipeline and q_multimodal_curation (and mirrored by
-    their oracles' CASE expressions): arm = doc_id%4 picks the codec
-    (fake/PNG/JPEG/truncated-fake), size and gray level are doc_id mod
-    templates with gray ≡ 128 (mod 5) so the JPEG DC survives the flat
-    quantization exactly (jpeg.py docstring)."""
+    their oracles' CASE expressions): arm = doc_id%5 picks the codec
+    (fake/PNG/baseline JPEG/truncated-fake/progressive JPEG), size and
+    gray level are doc_id mod templates with gray ≡ 128 (mod 5) so the
+    JPEG DC survives the flat quantization exactly (jpeg.py docstring —
+    the progressive scan script encodes the same quantized coefficients,
+    so the exactness rule carries over)."""
     import numpy as np
     import pandas as pd
 
@@ -1321,7 +1323,7 @@ def _media_blobs(docs):
 
     def gen(batches):
         # fixture-generation cost control (NOT the operator under test):
-        # the template space is small (4 arms x 7w x 6h x 19 gray levels),
+        # the template space is small (5 arms x 7w x 6h x 19 gray levels),
         # memoize the pure-Python encoders per worker
         cache: dict = {}
 
@@ -1333,6 +1335,8 @@ def _media_blobs(docs):
                     blob = encode_png(img)
                 elif arm == 2:
                     blob = encode_jpeg(img)
+                elif arm == 4:
+                    blob = encode_jpeg(img, progressive=True)
                 else:
                     blob = encode_fake_image(img)
                     if arm == 3:
@@ -1342,7 +1346,7 @@ def _media_blobs(docs):
 
         for pdf in batches:
             blobs = [
-                _blob(int(did) % 4, 5 + int(did) % 7, 4 + int(did) % 6,
+                _blob(int(did) % 5, 5 + int(did) % 7, 4 + int(did) % 6,
                       128 + 5 * ((int(did) * 7) % 19 - 9))
                 for did in pdf["doc_id"]
             ]
@@ -1355,9 +1359,10 @@ def q_media_pipeline(spark, sf_dir):
     """Multimodal decode pipeline, driver-gated by a generation-rule oracle.
 
     Per-doc constant gray images are synthesized from doc_id templates in
-    three real codecs — the fake header, PNG (RFC 2083) and baseline JPEG
-    (ITU-T T.81, functions/jpeg.py) — plus a deterministic corrupt arm
-    (_media_blobs), then decoded back through the fused stage. Gray
+    four real codec arms — the fake header, PNG (RFC 2083), baseline JPEG
+    and progressive JPEG (ITU-T T.81 Annex G, functions/jpeg.py) — plus a
+    deterministic corrupt arm (_media_blobs), then decoded back through
+    the fused stage. Gray
     values are chosen ≡ 128 (mod 5) so the JPEG DC survives the flat
     quantization exactly (jpeg.py docstring): every codec round-trips
     BIT-exactly, and DuckDB emits the EXPECTED output straight from the
@@ -1557,12 +1562,13 @@ WITH gated AS (
 ),
 media AS (
   SELECT doc_id,
-         CASE doc_id % 4 WHEN 1 THEN 'image/png'
+         CASE doc_id % 5 WHEN 1 THEN 'image/png'
                          WHEN 2 THEN 'image/jpeg'
+                         WHEN 4 THEN 'image/jpeg'
                          ELSE 'fakeimg/v1' END AS media_format,
          5 + doc_id % 7 AS width,
          4 + doc_id % 6 AS height
-  FROM documents WHERE doc_id % 4 <> 3
+  FROM documents WHERE doc_id % 5 <> 3
 )
 SELECT m.media_format,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1869,16 +1875,17 @@ def oracle_sql() -> dict[str, str]:
         # bit-identically through all three codecs (pinned in tests/test_jpeg.py)
         "media_pipeline": """
             SELECT doc_id,
-                   CASE doc_id % 4 WHEN 1 THEN 'image/png'
+                   CASE doc_id % 5 WHEN 1 THEN 'image/png'
                                    WHEN 2 THEN 'image/jpeg'
+                                   WHEN 4 THEN 'image/jpeg'
                                    ELSE 'fakeimg/v1' END AS media_format,
-                   CAST(doc_id % 4 <> 3 AS INT) AS media_ok,
+                   CAST(doc_id % 5 <> 3 AS INT) AS media_ok,
                    CAST(5 + doc_id % 7 AS INT) AS width,
                    CAST(4 + doc_id % 6 AS INT) AS height,
-                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                   CASE WHEN doc_id % 5 = 3 THEN NULL
                         ELSE CAST(128 + 5 * ((doc_id * 7) % 19 - 9) AS DOUBLE)
                    END AS thumb_v,
-                   CASE WHEN doc_id % 4 = 3 THEN 'truncated_payload' END
+                   CASE WHEN doc_id % 5 = 3 THEN 'truncated_payload' END
                        AS decode_error
             FROM documents
         """,

@@ -4,9 +4,10 @@ The container ships no decode libraries (no PIL/cv2/ffmpeg). Both dominant
 web formats are implemented from their public specs: PNG (RFC 2083) on
 stdlib zlib+struct — every legal bit depth (1/2/4/8/16) and color type
 (gray/RGB/palette/gray-alpha/RGBA), filters 0-4, non-interlaced and Adam7
-interlaced — and baseline JPEG (ITU-T T.81) in functions/jpeg.py — Huffman
-sequential DCT, 4:4:4/4:2:2/4:2:0, restart markers. Remaining exotic
-variants (progressive/arithmetic/12-bit JPEG) raise NotImplementedError
+interlaced — and JPEG (ITU-T T.81) in functions/jpeg.py — Huffman baseline
+sequential AND progressive DCT (SOF2 spectral selection + successive
+approximation), 4:4:4/4:2:2/4:2:0, restart markers. Remaining exotic
+variants (arithmetic/lossless/12-bit JPEG) raise NotImplementedError
 and surface as `decode_error` rows. Every piece of
 Spark plumbing is real and tested: the schema contract, the mapInPandas
 batch shape, the partition sizing rule, and the metadata extraction that
@@ -283,8 +284,8 @@ def encode_png(arr: np.ndarray) -> bytes:
 def decode_image(blob: bytes, meta: dict | None = None) -> np.ndarray:
     """Decode to (h, w, c) uint8. Implemented here: the deterministic fake
     codec, PNG (stdlib zlib decoder above — all legal depth/color/interlace
-    combos) and baseline JPEG (functions/jpeg.py). Exotic variants
-    (progressive/arithmetic JPEG) raise NotImplementedError. Pass ``meta``
+    combos) and JPEG, baseline or progressive (functions/jpeg.py). Exotic
+    variants (arithmetic/lossless JPEG) raise NotImplementedError. Pass ``meta``
     (a parse_media_header result for the SAME blob) to skip the re-parse
     when the caller already has it (with_media_features)."""
     if meta is None:

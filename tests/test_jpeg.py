@@ -89,10 +89,66 @@ def test_header_parse():
     assert ghdr["channels"] == 1 and ghdr["media_ok"]
 
 
-def test_progressive_refused_not_crashed():
+def test_progressive_roundtrip_matches_baseline():
+    # same quantized coefficients -> identical pixels; covers all four scan
+    # kinds (DC first/refine, AC first/refine), EOB runs, ZRL, restarts,
+    # 4:2:0 vs 4:4:4, gray vs color, odd sizes
+    rng = np.random.default_rng(7)
+    for shape in [(8, 8, 3), (17, 23, 3), (16, 16, 1), (7, 9, 3)]:
+        for ss in (False, True):
+            for ri in (0, 2):
+                if shape[2] == 1 and ss:
+                    continue
+                img = rng.integers(0, 256, shape, dtype=np.uint8)
+                base = decode_jpeg(encode_jpeg(img, subsample=ss,
+                                               restart_interval=ri))
+                prog = decode_jpeg(encode_jpeg(img, subsample=ss,
+                                               restart_interval=ri,
+                                               progressive=True))
+                assert np.array_equal(base, prog), (shape, ss, ri)
+
+
+def test_progressive_sparse_image_eob_runs():
+    # long EOB runs spanning blocks, with correction bits owed inside them
+    img = np.zeros((40, 48, 3), np.uint8)
+    img[3, 5] = [200, 10, 30]
+    img[30, 40] = [5, 250, 100]
+    assert np.array_equal(decode_jpeg(encode_jpeg(img)),
+                          decode_jpeg(encode_jpeg(img, progressive=True)))
+
+
+def test_progressive_header_and_flat_exactness():
+    img = np.full((24, 24, 3), 153, np.uint8)  # 128+25: survives q=10 flat
+    blob = encode_jpeg(img, progressive=True)
+    hdr = jpeg_header(blob)
+    assert hdr["media_ok"] and hdr["media_error"] is None
+    assert (hdr["width"], hdr["height"]) == (24, 24)
+    assert np.array_equal(decode_jpeg(blob), img)
+
+
+def test_progressive_truncation_and_corruption_stay_valueerror():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 33, 3), np.uint8)
+    blob = encode_jpeg(img, subsample=True, restart_interval=2,
+                       progressive=True)
+    for cut in range(2, len(blob), 7):
+        try:
+            decode_jpeg(blob[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    for _ in range(60):
+        b = bytearray(blob)
+        b[rng.integers(2, len(b) - 2)] = rng.integers(0, 256)
+        try:
+            decode_jpeg(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_arithmetic_coding_refused_not_crashed():
     blob = bytearray(encode_jpeg(np.full((8, 8, 3), 158, np.uint8)))
     i = blob.find(bytes([0xFF, 0xC0]))
-    blob[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    blob[i + 1] = 0xC9  # SOF0 -> SOF9 (arithmetic sequential)
     hdr = jpeg_header(bytes(blob))
     assert hdr["media_ok"] is False
     assert hdr["media_error"] == "unsupported_jpeg_variant"
