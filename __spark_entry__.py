@@ -1580,6 +1580,68 @@ GROUP BY m.media_format
 
 
 # ---------------------------------------------------------------------------
+# Training-data curation round 2: PII / repetition / decontamination /
+# sampling (no reference counterpart — the training-data brief's curation
+# family; each is a pure declarative plan with a full DuckDB twin)
+# ---------------------------------------------------------------------------
+
+def _pii_aug_expr(dialect: str) -> str:
+    """Deterministic PII-bearing text from doc_id (generation-rule input).
+
+    Every doc gets exactly one of {email, phone, ipv4} appended by
+    ``doc_id % 3`` and docs with ``doc_id % 5 = 0`` additionally get an
+    SSN-shaped id, so all four redaction categories are exercised, including
+    multi-category docs. Only int->string casting differs per dialect.
+    """
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+
+    def c(e: str) -> str:
+        return f"CAST({e} AS {s})"
+
+    return (
+        "text || CASE doc_id % 3"
+        f" WHEN 0 THEN ' contact dev' || {c('doc_id')} || '@mail'"
+        f" || {c('doc_id % 7')} || '.org now'"
+        f" WHEN 1 THEN ' call (' || {c('200 + doc_id % 700')} || ') '"
+        f" || {c('200 + doc_id % 700')} || '-' || {c('1000 + doc_id % 9000')}"
+        " || ' today'"
+        f" ELSE ' node 10.' || {c('doc_id % 256')} || '.'"
+        f" || {c('doc_id % 250')} || '.' || {c('1 + doc_id % 254')} || ' up'"
+        " END || CASE WHEN doc_id % 5 = 0 THEN"
+        f" ' id ' || {c('100 + doc_id % 900')} || '-' || {c('10 + doc_id % 90')}"
+        f" || '-' || {c('2000 + doc_id % 8000')} || '.' ELSE '' END"
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII counts + typed-placeholder redaction (functions/pii.py) over
+    deterministically PII-augmented text. Per-row JVM regex map — no
+    shuffle; the DuckDB twin runs the same patterns (RE2/Java shared
+    subset) with per-dialect escaping only."""
+    from core_spark.functions import pii as pi
+
+    aug = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_pii_aug_expr('spark')} AS text"
+    )
+    return aug.selectExpr(
+        "doc_id",
+        *[f"{e} AS {k}" for k, e in pi.pii_cols("text", "spark").items()],
+    )
+
+
+def _sql_pii_redact_oracle() -> str:
+    from core_spark.functions import pii as pi
+
+    cols = ", ".join(
+        f"{e} AS {k}" for k, e in pi.pii_cols("text", "duckdb").items()
+    )
+    return (
+        f"SELECT doc_id, {cols} FROM "
+        f"(SELECT doc_id, {_pii_aug_expr('duckdb')} AS text FROM documents)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -1639,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "multimodal_curation": q_multimodal_curation,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -1931,5 +1994,6 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 7 = 6
         """,
         "multimodal_curation": _sql_multimodal_curation_oracle(),
+        "pii_redact": _sql_pii_redact_oracle(),
         # s2_assign, extract_invariant: rows-only (no SQL equivalent)
     }
