@@ -1641,6 +1641,18 @@ def _sql_pii_redact_oracle() -> str:
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (functions/repetition.py): duplicate
+    -token fraction, top token/bigram counts + fractions — all within-row
+    higher-order array functions, a codegen'd map with NO shuffle (the
+    explode+groupBy alternative shuffles every token at corpus scale)."""
+    from core_spark.functions import repetition as rp
+
+    return rp.with_repetition(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    ).drop("text")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1702,12 +1714,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "multimodal_curation": q_multimodal_curation,
         "pii_redact": q_pii_redact,
+        "text_repetition": q_text_repetition,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from core_spark.data.polygons import edges_sql_values
     from core_spark.functions.geoparse import DEC_PATTERN
+    from core_spark.functions.repetition import duck_rep_sql
     from core_spark.operators.knn import sql_knn
     from core_spark.operators.pip import sql_pip_parity_join
 
@@ -1995,5 +2009,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_curation": _sql_multimodal_curation_oracle(),
         "pii_redact": _sql_pii_redact_oracle(),
+        "text_repetition": duck_rep_sql("documents"),
         # s2_assign, extract_invariant: rows-only (no SQL equivalent)
     }
