@@ -1653,6 +1653,17 @@ def q_text_repetition(spark, sf_dir):
     ).drop("text")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontaminate.py): the planted
+    benchmark is every 50th doc of the same corpus, so docs are flagged when
+    they share a 5-token shingle with it — broadcast gram join, map-side
+    filtered; only matching grams shuffle."""
+    from core_spark.operators.decontaminate import contaminated_docs
+
+    docs = _docs(spark, sf_dir)
+    return contaminated_docs(docs, docs.filter("doc_id % 50 = 0"), k=5)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1715,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_curation": q_multimodal_curation,
         "pii_redact": q_pii_redact,
         "text_repetition": q_text_repetition,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1722,6 +1734,7 @@ def oracle_sql() -> dict[str, str]:
     from core_spark.data.polygons import edges_sql_values
     from core_spark.functions.geoparse import DEC_PATTERN
     from core_spark.functions.repetition import duck_rep_sql
+    from core_spark.operators.decontaminate import sql_contaminated_docs
     from core_spark.operators.knn import sql_knn
     from core_spark.operators.pip import sql_pip_parity_join
 
@@ -2010,5 +2023,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_curation": _sql_multimodal_curation_oracle(),
         "pii_redact": _sql_pii_redact_oracle(),
         "text_repetition": duck_rep_sql("documents"),
+        "decontaminate": sql_contaminated_docs(
+            "documents", "doc_id % 50 = 0", k=5
+        ),
         # s2_assign, extract_invariant: rows-only (no SQL equivalent)
     }
