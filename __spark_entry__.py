@@ -1664,6 +1664,31 @@ def q_decontaminate(spark, sf_dir):
     return contaminated_docs(docs, docs.filter("doc_id % 50 = 0"), k=5)
 
 
+SAMPLE_RATES = {"en": 0.5, "de": 0.9, "es": 0.9, "fr": 0.9, "zh": 0.25}
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic hash-threshold stratified sample (operators/sampling.py)
+    — per-lang keep rates as a pure codegen'd filter, no shuffle; the kept
+    set is stable under repartitioning and identical in DuckDB."""
+    from core_spark.operators.sampling import sample_stratified
+
+    return sample_stratified(
+        _docs(spark, sf_dir, wide=False), SAMPLE_RATES
+    ).select("doc_id", "lang", "source")
+
+
+def q_sample_quota(spark, sf_dir):
+    """Exact per-stratum quota sample: first 25 docs per lang in portable
+    md5-hash order (one window per stratum; the skew trade-off vs the
+    hash-threshold sampler is documented in operators/sampling.py)."""
+    from core_spark.operators.sampling import sample_quota
+
+    return sample_quota(
+        _docs(spark, sf_dir, wide=False), 25
+    ).select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1727,6 +1752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
+        "sample_stratified": q_sample_stratified,
+        "sample_quota": q_sample_quota,
     }
 
 
@@ -1736,6 +1763,7 @@ def oracle_sql() -> dict[str, str]:
     from core_spark.functions.repetition import duck_rep_sql
     from core_spark.operators.decontaminate import sql_contaminated_docs
     from core_spark.operators.knn import sql_knn
+    from core_spark.operators.sampling import keep_predicate, sql_sample_quota
     from core_spark.operators.pip import sql_pip_parity_join
 
     cascade = """
@@ -2026,5 +2054,10 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": sql_contaminated_docs(
             "documents", "doc_id % 50 = 0", k=5
         ),
+        "sample_stratified": (
+            "SELECT doc_id, lang, source FROM documents WHERE "
+            + keep_predicate(SAMPLE_RATES, dialect="duckdb")
+        ),
+        "sample_quota": sql_sample_quota("documents", 25, "doc_id, lang"),
         # s2_assign, extract_invariant: rows-only (no SQL equivalent)
     }
