@@ -1689,6 +1689,68 @@ def q_sample_quota(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+# URL generation rules (generation-rule oracle: same SQL text on both
+# engines derives a synthetic url / crawl timestamp per doc, so the URL
+# operators are gated without a url column in the fixture table). Eight
+# arms cover the canonicalizer's branch space: mixed-case hosts, default
+# and non-default ports, www prefixes, index.html, trailing slashes,
+# tracking params (leading / trailing / only), fragments, root paths.
+URL_GEN_SQL = """
+CASE CAST(doc_id % 8 AS INT)
+  WHEN 0 THEN 'https://SITE' || source || '.Example.com/a/' || CAST(doc_id AS STRING)
+  WHEN 1 THEN 'https://site' || source || '.example.com:443/a/' || CAST(doc_id AS STRING) || '/'
+  WHEN 2 THEN 'http://www.site' || source || '.example.com:80/a/' || CAST(doc_id AS STRING) || '?utm_source=feed'
+  WHEN 3 THEN 'https://site' || source || '.example.com/a/' || CAST(doc_id AS STRING) || '/index.html'
+  WHEN 4 THEN 'https://site' || source || '.example.com:8443/a/' || CAST(doc_id AS STRING)
+  WHEN 5 THEN 'https://site' || source || '.example.com/a/' || CAST(doc_id AS STRING) || '?q=1&utm_campaign=x#frag'
+  WHEN 6 THEN 'http://site' || source || '.example.com/a/' || CAST(doc_id AS STRING) || '?utm_a=1&utm_b=2'
+  ELSE 'https://Site' || source || '.Example.com/'
+END
+""".strip()
+
+# ~3 recrawls per url; the crawl timestamp is doc_id-scrambled so the
+# latest snapshot is NOT simply the max doc_id of the group.
+URL_CRAWL_SQL = (
+    "'https://s' || CAST(CAST(FLOOR(doc_id / 3.0) AS BIGINT) % 7 AS STRING)"
+    " || '.example/p/' || CAST(CAST(FLOOR(doc_id / 3.0) AS BIGINT) AS STRING)"
+)
+TS_CRAWL_SQL = "CAST(1700000000 + (doc_id * 7919) % 100000 AS BIGINT)"
+HOST_CAP = 15
+
+
+def q_url_host_cap(spark, sf_dir):
+    """URL canonicalization + skew-aware per-host cap (operators/weburl.py):
+    stepwise one-pass-per-rule normalization (lowercase host, default-port
+    and www strip, tracking-param and fragment removal, index.html /
+    trailing-slash rewrite), then at most HOST_CAP docs per host in
+    portable md5 order — over-cap mega-hosts pay the window, the long
+    tail passes through a broadcast anti-join."""
+    from core_spark.operators.weburl import canonicalize_url, cap_per_host
+
+    df = _docs(spark, sf_dir, wide=False).selectExpr(
+        "doc_id", "source", f"{URL_GEN_SQL} AS url"
+    )
+    return cap_per_host(
+        canonicalize_url(df), HOST_CAP
+    ).select("doc_id", "host", "url_canon")
+
+
+def q_url_latest(spark, sf_dir):
+    """Latest-crawl-per-URL snapshot dedup (operators/weburl.py): one
+    max(struct(ts, key)) hash aggregate with map-side combine picks the
+    newest recrawl per URL — no per-URL window sort."""
+    from core_spark.operators.weburl import latest_snapshot
+
+    df = _docs(spark, sf_dir, wide=False).selectExpr(
+        "doc_id",
+        f"{URL_CRAWL_SQL} AS url",
+        f"{TS_CRAWL_SQL} AS ts_epoch",
+    )
+    return latest_snapshot(df, "url", "ts_epoch", "doc_id").select(
+        "doc_id", "url", "ts_epoch"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1754,6 +1816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "sample_stratified": q_sample_stratified,
         "sample_quota": q_sample_quota,
+        "url_host_cap": q_url_host_cap,
+        "url_latest": q_url_latest,
     }
 
 
@@ -1764,6 +1828,9 @@ def oracle_sql() -> dict[str, str]:
     from core_spark.operators.decontaminate import sql_contaminated_docs
     from core_spark.operators.knn import sql_knn
     from core_spark.operators.sampling import keep_predicate, sql_sample_quota
+    from core_spark.operators.weburl import (
+        sql_canonicalize, sql_cap_per_host, sql_latest_snapshot,
+    )
     from core_spark.operators.pip import sql_pip_parity_join
 
     cascade = """
@@ -2059,5 +2126,19 @@ def oracle_sql() -> dict[str, str]:
             + keep_predicate(SAMPLE_RATES, dialect="duckdb")
         ),
         "sample_quota": sql_sample_quota("documents", 25, "doc_id, lang"),
+        "url_host_cap": sql_cap_per_host(
+            sql_canonicalize(
+                f"(SELECT doc_id, source, {URL_GEN_SQL} AS url"
+                " FROM documents)"
+            ),
+            HOST_CAP,
+            "doc_id, host, url_canon",
+        ),
+        "url_latest": sql_latest_snapshot(
+            f"SELECT doc_id, {URL_CRAWL_SQL} AS url,"
+            f" {TS_CRAWL_SQL} AS ts_epoch FROM documents",
+            "doc_id, url, ts_epoch",
+            ts_col="ts_epoch",
+        ),
         # s2_assign, extract_invariant: rows-only (no SQL equivalent)
     }
