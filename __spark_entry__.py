@@ -1735,6 +1735,30 @@ def q_url_host_cap(spark, sf_dir):
     ).select("doc_id", "host", "url_canon")
 
 
+PARA_TOKENS = 10
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph-level exact dedup, first occurrence wins
+    (operators/paradedup.py — Lee et al. 2022 paragraph-hash variant):
+    winner-per-hash via a map-side-combining MIN aggregate, no window;
+    paragraphs derived as 10-token chunks (the fixture corpus has no
+    newline structure; real corpora split on blank lines)."""
+    from core_spark.operators.paradedup import (
+        dedup_paragraphs, paragraphs_expr, tokens_expr,
+    )
+
+    df = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"{tokens_expr('text', 'spark')} AS _toks")
+        .selectExpr(
+            "doc_id",
+            f"{paragraphs_expr('_toks', PARA_TOKENS, 'spark')} AS paras",
+        )
+    )
+    return dedup_paragraphs(df)
+
+
 def q_url_latest(spark, sf_dir):
     """Latest-crawl-per-URL snapshot dedup (operators/weburl.py): one
     max(struct(ts, key)) hash aggregate with map-side combine picks the
@@ -1818,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_quota": q_sample_quota,
         "url_host_cap": q_url_host_cap,
         "url_latest": q_url_latest,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 
 
@@ -1828,6 +1853,7 @@ def oracle_sql() -> dict[str, str]:
     from core_spark.operators.decontaminate import sql_contaminated_docs
     from core_spark.operators.knn import sql_knn
     from core_spark.operators.sampling import keep_predicate, sql_sample_quota
+    from core_spark.operators.paradedup import sql_dedup_paragraphs
     from core_spark.operators.weburl import (
         sql_canonicalize, sql_cap_per_host, sql_latest_snapshot,
     )
@@ -2140,5 +2166,6 @@ def oracle_sql() -> dict[str, str]:
             "doc_id, url, ts_epoch",
             ts_col="ts_epoch",
         ),
+        "paragraph_dedup": sql_dedup_paragraphs("documents", PARA_TOKENS),
         # s2_assign, extract_invariant: rows-only (no SQL equivalent)
     }
