@@ -1759,6 +1759,26 @@ def q_paragraph_dedup(spark, sf_dir):
     return dedup_paragraphs(df)
 
 
+VOCAB_V, TFIDF_K = 30, 3
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-doc distinctive terms (operators/termstats.py): corpus document
+    frequency (within-row distinct before the explode), top-V broadcast
+    vocabulary, per-doc top-k by integer-exact (tf DESC, df ASC, term ASC)
+    — within-row tf and within-row top-k cut, no token-level shuffle and
+    no corpus-wide window."""
+    from core_spark.operators.termstats import (
+        distinctive_terms, document_frequency, top_vocab,
+    )
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "split(trim(text), ' ') AS toks"
+    )
+    vocab = top_vocab(document_frequency(docs), VOCAB_V)
+    return distinctive_terms(docs, vocab, TFIDF_K)
+
+
 def q_url_latest(spark, sf_dir):
     """Latest-crawl-per-URL snapshot dedup (operators/weburl.py): one
     max(struct(ts, key)) hash aggregate with map-side combine picks the
@@ -1843,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_cap": q_url_host_cap,
         "url_latest": q_url_latest,
         "paragraph_dedup": q_paragraph_dedup,
+        "tfidf_topk": q_tfidf_topk,
     }
 
 
@@ -1854,6 +1875,7 @@ def oracle_sql() -> dict[str, str]:
     from core_spark.operators.knn import sql_knn
     from core_spark.operators.sampling import keep_predicate, sql_sample_quota
     from core_spark.operators.paradedup import sql_dedup_paragraphs
+    from core_spark.operators.termstats import sql_distinctive_terms
     from core_spark.operators.weburl import (
         sql_canonicalize, sql_cap_per_host, sql_latest_snapshot,
     )
@@ -2167,5 +2189,8 @@ def oracle_sql() -> dict[str, str]:
             ts_col="ts_epoch",
         ),
         "paragraph_dedup": sql_dedup_paragraphs("documents", PARA_TOKENS),
+        "tfidf_topk": sql_distinctive_terms(
+            "documents", "string_split(trim(text), ' ')", VOCAB_V, TFIDF_K
+        ),
         # s2_assign, extract_invariant: rows-only (no SQL equivalent)
     }
