@@ -1779,6 +1779,25 @@ def q_tfidf_topk(spark, sf_dir):
     return distinctive_terms(docs, vocab, TFIDF_K)
 
 
+PACK_BUDGET, PACK_SHARDS = 256, 8
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing (operators/packing.py): per-doc
+    (shard, bin, offset) under a 256-token budget — concat-then-chunk
+    semantics, md5-sharded so packing parallelizes; the only shuffle is
+    the per-shard window in deterministic hash order."""
+    from core_spark.operators.packing import pack_sequences
+
+    df = _docs(spark, sf_dir, wide=False).selectExpr(
+        "doc_id",
+        "CAST(size(split(trim(text), ' ')) AS BIGINT) AS n_tokens",
+    )
+    return pack_sequences(df, PACK_BUDGET, PACK_SHARDS).select(
+        "doc_id", "n_tokens", "shard", "bin", "offset"
+    )
+
+
 def q_url_latest(spark, sf_dir):
     """Latest-crawl-per-URL snapshot dedup (operators/weburl.py): one
     max(struct(ts, key)) hash aggregate with map-side combine picks the
@@ -1864,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_latest": q_url_latest,
         "paragraph_dedup": q_paragraph_dedup,
         "tfidf_topk": q_tfidf_topk,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1874,6 +1894,7 @@ def oracle_sql() -> dict[str, str]:
     from core_spark.operators.decontaminate import sql_contaminated_docs
     from core_spark.operators.knn import sql_knn
     from core_spark.operators.sampling import keep_predicate, sql_sample_quota
+    from core_spark.operators.packing import sql_pack_sequences
     from core_spark.operators.paradedup import sql_dedup_paragraphs
     from core_spark.operators.termstats import sql_distinctive_terms
     from core_spark.operators.weburl import (
@@ -2191,6 +2212,13 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": sql_dedup_paragraphs("documents", PARA_TOKENS),
         "tfidf_topk": sql_distinctive_terms(
             "documents", "string_split(trim(text), ' ')", VOCAB_V, TFIDF_K
+        ),
+        "pack_sequences": sql_pack_sequences(
+            "SELECT doc_id, CAST(len(string_split(trim(text), ' '))"
+            " AS BIGINT) AS n_tokens FROM documents",
+            PACK_BUDGET,
+            PACK_SHARDS,
+            'doc_id, n_tokens, shard, bin, "offset"',
         ),
         # s2_assign, extract_invariant: rows-only (no SQL equivalent)
     }
