@@ -1779,6 +1779,36 @@ def q_tfidf_topk(spark, sf_dir):
     return distinctive_terms(docs, vocab, TFIDF_K)
 
 
+HOST_GATE_PCT = 5
+
+
+def q_host_quality_gate(spark, sf_dir):
+    """Domain-level quality gating (operators/weburl.py): canonical host
+    per doc, integer stopword-density aggregate per host, and a broadcast
+    anti join dropping every doc of under-threshold hosts — composition of
+    the URL and textstats subsystems; good-host docs never shuffle."""
+    from core_spark.functions.textstats import (
+        spark_stop_count, spark_token_count,
+    )
+    from core_spark.operators.weburl import (
+        canonicalize_url, gate_hosts_by_quality,
+    )
+
+    df = canonicalize_url(
+        _docs(spark, sf_dir).selectExpr(
+            "doc_id", "source", "text", f"{URL_GEN_SQL} AS url"
+        )
+    ).selectExpr(
+        "doc_id",
+        "host",
+        f"CAST({spark_stop_count('text')} AS BIGINT) AS stop_n",
+        f"CAST({spark_token_count('text')} AS BIGINT) AS n_tokens",
+    )
+    return gate_hosts_by_quality(df, HOST_GATE_PCT).select(
+        "doc_id", "host", "stop_n", "n_tokens"
+    )
+
+
 PACK_BUDGET, PACK_SHARDS = 256, 8
 
 
@@ -1884,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "tfidf_topk": q_tfidf_topk,
         "pack_sequences": q_pack_sequences,
+        "host_quality_gate": q_host_quality_gate,
     }
 
 
@@ -1897,8 +1928,12 @@ def oracle_sql() -> dict[str, str]:
     from core_spark.operators.packing import sql_pack_sequences
     from core_spark.operators.paradedup import sql_dedup_paragraphs
     from core_spark.operators.termstats import sql_distinctive_terms
+    from core_spark.functions.textstats import (
+        duck_stop_count, duck_token_count,
+    )
     from core_spark.operators.weburl import (
-        sql_canonicalize, sql_cap_per_host, sql_latest_snapshot,
+        sql_canonicalize, sql_cap_per_host, sql_gate_hosts_by_quality,
+        sql_latest_snapshot,
     )
     from core_spark.operators.pip import sql_pip_parity_join
 
@@ -2212,6 +2247,19 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": sql_dedup_paragraphs("documents", PARA_TOKENS),
         "tfidf_topk": sql_distinctive_terms(
             "documents", "string_split(trim(text), ' ')", VOCAB_V, TFIDF_K
+        ),
+        "host_quality_gate": sql_gate_hosts_by_quality(
+            "SELECT doc_id, host,"
+            f" CAST({duck_stop_count('text')} AS BIGINT) AS stop_n,"
+            f" CAST({duck_token_count('text')} AS BIGINT) AS n_tokens"
+            " FROM ("
+            + sql_canonicalize(
+                f"(SELECT doc_id, source, text, {URL_GEN_SQL} AS url"
+                " FROM documents)"
+            )
+            + ")",
+            HOST_GATE_PCT,
+            "doc_id, host, stop_n, n_tokens",
         ),
         "pack_sequences": sql_pack_sequences(
             "SELECT doc_id, CAST(len(string_split(trim(text), ' '))"

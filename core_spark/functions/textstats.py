@@ -49,6 +49,24 @@ def duck_token_count(text_col: str) -> str:
 _ALPHABET = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
 
+def spark_stop_count(text_col: str) -> str:
+    """Integer stopword-hit count (tokenize-once membership; see
+    spark_quality_cols docstring for why this beats a \\b-alternation)."""
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        f"size(filter(regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0),"
+        f" x -> array_contains(array({stop_arr}), x)))"
+    )
+
+
+def duck_stop_count(text_col: str) -> str:
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        f"len(list_filter(regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0),"
+        f" x -> list_contains([{stop_arr}], x)))"
+    )
+
+
 def spark_quality_cols(text_col: str) -> dict[str, str]:
     """Quality-signal expressions: {out_col: spark_sql_expr}.
 
@@ -64,11 +82,7 @@ def spark_quality_cols(text_col: str) -> dict[str, str]:
     alpha = f"({n} - length(translate({text_col}, '{_ALPHABET}', '')))"
     punct = f"({n} - length(translate({text_col}, '.!?,;:', '')))"
     digits = f"({n} - length(translate({text_col}, '0123456789', '')))"
-    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
-    stop_n = (
-        f"size(filter(regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0),"
-        f" x -> array_contains(array({stop_arr}), x)))"
-    )
+    stop_n = spark_stop_count(text_col)
     toks = spark_token_count(text_col)
     return {
         "n_chars": n,
@@ -91,11 +105,7 @@ def duck_quality_cols(text_col: str) -> dict[str, str]:
     alpha = f"({n} - length(translate({text_col}, '{_ALPHABET}', '')))"
     punct = f"({n} - length(translate({text_col}, '.!?,;:', '')))"
     digits = f"({n} - length(translate({text_col}, '0123456789', '')))"
-    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
-    stop_n = (
-        f"len(list_filter(regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0),"
-        f" x -> list_contains([{stop_arr}], x)))"
-    )
+    stop_n = duck_stop_count(text_col)
     toks = duck_token_count(text_col)
     return {
         "n_chars": n,

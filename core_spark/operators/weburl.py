@@ -175,6 +175,60 @@ def sql_cap_per_host(
     """
 
 
+def gate_hosts_by_quality(
+    df: DataFrame,
+    threshold_pct: int,
+    stop_col: str = "stop_n",
+    tokens_col: str = "n_tokens",
+    host_col: str = "host",
+) -> DataFrame:
+    """Drop every doc of hosts whose AGGREGATE stopword density is under
+    ``threshold_pct`` percent (RefinedWeb-style domain-level gating: a
+    host serving mostly gibberish poisons even its plausible-looking
+    pages).
+
+    The verdict is the integer cross-multiplication
+    ``sum(stop) * 100 < sum(tokens) * pct`` — no float crosses engines.
+    The bad-host list is the SMALL side by construction (most hosts pass)
+    and is broadcast for an anti join, so good-host docs never shuffle.
+    The input is deliberately NOT checkpointed: both branches re-evaluate
+    a scan + projection (map-only), which at corpus scale is far cheaper
+    than materializing the corpus to pin its lineage — the CLAUDE.md
+    checkpoint rule targets SELF-JOINS whose recompute includes a
+    shuffle, not aggregate-then-filter gates.
+    """
+    bad = (
+        df.groupBy(host_col)
+        .agg(
+            F.sum(stop_col).alias("_s"),
+            F.sum(tokens_col).alias("_t"),
+        )
+        .filter(F.col("_s") * 100 < F.col("_t") * threshold_pct)
+        .select(host_col)
+    )
+    return df.join(F.broadcast(bad), host_col, "left_anti")
+
+
+def sql_gate_hosts_by_quality(
+    inner_sql: str,
+    threshold_pct: int,
+    select_cols: str,
+    stop_col: str = "stop_n",
+    tokens_col: str = "n_tokens",
+    host_col: str = "host",
+) -> str:
+    """Oracle twin: correlated NOT IN over the aggregate (independent plan)."""
+    return f"""
+        WITH src AS ({inner_sql})
+        SELECT {select_cols} FROM src
+        WHERE {host_col} NOT IN (
+          SELECT {host_col} FROM src
+          GROUP BY {host_col}
+          HAVING SUM({stop_col}) * 100 < SUM({tokens_col}) * {threshold_pct}
+        )
+    """
+
+
 def latest_snapshot(
     df: DataFrame,
     url_col: str = "url",

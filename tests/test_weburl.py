@@ -158,3 +158,37 @@ def test_latest_snapshot_plan_has_no_window(spark):
     plan = latest_snapshot(df, "url", "ts", "doc_id")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Window" not in plan  # agg + semi join, never a per-URL sort
+
+
+@pytest.mark.spark
+def test_gate_hosts_by_quality(spark):
+    from core_spark.operators.weburl import gate_hosts_by_quality
+
+    rows = [
+        # goodhost: 20 stopwords / 100 tokens = 20% -> passes at 5%
+        (1, "goodhost", 20, 100),
+        (2, "goodhost", 0, 50),    # poor doc, but its HOST passes
+        # badhost: 2 / 200 = 1% aggregate -> every doc dropped,
+        # including the individually-plausible doc 4
+        (3, "badhost", 0, 100),
+        (4, "badhost", 2, 100),
+        # edge: exactly at threshold (5 / 100 = 5%) is NOT below -> kept
+        (5, "edgehost", 5, 100),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, host string, stop_n long, n_tokens long"
+    )
+    kept = {r["doc_id"] for r in gate_hosts_by_quality(df, 5).collect()}
+    assert kept == {1, 2, 5}
+
+
+@pytest.mark.spark
+def test_gate_plan_broadcasts_bad_hosts(spark):
+    from core_spark.operators.weburl import gate_hosts_by_quality
+
+    df = spark.createDataFrame(
+        [(1, "h", 1, 10)], "doc_id long, host string, stop_n long, n_tokens long"
+    )
+    plan = gate_hosts_by_quality(df, 5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
