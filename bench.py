@@ -112,6 +112,17 @@ def run_flagship(spark, corpus_path: str, n_docs: int) -> float:
     return wall
 
 
+def _isolate(spark) -> None:
+    """Between-query isolation: unpersist anything still registered (dead
+    localCheckpoint blocks have no Python handle but stay in the block
+    manager until GC) and nudge the JVM so the ContextCleaner runs."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    it = jmap.entrySet().iterator()
+    while it.hasNext():
+        it.next().getValue().unpersist(True)
+    spark._jvm.System.gc()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -133,9 +144,21 @@ def main() -> None:
         import __spark_entry__ as entry
 
         for name, fn in entry.queries().items():
+            # Same steady-state protocol as the flagship: one untimed
+            # warmup pass (C2 JIT + Python worker spin-up + codegen cache;
+            # data is NOT cached — each pass rebuilds the full plan incl.
+            # fresh localCheckpoints), then session cleanup, then the timed
+            # pass. Without this, a heavy query's leftover state inflates
+            # whatever runs next by up to 3.4x (measured: dedup_ngram 24.4s
+            # after the knn/decontaminate/multimodal block vs 7.1s clean —
+            # dead checkpoint blocks linger until a JVM GC lets the
+            # ContextCleaner drop them, and the 48g heap rarely GCs).
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            _isolate(spark)
             t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.monotonic() - t0, 3)
+            _isolate(spark)
 
     out = {
         "metric": "flagship_pipeline_sec",
