@@ -191,3 +191,65 @@ def curation_from_ledger(spark, output_dir: str):
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_count"))
         .select("doc_id", "dup_count")
     )
+
+
+def stream_latest_snapshot(
+    spark,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    schema: str = "doc_id bigint, url string, ts bigint",
+    url_col: str = "url",
+    ts_col: str = "ts",
+    key: str = "doc_id",
+    max_files_per_trigger: int = 16,
+):
+    """Streaming twin of ``weburl.latest_snapshot`` (latest-crawl-per-URL).
+
+    The max-by-(ts, key) reduction is ASSOCIATIVE, so each micro-batch is
+    reduced batch-locally with the SAME operator, the per-batch winners go
+    to the ledger, and the global winner is the same operator over the
+    ledger (``latest_from_ledger``) — no unbounded state store keyed by
+    every URL ever crawled, which is what a native streaming
+    dropDuplicates/flatMapGroupsWithState would accumulate. At scale the
+    ledger fold is the MERGE INTO / compaction job. Exactly-once per
+    micro-batch via overwrite-by-batch_id segments (same discipline as
+    stream_zonal).
+    """
+    from core_spark.operators.weburl import latest_snapshot
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int):
+        latest_snapshot(batch_df, url_col, ts_col, key).write.mode(
+            "overwrite"
+        ).parquet(f"{output_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def latest_from_ledger(
+    spark,
+    output_dir: str,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    key: str = "doc_id",
+):
+    """Resolve the streamed ledger: the same associative reduction once
+    more — identical rows to batch ``latest_snapshot`` over the full
+    input (pytest-gated stream==batch)."""
+    from core_spark.operators.weburl import latest_snapshot
+
+    df = spark.read.option("basePath", output_dir).parquet(output_dir)
+    return latest_snapshot(
+        df.drop("batch_id"), url_col, ts_col, key
+    )

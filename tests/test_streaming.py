@@ -138,3 +138,47 @@ class TestStreamCuration:
         )
         assert len(got) > 0
         assert got == want
+
+    def test_stream_latest_snapshot_matches_batch(self, spark, tmp_path):
+        """The streamed latest-crawl ledger resolves to EXACTLY the batch
+        latest_snapshot rows — the reduction is associative, so batch-local
+        winners + one ledger fold equal the global winner, even when a
+        URL's recrawls are split across micro-batches."""
+        from core_spark.operators.weburl import latest_snapshot
+        from core_spark.streaming.incremental import (
+            latest_from_ledger,
+            stream_latest_snapshot,
+        )
+
+        input_dir = str(tmp_path / "in")
+        # 3 files -> 3 micro-batches; url = doc_id // 4 spreads each URL's
+        # recrawls ACROSS files (doc_ids interleaved mod 3)
+        rows = [
+            (d, f"u{d // 4}", 1000 + (d * 37) % 50) for d in range(120)
+        ]
+        for part in range(3):
+            chunk = [r for r in rows if r[0] % 3 == part]
+            spark.createDataFrame(
+                chunk, "doc_id long, url string, ts long"
+            ).coalesce(1).write.mode("append").parquet(input_dir)
+
+        q = stream_latest_snapshot(
+            spark,
+            input_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            output_dir=str(tmp_path / "ledger"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+        got = sorted(
+            map(tuple, latest_from_ledger(spark, str(tmp_path / "ledger"))
+                .select("doc_id", "url", "ts").collect())
+        )
+        want = sorted(
+            map(tuple, latest_snapshot(
+                spark.read.parquet(input_dir), "url", "ts", "doc_id"
+            ).select("doc_id", "url", "ts").collect())
+        )
+        assert len(got) == 30  # 120 docs / 4 recrawls per url
+        assert got == want
