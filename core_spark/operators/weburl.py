@@ -54,9 +54,13 @@ def _canon_steps(url: str, dialect: str) -> list[tuple[str, str]]:
         return f"regexp_extract({e}, '{pat}', 1)"
 
     return [
-        # fragment off first, then tracking params, then dangling ?/&
+        # fragment off first, then tracking params, then dangling ?/&.
+        # Every rule strips ALL repetitions ((www.)+, (/index.html)+$,
+        # /+$, [?&]+$) so canonicalization is IDEMPOTENT — re-canonicalizing
+        # an already-canonical URL is a no-op (hypothesis-gated in
+        # tests/test_weburl_props.py).
         ("_u1", rr(url, "#.*$", "")),
-        ("_u2", rr(rr("_u1", _TRACK, ""), "[?&]$", "")),
+        ("_u2", rr(rr("_u1", _TRACK, ""), "[?&]+$", "")),
         ("_scheme", f"lower({rx('_u2', '^([A-Za-z]+)://')})"),
         ("_hostport", f"lower({rx('_u2', '^[A-Za-z]+://([^/?#]+)')})"),
         (
@@ -67,15 +71,10 @@ def _canon_steps(url: str, dialect: str) -> list[tuple[str, str]]:
             + rr("_hostport", ":443$", "")
             + " ELSE _hostport END",
         ),
-        ("host", rr("_host0", "^www[.]", "")),
+        ("host", rr("_host0", "^(www[.])+", "")),
         ("_path0", rx("_u2", "^[A-Za-z]+://[^/?#]+([^?#]*)")),
-        ("_path1", rr("_path0", "/index[.]html$", "/")),
-        (
-            "_path2",
-            "CASE WHEN _path1 = '' THEN '/' "
-            "WHEN _path1 != '/' THEN " + rr("_path1", "/$", "") + " "
-            "ELSE _path1 END",
-        ),
+        ("_path1", rr(rr("_path0", "(/index[.]html)+$", "/"), "/+$", "")),
+        ("_path2", "CASE WHEN _path1 = '' THEN '/' ELSE _path1 END"),
         ("_query", rx("_u2", "[?]([^#]*)")),
         (
             "url_canon",

@@ -47,6 +47,16 @@ CANON_CASES = [
     ("https://wwwx.example/p", "wwwx.example", "https://wwwx.example/p"),
     # fragment containing a '?' must not resurrect a query
     ("https://h.example/p#frag?x=1", "h.example", "https://h.example/p"),
+    # idempotence hazards: stacked www labels, stacked index.html,
+    # doubled trailing slashes, dangling separators — all must reach the
+    # fixpoint in ONE pass
+    ("https://www.www.h.example/p", "h.example", "https://h.example/p"),
+    ("https://h.example/a/index.html/index.html", "h.example",
+     "https://h.example/a"),
+    ("https://h.example/a//", "h.example", "https://h.example/a"),
+    ("https://h.example//", "h.example", "https://h.example/"),
+    ("http://h.example/a?x=1&", "h.example", "http://h.example/a?x=1"),
+    ("http://h.example/a?utm_x=1&", "h.example", "http://h.example/a"),
 ]
 
 
