@@ -1779,6 +1779,42 @@ def q_tfidf_topk(spark, sf_dir):
     return distinctive_terms(docs, vocab, TFIDF_K)
 
 
+def q_asof_join(spark, sf_dir):
+    """Temporal as-of join (operators/asof.py): every event gets the most
+    recent STRICTLY-earlier error event of the same user via the
+    union-window plan (one key shuffle, no range-join blowup); the oracle
+    is DuckDB's native ASOF JOIN — an independent implementation."""
+    from core_spark.operators.asof import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = ev.filter("event_type = 'error'").selectExpr(
+        "user_id", "ts", "event_id AS err_id"
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        errors,
+        key="user_id",
+        ts_col="ts",
+        payload_cols=["err_id"],
+        inclusive=False,
+        prefix="prior_",
+    ).select("event_id", "prior_err_id")
+
+
+RANGE_R = 2.0
+
+
+def q_range_join(spark, sf_dir):
+    """Spatial range join (operators/rangejoin.py): all point pairs within
+    2° planar distance via epsilon-grid blocking — explode ×9 into the
+    3×3 neighborhood, one equi shuffle join, exact predicate; never a
+    cartesian. Oracle is the honest brute-force O(n²) cross join."""
+    from core_spark.operators.rangejoin import range_join_pairs
+
+    return range_join_pairs(_points(spark, sf_dir, wide=False), RANGE_R)
+
+
 HOST_GATE_PCT = 5
 
 
@@ -1915,6 +1951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "pack_sequences": q_pack_sequences,
         "host_quality_gate": q_host_quality_gate,
+        "range_join": q_range_join,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1925,7 +1963,9 @@ def oracle_sql() -> dict[str, str]:
     from core_spark.operators.decontaminate import sql_contaminated_docs
     from core_spark.operators.knn import sql_knn
     from core_spark.operators.sampling import keep_predicate, sql_sample_quota
+    from core_spark.operators.asof import sql_asof_join
     from core_spark.operators.packing import sql_pack_sequences
+    from core_spark.operators.rangejoin import sql_range_join_pairs
     from core_spark.operators.paradedup import sql_dedup_paragraphs
     from core_spark.operators.termstats import sql_distinctive_terms
     from core_spark.functions.textstats import (
@@ -2247,6 +2287,16 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": sql_dedup_paragraphs("documents", PARA_TOKENS),
         "tfidf_topk": sql_distinctive_terms(
             "documents", "string_split(trim(text), ' ')", VOCAB_V, TFIDF_K
+        ),
+        "range_join": sql_range_join_pairs(_POINTS_SQL, RANGE_R),
+        "asof_join": sql_asof_join(
+            "SELECT event_id, user_id, ts FROM events",
+            "SELECT user_id, ts, event_id AS err_id FROM events"
+            " WHERE event_type = 'error'",
+            key="user_id",
+            ts_col="ts",
+            select_cols="l.event_id AS event_id, r.err_id AS prior_err_id",
+            inclusive=False,
         ),
         "host_quality_gate": sql_gate_hosts_by_quality(
             "SELECT doc_id, host,"
