@@ -124,3 +124,16 @@ def test_asof_plan_no_range_join(spark):
         .queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert "Window" in plan  # union-window shape, not a join at all
+
+
+@pytest.mark.spark
+def test_range_join_nan_null_coords_drop(spark):
+    """NaN/NULL coordinates never produce pairs: NULL bucket keys don't
+    equi-match, and a NaN distance fails the predicate — invalid points
+    are silently excluded, not errors."""
+    df = spark.createDataFrame(
+        [(1, float("nan"), 0.0), (2, None, 1.0), (3, 0.5, 0.5), (4, 0.6, 0.6)],
+        "doc_id long, lat double, lon double",
+    )
+    rows = range_join_pairs(df, 2.0).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(3, 4)]
