@@ -1779,6 +1779,39 @@ def q_tfidf_topk(spark, sf_dir):
     return distinctive_terms(docs, vocab, TFIDF_K)
 
 
+# tile_compact generation rule: a filled 50-wide axial box of r9 cells
+# (doc_id x 7 offsets = 3,500 cells) so interior 7-families promote at
+# 9->8 and the promoted region still contains complete families at 8->7 —
+# multi-level compaction is actually exercised, box edges stay put.
+_P59, _P29, _P28 = 1 << 59, 1 << 29, 1 << 28
+CELL_FROM_IDX = (
+    f"CAST(9 AS BIGINT) * {_P59} + ((idx % 50) + {_P28})"
+    f" * CAST({_P29} AS BIGINT)"
+    f" + (CAST(FLOOR(idx / 50.0) AS BIGINT) + {_P28})"
+)
+RES_FROM_CELL = (
+    f"CAST(FLOOR(CAST(cell AS DOUBLE) / {float(_P59)!r}) AS BIGINT)"
+)
+
+
+def q_tile_compact(spark, sf_dir):
+    """H3-style cell-set compaction (operators/tiles.py::compact_cells):
+    complete 7-child families collapse into their parent recursively —
+    fixed-depth level loop, one hash-agg + one anti join per level, the
+    working set shrinking ~7x each time."""
+    from core_spark.operators.tiles import compact_cells
+
+    gen = (
+        _docs(spark, sf_dir, wide=False)
+        .selectExpr("doc_id", "explode(sequence(0, 6)) AS j")
+        .selectExpr("doc_id * 7 + j AS idx")
+        .selectExpr(f"{CELL_FROM_IDX} AS cell")
+    )
+    return compact_cells(gen, input_res=9, min_res=5).selectExpr(
+        "cell", f"{RES_FROM_CELL} AS res"
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """Temporal as-of join (operators/asof.py): every event gets the most
     recent STRICTLY-earlier error event of the same user via the
@@ -1953,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quality_gate": q_host_quality_gate,
         "range_join": q_range_join,
         "asof_join": q_asof_join,
+        "tile_compact": q_tile_compact,
     }
 
 
@@ -1964,6 +1998,7 @@ def oracle_sql() -> dict[str, str]:
     from core_spark.operators.knn import sql_knn
     from core_spark.operators.sampling import keep_predicate, sql_sample_quota
     from core_spark.operators.asof import sql_asof_join
+    from core_spark.operators.tiles import sql_compact_cells
     from core_spark.operators.packing import sql_pack_sequences
     from core_spark.operators.rangejoin import sql_range_join_pairs
     from core_spark.operators.paradedup import sql_dedup_paragraphs
@@ -2289,6 +2324,17 @@ def oracle_sql() -> dict[str, str]:
             "documents", "string_split(trim(text), ' ')", VOCAB_V, TFIDF_K
         ),
         "range_join": sql_range_join_pairs(_POINTS_SQL, RANGE_R),
+        "tile_compact": (
+            "SELECT cell, " + RES_FROM_CELL + " AS res FROM ("
+            + sql_compact_cells(
+                f"SELECT {CELL_FROM_IDX} AS cell FROM ("
+                "SELECT doc_id * 7 + j AS idx FROM documents,"
+                " generate_series(0, 6) AS t(j))",
+                input_res=9,
+                min_res=5,
+            )
+            + ")"
+        ),
         "asof_join": sql_asof_join(
             "SELECT event_id, user_id, ts FROM events",
             "SELECT user_id, ts, event_id AS err_id FROM events"

@@ -206,3 +206,74 @@ def test_cells_to_boundaries_stage(spark):
         assert len(ring) == 6
         clat, clon = hx.cell_to_center(np.array([r.cell]))
         assert point_in_ring(float(clon[0]), float(clat[0]), ring)
+
+
+class TestCompactCells:
+    def _gen_cells(self, n=700):
+        # filled 50-wide axial box at r9 (same rule as the driver query)
+        from core_spark.functions.hexgrid import qr_to_id
+
+        return [
+            int(qr_to_id(i % 50, i // 50, 9)) for i in range(n)
+        ]
+
+    @pytest.mark.spark
+    def test_compact_roundtrip_exact_cover(self, spark):
+        """Expanding every compacted cell back to r9 children reproduces
+        the input set exactly — compaction changes representation, never
+        coverage."""
+        import numpy as np
+
+        from core_spark.functions.hexgrid import cell_to_children, cell_to_qr
+        from core_spark.operators.tiles import compact_cells
+
+        cells = self._gen_cells()
+        df = spark.createDataFrame([(c,) for c in cells], "cell long")
+        got = [r["cell"] for r in compact_cells(df, 9, 5).collect()]
+        assert len(got) < len(cells)  # something actually promoted
+
+        def expand(cell):
+            res = int(np.asarray(cell_to_qr(cell)[0]).item())
+            if res == 9:
+                return [cell]
+            out = []
+            for ch in cell_to_children(int(cell)):
+                out.extend(expand(int(ch)))
+            return out
+
+        expanded = sorted(c for cell in got for c in expand(cell))
+        assert expanded == sorted(cells)
+
+    @pytest.mark.spark
+    def test_compact_no_ancestor_overlap(self, spark):
+        from core_spark.functions.hexgrid import cell_to_parent, cell_to_qr
+        from core_spark.operators.tiles import compact_cells
+
+        df = spark.createDataFrame(
+            [(c,) for c in self._gen_cells()], "cell long"
+        )
+        got = {r["cell"] for r in compact_cells(df, 9, 5).collect()}
+        for cell in got:
+            cur = cell
+            res = int(cell_to_qr(cell)[0].item())
+            for _ in range(res - 5):
+                cur = int(cell_to_parent(cur).item())
+                assert cur not in got  # no cell is another's ancestor
+
+    @pytest.mark.spark
+    def test_compact_sparse_is_identity(self, spark):
+        from core_spark.functions.hexgrid import qr_to_id
+        from core_spark.operators.tiles import compact_cells
+
+        # cells spaced 10 apart: no 7-family ever completes
+        cells = [int(qr_to_id(10 * i, 0, 9)) for i in range(20)]
+        df = spark.createDataFrame([(c,) for c in cells], "cell long")
+        got = sorted(r["cell"] for r in compact_cells(df, 9, 5).collect())
+        assert got == sorted(cells)
+
+    @pytest.mark.spark
+    def test_compact_empty(self, spark):
+        from core_spark.operators.tiles import compact_cells
+
+        df = spark.createDataFrame([], "cell long")
+        assert compact_cells(df, 9, 5).count() == 0
