@@ -1779,6 +1779,44 @@ def q_tfidf_topk(spark, sf_dir):
     return distinctive_terms(docs, vocab, TFIDF_K)
 
 
+REFINERY_CAP, REFINERY_PCT, REFINERY_BUDGET, REFINERY_SHARDS = 10, 5, 256, 8
+
+
+def q_corpus_refinery(spark, sf_dir):
+    """End-to-end web-corpus refinery — the full curation chain as ONE
+    DataFrame program: derive crawl url+ts (generation rules) →
+    canonicalize → latest-crawl-per-URL → per-host cap → host-level
+    quality gate → sequence packing. Every stage is the same operator the
+    standalone queries use; the oracle composes the stages' SQL twins in
+    the same order, so the CHAIN is gated, not just the pieces."""
+    from core_spark.functions.textstats import (
+        spark_stop_count, spark_token_count,
+    )
+    from core_spark.operators.packing import pack_sequences
+    from core_spark.operators.weburl import (
+        canonicalize_url, cap_per_host, gate_hosts_by_quality,
+        latest_snapshot,
+    )
+
+    df = canonicalize_url(
+        _docs(spark, sf_dir).selectExpr(
+            "doc_id", "source", "text",
+            f"{URL_GEN_SQL} AS url",
+            f"{TS_CRAWL_SQL} AS ts_epoch",
+        )
+    ).selectExpr(
+        "doc_id", "host", "url_canon", "ts_epoch",
+        f"CAST({spark_stop_count('text')} AS BIGINT) AS stop_n",
+        f"CAST({spark_token_count('text')} AS BIGINT) AS n_tokens",
+    )
+    latest = latest_snapshot(df, "url_canon", "ts_epoch", "doc_id")
+    capped = cap_per_host(latest, REFINERY_CAP)
+    gated = gate_hosts_by_quality(capped, REFINERY_PCT)
+    return pack_sequences(
+        gated, REFINERY_BUDGET, REFINERY_SHARDS
+    ).select("doc_id", "host", "n_tokens", "shard", "bin", "offset")
+
+
 # tile_compact generation rule: a filled 50-wide axial box of r9 cells
 # (doc_id x 7 offsets = 3,500 cells) so interior 7-families promote at
 # 9->8 and the promoted region still contains complete families at 8->7 —
@@ -1987,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "asof_join": q_asof_join,
         "tile_compact": q_tile_compact,
+        "corpus_refinery": q_corpus_refinery,
     }
 
 
@@ -2324,6 +2363,36 @@ def oracle_sql() -> dict[str, str]:
             "documents", "string_split(trim(text), ' ')", VOCAB_V, TFIDF_K
         ),
         "range_join": sql_range_join_pairs(_POINTS_SQL, RANGE_R),
+        "corpus_refinery": sql_pack_sequences(
+            sql_gate_hosts_by_quality(
+                sql_cap_per_host(
+                    sql_latest_snapshot(
+                        "SELECT doc_id, host, url_canon, ts_epoch,"
+                        f" CAST({duck_stop_count('text')} AS BIGINT)"
+                        " AS stop_n,"
+                        f" CAST({duck_token_count('text')} AS BIGINT)"
+                        " AS n_tokens FROM ("
+                        + sql_canonicalize(
+                            "(SELECT doc_id, source, text,"
+                            f" {URL_GEN_SQL} AS url,"
+                            f" {TS_CRAWL_SQL} AS ts_epoch FROM documents)"
+                        )
+                        + ")",
+                        "doc_id, host, url_canon, ts_epoch,"
+                        " stop_n, n_tokens",
+                        url_col="url_canon",
+                        ts_col="ts_epoch",
+                    ),
+                    REFINERY_CAP,
+                    "doc_id, host, stop_n, n_tokens",
+                ),
+                REFINERY_PCT,
+                "doc_id, host, stop_n, n_tokens",
+            ),
+            REFINERY_BUDGET,
+            REFINERY_SHARDS,
+            'doc_id, host, n_tokens, shard, bin, "offset"',
+        ),
         "tile_compact": (
             "SELECT cell, " + RES_FROM_CELL + " AS res FROM ("
             + sql_compact_cells(
