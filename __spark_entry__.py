@@ -1779,6 +1779,19 @@ def q_tfidf_topk(spark, sf_dir):
     return distinctive_terms(docs, vocab, TFIDF_K)
 
 
+def q_group_quantiles(spark, sf_dir):
+    """Exact per-lang p50/p90/p99 of document length (operators/
+    quantiles.py): integer-rank definition (value at ceil(n·p) in total
+    (value, key) order), pure BIGINT target math — engine-deterministic
+    where percentile built-ins aren't; approx_percentile documented as
+    the non-oracled at-scale path."""
+    from core_spark.operators.quantiles import exact_group_quantiles
+
+    return exact_group_quantiles(
+        _docs(spark, sf_dir, wide=False), "lang", "n_chars"
+    )
+
+
 REFINERY_CAP, REFINERY_PCT, REFINERY_BUDGET, REFINERY_SHARDS = 10, 5, 256, 8
 
 
@@ -2026,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "tile_compact": q_tile_compact,
         "corpus_refinery": q_corpus_refinery,
+        "group_quantiles": q_group_quantiles,
     }
 
 
@@ -2039,6 +2053,7 @@ def oracle_sql() -> dict[str, str]:
     from core_spark.operators.asof import sql_asof_join
     from core_spark.operators.tiles import sql_compact_cells
     from core_spark.operators.packing import sql_pack_sequences
+    from core_spark.operators.quantiles import sql_exact_group_quantiles
     from core_spark.operators.rangejoin import sql_range_join_pairs
     from core_spark.operators.paradedup import sql_dedup_paragraphs
     from core_spark.operators.termstats import sql_distinctive_terms
@@ -2363,6 +2378,11 @@ def oracle_sql() -> dict[str, str]:
             "documents", "string_split(trim(text), ' ')", VOCAB_V, TFIDF_K
         ),
         "range_join": sql_range_join_pairs(_POINTS_SQL, RANGE_R),
+        "group_quantiles": sql_exact_group_quantiles(
+            "SELECT doc_id, lang, n_chars FROM documents",
+            "lang",
+            "n_chars",
+        ),
         "corpus_refinery": sql_pack_sequences(
             sql_gate_hosts_by_quality(
                 sql_cap_per_host(
