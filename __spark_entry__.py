@@ -1779,6 +1779,18 @@ def q_tfidf_topk(spark, sf_dir):
     return distinctive_terms(docs, vocab, TFIDF_K)
 
 
+def q_card_sketch(spark, sf_dir):
+    """Mergeable linear-counting cardinality sketch per lang
+    (operators/cardsketch.py): the deterministic bucket-hit count is the
+    gated value; exact distinct rides along so the estimator's accuracy
+    is visible in the compared data; the ln estimate stays driver-side."""
+    from core_spark.operators.cardsketch import distinct_sketch
+
+    return distinct_sketch(
+        _docs(spark, sf_dir, wide=False), "lang", "md5(text)"
+    )
+
+
 def q_group_quantiles(spark, sf_dir):
     """Exact per-lang p50/p90/p99 of document length (operators/
     quantiles.py): integer-rank definition (value at ceil(n·p) in total
@@ -2040,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_compact": q_tile_compact,
         "corpus_refinery": q_corpus_refinery,
         "group_quantiles": q_group_quantiles,
+        "card_sketch": q_card_sketch,
     }
 
 
@@ -2053,6 +2066,7 @@ def oracle_sql() -> dict[str, str]:
     from core_spark.operators.asof import sql_asof_join
     from core_spark.operators.tiles import sql_compact_cells
     from core_spark.operators.packing import sql_pack_sequences
+    from core_spark.operators.cardsketch import sql_distinct_sketch
     from core_spark.operators.quantiles import sql_exact_group_quantiles
     from core_spark.operators.rangejoin import sql_range_join_pairs
     from core_spark.operators.paradedup import sql_dedup_paragraphs
@@ -2378,6 +2392,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", "string_split(trim(text), ' ')", VOCAB_V, TFIDF_K
         ),
         "range_join": sql_range_join_pairs(_POINTS_SQL, RANGE_R),
+        "card_sketch": sql_distinct_sketch(
+            "documents", "lang", "md5(text)"
+        ),
         "group_quantiles": sql_exact_group_quantiles(
             "SELECT doc_id, lang, n_chars FROM documents",
             "lang",
