@@ -253,3 +253,51 @@ def latest_from_ledger(
     return latest_snapshot(
         df.drop("batch_id"), url_col, ts_col, key
     )
+
+
+def stream_accumulate(
+    spark,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    schema: str,
+    batch_reducer=None,
+    max_files_per_trigger: int = 16,
+):
+    """Generic exactly-once ledger: the pattern behind the zonal /
+    curation / latest-snapshot twins, exposed as a combinator.
+
+    Per micro-batch, optionally shrink the batch with ``batch_reducer``
+    and write an overwrite-by-batch_id segment. ``batch_reducer`` must be
+    a CONTRACTION for the resolver you intend to fold with: applying it
+    batch-locally must not drop any row the global resolution over the
+    full input would keep (max-by reductions, deterministic-hash-order
+    top/cap cuts, and per-key aggregates all qualify; arbitrary filters
+    that depend on global state do not). ``resolve_ledger`` then applies
+    the SAME deterministic operator over the accumulated segments — at
+    scale this is the MERGE INTO / compaction job, and no per-key state
+    store ever grows unboundedly.
+    """
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int):
+        out = batch_reducer(batch_df) if batch_reducer else batch_df
+        out.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def resolve_ledger(spark, output_dir: str, resolver):
+    """Fold the accumulated ledger with the same deterministic operator."""
+    df = spark.read.option("basePath", output_dir).parquet(output_dir)
+    return resolver(df.drop("batch_id"))

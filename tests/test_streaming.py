@@ -182,3 +182,50 @@ class TestStreamCuration:
         )
         assert len(got) == 30  # 120 docs / 4 recrawls per url
         assert got == want
+
+    def test_stream_host_cap_matches_batch(self, spark, tmp_path):
+        """Per-host caps via the generic ledger: capping each micro-batch
+        locally is a contraction (the global hash-order winners are each
+        batch-locally among the smallest), so resolving the ledger with
+        the SAME operator equals the batch answer over the full input —
+        even when a host's docs are spread across micro-batches."""
+        from core_spark.operators.weburl import cap_per_host
+        from core_spark.streaming.incremental import (
+            resolve_ledger,
+            stream_accumulate,
+        )
+
+        input_dir = str(tmp_path / "in")
+        rows = [(d, f"h{d % 5}") for d in range(90)]  # 18 docs/host
+        for part in range(3):
+            chunk = [r for r in rows if r[0] % 3 == part]
+            spark.createDataFrame(
+                chunk, "doc_id long, host string"
+            ).coalesce(1).write.mode("append").parquet(input_dir)
+
+        q = stream_accumulate(
+            spark,
+            input_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            output_dir=str(tmp_path / "ledger"),
+            schema="doc_id long, host string",
+            batch_reducer=lambda df: cap_per_host(df, cap=7),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+        got = sorted(
+            (r["host"], r["doc_id"])
+            for r in resolve_ledger(
+                spark, str(tmp_path / "ledger"),
+                lambda df: cap_per_host(df, cap=7),
+            ).collect()
+        )
+        want = sorted(
+            (r["host"], r["doc_id"])
+            for r in cap_per_host(
+                spark.read.parquet(input_dir), cap=7
+            ).collect()
+        )
+        assert len(got) == 35  # 5 hosts x cap 7
+        assert got == want
