@@ -1791,6 +1791,29 @@ def q_card_sketch(spark, sf_dir):
     )
 
 
+FP_PREFIX_K = 2
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental crawl admission (operators/dedup.py::admit_new_docs):
+    odd doc_ids are the new snapshot, even the existing corpus; a doc is
+    admitted iff its prefix fingerprint (first 2 tokens — chosen so both
+    rejection paths bite on the fixture: 61 existing hits, 43 within-
+    batch dups) is novel. Within-batch winner via MIN hash-agg; existing
+    set checked by a shuffle anti join on the uniform fp key, never
+    broadcast."""
+    from core_spark.operators.dedup import admit_new_docs
+
+    fp = (
+        f"md5(array_join(slice(split(trim(text), ' '), 1, {FP_PREFIX_K}),"
+        " ' '))"
+    )
+    docs = _docs(spark, sf_dir).selectExpr("doc_id", f"{fp} AS fp")
+    return admit_new_docs(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    )
+
+
 def q_group_quantiles(spark, sf_dir):
     """Exact per-lang p50/p90/p99 of document length (operators/
     quantiles.py): integer-rank definition (value at ceil(n·p) in total
@@ -2053,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_refinery": q_corpus_refinery,
         "group_quantiles": q_group_quantiles,
         "card_sketch": q_card_sketch,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -2395,6 +2419,18 @@ def oracle_sql() -> dict[str, str]:
         "card_sketch": sql_distinct_sketch(
             "documents", "lang", "md5(text)"
         ),
+        "incremental_dedup": f"""
+            WITH f AS (
+              SELECT doc_id,
+                     md5(array_to_string((string_split(trim(text), ' '))
+                         [1:{FP_PREFIX_K}], ' ')) AS fp
+              FROM documents
+            )
+            SELECT MIN(doc_id) AS doc_id, fp
+            FROM f WHERE doc_id % 2 = 1
+            GROUP BY fp
+            HAVING fp NOT IN (SELECT fp FROM f WHERE doc_id % 2 = 0)
+        """,
         "group_quantiles": sql_exact_group_quantiles(
             "SELECT doc_id, lang, n_chars FROM documents",
             "lang",

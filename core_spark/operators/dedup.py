@@ -1035,3 +1035,25 @@ cand AS (
 SELECT id_a, id_b, dot_q, na2, nb2 FROM cand
 WHERE dot_q > 0 AND {EMB_T_DEN} * dot_q * dot_q >= {EMB_T_NUM} * na2 * nb2
 """
+
+
+def admit_new_docs(existing, new, key: str = "doc_id", fp_col: str = "fp"):
+    """Incremental crawl admission: accept a new doc iff its fingerprint
+    is unseen in the existing corpus AND not already claimed by an
+    earlier doc of the same batch (recurring-crawl corpus maintenance —
+    each snapshot admits only novel content).
+
+    Shape: within-new winner = MIN(key) per fingerprint (hash aggregate,
+    map-side combine), then a SHUFFLE anti join against the existing
+    fingerprint set on the uniform fp key — never a broadcast: at scale
+    the existing set rivals the corpus (it IS every fingerprint ever
+    admitted). The fingerprint column is caller-supplied, so the same
+    admission operator runs over exact md5, prefix fingerprints, or
+    SimHash buckets.
+    """
+    from pyspark.sql import functions as F
+
+    winners = new.groupBy(fp_col).agg(F.min(key).alias(key))
+    return winners.join(
+        existing.select(fp_col), fp_col, "left_anti"
+    ).select(key, fp_col)

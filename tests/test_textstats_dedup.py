@@ -656,3 +656,38 @@ class TestConnectedComponents:
         assert all(j >= 0.5 for j in verified["jaccard"])
         # unrelated docs never pass the exact verify even if LSH proposed them
         assert (3, 4) not in got
+
+
+class TestAdmitNewDocs:
+    @pytest.mark.spark
+    def test_admission_vs_model(self, spark):
+        """New docs admitted iff fp unseen in existing AND first of their
+        fp within the batch (min key wins)."""
+        from core_spark.operators.dedup import admit_new_docs
+
+        existing = spark.createDataFrame(
+            [(0, "A"), (2, "B")], "doc_id long, fp string"
+        )
+        new = spark.createDataFrame(
+            [(1, "A"),            # rejected: fp already in corpus
+             (3, "C"), (5, "C"),  # C admitted once, doc 3 wins
+             (7, "D")],           # novel
+            "doc_id long, fp string",
+        )
+        got = sorted(
+            (r["doc_id"], r["fp"])
+            for r in admit_new_docs(existing, new).collect()
+        )
+        assert got == [(3, "C"), (7, "D")]
+
+    @pytest.mark.spark
+    def test_empty_existing_admits_all_winners(self, spark):
+        from core_spark.operators.dedup import admit_new_docs
+
+        existing = spark.createDataFrame([], "doc_id long, fp string")
+        new = spark.createDataFrame(
+            [(4, "X"), (2, "X")], "doc_id long, fp string"
+        )
+        got = [(r["doc_id"], r["fp"])
+               for r in admit_new_docs(existing, new).collect()]
+        assert got == [(2, "X")]
