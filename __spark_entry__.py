@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from core_spark.functions import hexgrid as hx
 from core_spark.functions import textstats as ts
 from core_spark.operators import dedup as dd
+from core_spark.plans.materialize import pin
 
 # ---------------------------------------------------------------------------
 # Shared fragments
@@ -573,7 +574,7 @@ def q_ann_ivf_recall(spark, sf_dir):
     # branches recompute, the round-3 self-join lesson)
     exact = (
         brute_force_topk(vecs, qdf, k=5).select("query_id", "vec_id")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # Gate BOTH configs: n_probe=3 is what q_ann_ivf ships (measured floor
     # 0.6 — a probe-ordering regression shows here first) and n_probe=5 is
@@ -1262,7 +1263,7 @@ def q_dedup_cluster(spark, sf_dir):
     -> the kept representative set. Oracled against an INDEPENDENT DuckDB
     plan (recursive transitive-closure CTE + min label).
 
-    The hashed-shingle sets are materialized ONCE (localCheckpoint) and
+    The hashed-shingle sets are materialized ONCE (plans.materialize.pin) and
     shared by the signature stage and both sides of the verify join — one
     md5 tokenize pass over the corpus instead of three."""
     from pyspark.sql import functions as F
@@ -1271,7 +1272,7 @@ def q_dedup_cluster(spark, sf_dir):
     hs = docs.select(
         F.col("doc_id"),
         F.expr(dd.spark_hashed_shingles("text", 3)).alias("_shs"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     cands = dd.minhash_lsh_pairs(docs, k=3, n_perm=8, bands=4, hashed_sets=hs)
     pairs = dd.verify_pairs_jaccard(cands, docs, k=3, threshold=0.5, hashed_sets=hs)
     return dd.dedup_keep_representatives(docs, pairs).selectExpr("doc_id")

@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 
 from core_spark.functions.textstats import duck_fingerprint, spark_fingerprint
+from core_spark.plans.materialize import pin
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -175,7 +176,7 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     # text it replaces.
     sets = df.select(
         F.col(id_col), F.expr(spark_hashed_shingles(text_col, k)).alias("_shs")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     # set size BEFORE exploding so it rides along with every posting row
     sh = sets.select(
         F.col(id_col), F.size("_shs").alias("sz"), F.explode("_shs").alias("h")
@@ -195,7 +196,7 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
             <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(1)
         )
         .select(id_col, "sz", "h", "p")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     alpha = F.ceil(
         F.lit(threshold) / (F.lit(1.0) + F.lit(threshold))
@@ -356,7 +357,7 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     # sides, and each side of a Spark self-join recomputes its input — i.e.
     # the whole tokenize + n_perm-signature pipeline would run twice. The
     # materialized table is tiny (bands rows of (id, band, key) per doc).
-    band_keys = band_keys.localCheckpoint(eager=True)
+    band_keys = band_keys.transform(pin)
 
     a = band_keys.alias("a")
     b = band_keys.alias("b")
@@ -426,7 +427,7 @@ def verify_pairs_jaccard(pairs, docs, text_col: str = "text",
         # checkpoint: the hashed-set table feeds both sides of the pair join
         sh = docs.select(
             F.col(id_col), F.expr(spark_hashed_shingles(text_col, k)).alias("_sh")
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
     a = sh.selectExpr(f"{id_col} AS id_a", "_sh AS sh_a")
     b = sh.selectExpr(f"{id_col} AS id_b", "_sh AS sh_b")
     return (
@@ -492,7 +493,7 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
     iterations on chain-shaped dup graphs.
 
     Each round is one large-star + one small-star (two groupBy-min shuffles
-    on uniform node ids) followed by an eager localCheckpoint that cuts
+    on uniform node ids) followed by an eager pin() that cuts
     lineage AND materializes the round, so the convergence probe is a
     single cheap single-row aggregate over already-computed partitions (no
     separate join+count job). Convergence = the edge multiset's signature
@@ -510,7 +511,7 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
         pairs.selectExpr(f"{id_a} AS src", f"{id_b} AS dst")
         .filter("src <> dst")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     prev_sig = None
     converged = False
@@ -518,7 +519,7 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
     # productive one (sig == prev_sig), so a graph that reaches the star
     # fixpoint exactly at round max_iter must not be reported unconverged
     for _ in range(max_iter + 1):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _small_star(_large_star(edges)).transform(pin)
         # decimal(38,0) sums: BIGINT would overflow under ANSI mode
         sig = tuple(
             edges.agg(
@@ -770,7 +771,7 @@ def simhash_candidates(df, sim_col: str = "simhash", id_col: str = "doc_id",
     )
     # eager checkpoint: upstream of df is the numpy simhash Arrow stage —
     # without this, each side of the self-join runs that Python stage again
-    bk = bk.localCheckpoint(eager=True)
+    bk = bk.transform(pin)
     a, b = bk.alias("a"), bk.alias("b")
     return (
         a.join(
@@ -840,7 +841,7 @@ def embedding_dup_pairs(df, vec_col: str = "embedding", id_col: str = "vec_id",
     s = df.select(id_col, vec_col).withColumn("_sketch", F.expr(sketch))
     # eager checkpoint: the n_planes-dot-product sketch projection feeds
     # both sides of the bucket self-join (self-join branches recompute)
-    s = s.localCheckpoint(eager=True)
+    s = s.transform(pin)
     a, b = s.alias("a"), s.alias("b")
     cos = sql_cosine(f"a.{vec_col}", f"b.{vec_col}")
     return (
@@ -971,7 +972,7 @@ def embedding_dup_pairs_int(df, vec_col: str = "embedding", id_col: str = "vec_i
     sk = dd_df.selectExpr("id", "qv", "na2", f"{sketch} AS sketch")
     # eager checkpoint: the sketch table feeds both sides of the self-join
     # (self-join branches recompute their input plan)
-    sk = sk.localCheckpoint(eager=True)
+    sk = sk.transform(pin)
     a, b = sk.alias("a"), sk.alias("b")
     return (
         a.join(

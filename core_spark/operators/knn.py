@@ -33,6 +33,7 @@ import pandas as pd
 
 from core_spark.functions import hexgrid as hx
 from core_spark.functions.geometry import EARTH_RADIUS_M, sql_haversine_m
+from core_spark.plans.materialize import pin
 
 M_PER_DEG = 111194.92664455873  # spherical earth, metres per degree latitude
 
@@ -214,9 +215,7 @@ def knn_adaptive(
         # materializing it once means the output branch, the remainder
         # anti-join, and the brute-force fallback all reuse the result
         # instead of re-planning and re-executing the ring join per branch
-        topk = knn_join(docs, remaining, k, res=res, ring=r, **kw).localCheckpoint(
-            eager=True
-        )
+        topk = knn_join(docs, remaining, k, res=res, ring=r, **kw).transform(pin)
         last_topk = topk
         done = topk.filter(F.col("complete"))
         parts.append(done)
@@ -234,7 +233,7 @@ def knn_adaptive(
         # AQE's empty-relation propagation is not guaranteed for a noop
         # sink). The isEmpty() is a driver check on already-materialized
         # local data — not a collect() of a data path.
-        remaining = remaining.localCheckpoint(eager=True)
+        remaining = remaining.transform(pin)
         if not remaining.isEmpty():
             parts.append(
                 knn_bruteforce(

@@ -23,7 +23,7 @@ need trig, which the oracle portability rules forbid in compared
 values). The compared distance is emitted as an exact integer
 (``FLOOR(dist² · 1e6)``).
 
-The bucketed input is eagerly ``localCheckpoint``-ed: both sides of the
+The bucketed input is eagerly pinned (``plans.materialize.pin``): both sides of the
 self-join would otherwise re-evaluate the upstream plan (CLAUDE.md
 self-join rule; swap for reliable checkpoint on a real cluster).
 
@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from core_spark.plans.materialize import pin
+
 
 def range_join_pairs(
     df: DataFrame,
@@ -47,7 +49,7 @@ def range_join_pairs(
     """(a, b, dist_sq_micro) for every pair with planar dist² < radius²,
     a < b. One explode(×9) + one equi shuffle join — never a cartesian."""
     r = float(radius)
-    pts = df.select(key, lat_col, lon_col).localCheckpoint(eager=True)
+    pts = df.select(key, lat_col, lon_col).transform(pin)
     bucketed = pts.select(
         F.col(key),
         F.col(lat_col),

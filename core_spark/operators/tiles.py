@@ -12,6 +12,7 @@ Reference analog: per-file framework stamping before aggregation
 from __future__ import annotations
 
 from core_spark.functions import hexgrid as hx
+from core_spark.plans.materialize import pin
 
 DEFAULT_RESOLUTIONS = (5, 6, 7, 8, 9)
 
@@ -57,9 +58,9 @@ def compact_cells(df, input_res: int, min_res: int, cell_col: str = "cell"):
     shrinking ~7x per level — feeds the next level. The level count is
     FIXED (input_res - min_res), so the plan is static, no
     iterate-to-convergence. Each level's working set is eagerly
-    localCheckpoint-ed (it feeds both the aggregate and the anti join —
-    the CLAUDE.md self-join rule; swap for reliable checkpoint on a real
-    cluster).
+    pinned via ``plans.materialize.pin`` (it feeds both the aggregate and
+    the anti join — the CLAUDE.md self-join rule; the
+    SPARK_GRAFT_MATERIALIZE knob selects local/reliable/persist).
 
     Returns a single ``cell`` column at mixed resolutions
     (res = cell >> 59 by construction).
@@ -69,7 +70,7 @@ def compact_cells(df, input_res: int, min_res: int, cell_col: str = "cell"):
     cur = df.select(F.col(cell_col).alias("cell")).distinct()
     kept_levels = []
     for _res in range(input_res, min_res, -1):
-        cur = cur.localCheckpoint(eager=True)
+        cur = cur.transform(pin)
         withp = hx.apply_steps(
             cur, hx.parent_steps("cell", "parent")
         ).select("cell", "parent")

@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from core_spark.plans.materialize import pin
+
 _TRACK = "(utm_[A-Za-z0-9]+|fbclid|gclid)=[^&#]*&?"
 
 
@@ -128,13 +130,14 @@ def cap_per_host(
 
     Two-phase skew-aware plan (module docstring): the over-cap host list
     is a small aggregate (broadcast both ways); only mega-host rows pay
-    the per-host ROW_NUMBER sort. ``localCheckpoint`` pins the input so
-    the two branches don't re-evaluate the upstream plan twice (CLAUDE.md
-    self-join rule; on a real cluster swap for reliable checkpoint).
+    the per-host ROW_NUMBER sort. ``plans.materialize.pin`` materializes
+    the input so the two branches don't re-evaluate the upstream plan
+    twice (CLAUDE.md self-join rule; SPARK_GRAFT_MATERIALIZE selects the
+    cluster-safe strategy).
     """
     from pyspark.sql import Window
 
-    src = df.localCheckpoint(eager=True)
+    src = df.transform(pin)
     over = (
         src.groupBy(host_col)
         .agg(F.count("*").alias("_n"))
