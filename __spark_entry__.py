@@ -1695,9 +1695,10 @@ def q_sample_quota(spark, sf_dir):
 # operators are gated without a url column in the fixture table). Eight
 # arms cover the canonicalizer's branch space: mixed-case hosts, default
 # and non-default ports, www prefixes, index.html, trailing slashes,
-# tracking params (leading / trailing / only), fragments, root paths.
+# tracking params (leading / trailing / only), fragments, root paths,
+# and a near-miss tracking name ('xfbclid' must survive — ADVICE r4).
 URL_GEN_SQL = """
-CASE CAST(doc_id % 8 AS INT)
+CASE CAST(doc_id % 9 AS INT)
   WHEN 0 THEN 'https://SITE' || source || '.Example.com/a/' || CAST(doc_id AS STRING)
   WHEN 1 THEN 'https://site' || source || '.example.com:443/a/' || CAST(doc_id AS STRING) || '/'
   WHEN 2 THEN 'http://www.site' || source || '.example.com:80/a/' || CAST(doc_id AS STRING) || '?utm_source=feed'
@@ -1705,7 +1706,8 @@ CASE CAST(doc_id % 8 AS INT)
   WHEN 4 THEN 'https://site' || source || '.example.com:8443/a/' || CAST(doc_id AS STRING)
   WHEN 5 THEN 'https://site' || source || '.example.com/a/' || CAST(doc_id AS STRING) || '?q=1&utm_campaign=x#frag'
   WHEN 6 THEN 'http://site' || source || '.example.com/a/' || CAST(doc_id AS STRING) || '?utm_a=1&utm_b=2'
-  ELSE 'https://Site' || source || '.Example.com/'
+  WHEN 7 THEN 'https://Site' || source || '.Example.com/'
+  ELSE 'http://site' || source || '.example.com/a/' || CAST(doc_id AS STRING) || '?xfbclid=1&utm_source=f'
 END
 """.strip()
 

@@ -49,8 +49,31 @@ def asof_join(
 ) -> DataFrame:
     """Left rows + ``prefix<payload>`` columns from the as-of right match
     (NULL when no right row precedes). See module docstring for the plan.
+
+    ``_src``/``_snap``/``_match`` are reserved internals and
+    ``prefix<payload>`` must not collide with a left column — both are
+    validated up front (analysis errors or silently wrong carries
+    otherwise — ADVICE r4).
     """
     from pyspark.sql import Window
+
+    reserved = {"_src", "_snap", "_match"}
+    clash = reserved.intersection(left.columns) | reserved.intersection(
+        right.columns
+    )
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)}; "
+            f"rename input columns {sorted(clash)}"
+        )
+    out_clash = {f"{prefix}{c}" for c in payload_cols}.intersection(
+        left.columns
+    )
+    if out_clash:
+        raise ValueError(
+            f"asof_join output columns {sorted(out_clash)} collide with "
+            f"left columns; pass a different prefix="
+        )
 
     snap = F.struct(*[F.col(c) for c in payload_cols]).alias("_snap")
     r = right.select(

@@ -10,9 +10,11 @@ boundary is explicit):
 
 1. explode (doc, pos, paragraph) with a per-row ordinal;
 2. portable 60-bit md5 per paragraph;
-3. global winner per hash = MIN(doc-pos ordinal) — a hash aggregate with
-   map-side combine, so a boilerplate paragraph repeated 10^9 times still
-   reduces to one partial per partition before the shuffle;
+3. global winner per hash = MIN(struct(doc, pos)) — lexicographic struct
+   min on both engines (no scalar ordinal, so no overflow at any doc_id
+   or paragraph count — ADVICE r4), a hash aggregate with map-side
+   combine, so a boilerplate paragraph repeated 10^9 times still reduces
+   to one partial per partition before the shuffle;
 4. equi-join the winner ordinal back onto the exploded table (uniform md5
    keys; a mega-duplicate paragraph is one hot key on the probe side —
    AQE skew-join splits it) and keep rows whose ordinal is the winner;
@@ -36,9 +38,6 @@ No reference counterpart (specvital/core has no text-dedup subsystem).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-
-#: ordinal = doc_id * ORD_SCALE + pos; callers guarantee pos < ORD_SCALE
-ORD_SCALE = 100_000
 
 
 def tokens_expr(text_col: str, dialect: str) -> str:
@@ -83,9 +82,7 @@ def dedup_paragraphs(
     exploded = (
         df.select(key, F.posexplode(paras_col).alias("_pos", "_para"))
         .withColumn("_h", F.expr(_hash60("_para", "spark")))
-        .withColumn(
-            "_ord", F.col(key) * F.lit(ORD_SCALE) + F.col("_pos")
-        )
+        .withColumn("_ord", F.struct(F.col(key), F.col("_pos")))
     )
     winners = exploded.groupBy("_h").agg(F.min("_ord").alias("_win"))
     kept = (
@@ -134,7 +131,7 @@ def sql_dedup_paragraphs(
                 FROM (SELECT {key}, {toks} AS _toks FROM {table}))
         ), hashed AS (
           SELECT {key}, _pos, _para, {h} AS _h,
-                 {key} * {ORD_SCALE} + _pos AS _ord
+                 ROW({key}, _pos) AS _ord
           FROM exploded
         ), winners AS (
           SELECT _h, MIN(_ord) AS _win FROM hashed GROUP BY _h

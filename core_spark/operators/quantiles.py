@@ -3,8 +3,9 @@
 Quantile of order p over a group of n rows = the value at sorted rank
 ``ceil(n·p)`` (1-based, ties broken by the row key — a TOTAL order, so
 both engines agree bit-for-bit). p is carried as an integer fraction
-(num, den): the target rank is ``floor((n·num + den − 1) / den)`` in pure
-BIGINT arithmetic — no float ever crosses an engine boundary, and no
+(num, den): the target rank is ``(n·num + den − 1) div den`` in pure
+BIGINT arithmetic — true integer division on both engines (Spark ``DIV``,
+DuckDB ``//``), no float intermediate at any n — and no
 engine-specific percentile built-in (whose interpolation conventions
 differ) is involved.
 
@@ -67,10 +68,11 @@ def exact_group_quantiles(
         .select(
             group_col,
             F.col("_t.q").alias("q"),
-            (
-                (F.col("_n") * F.col("_t._num") + F.col("_t._den") - 1)
-                / F.col("_t._den")
-            ).cast("long").alias("_rn"),
+            # true integer division (DIV), never a double intermediate:
+            # the rank is exact BIGINT arithmetic at any n (ADVICE r4)
+            F.expr(
+                "(_n * _t._num + _t._den - 1) DIV _t._den"
+            ).alias("_rn"),
         )
     )
     return targets.join(ranked, [group_col, "_rn"]).select(
@@ -103,8 +105,7 @@ def sql_exact_group_quantiles(
           GROUP BY {group_col}
         ), targets AS (
           SELECT {group_col}, p.q AS q,
-                 CAST(FLOOR((_n * p.num + p.den - 1) / (1.0 * p.den))
-                      AS BIGINT) AS _rn
+                 (_n * p.num + p.den - 1) // p.den AS _rn
           FROM counts, (VALUES {ps_values}) AS p(q, num, den)
         )
         SELECT t.{group_col} AS {group_col}, t.q AS q,

@@ -35,7 +35,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from core_spark.plans.materialize import pin
 
-_TRACK = "(utm_[A-Za-z0-9]+|fbclid|gclid)=[^&#]*&?"
+# Tracking-param rule: the name is ANCHORED to a [?&] separator (captured
+# and re-emitted) so near-miss params — '?xfbclid=1', '?last_utm_source=y'
+# — are never mangled as substring matches (ADVICE r4). The separator
+# re-emission can leave '?&' / '&&' runs; the '([?&])&+' collapse step
+# heals them before the dangling-[?&]$ cleanup.
+_TRACK = "([?&])(utm_[A-Za-z0-9]+|fbclid|gclid)=[^&#]*"
 
 
 def _canon_steps(url: str, dialect: str) -> list[tuple[str, str]]:
@@ -48,9 +53,13 @@ def _canon_steps(url: str, dialect: str) -> list[tuple[str, str]]:
     if dialect == "spark":
         def rr(e, pat, rep):
             return f"regexp_replace({e}, '{pat}', '{rep}')"
+
+        br = "$1"  # Java-regex group reference in the replacement
     else:
         def rr(e, pat, rep):
             return f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
+
+        br = "\\1"  # RE2 group reference (DuckDB)
 
     def rx(e, pat):
         return f"regexp_extract({e}, '{pat}', 1)"
@@ -62,7 +71,7 @@ def _canon_steps(url: str, dialect: str) -> list[tuple[str, str]]:
         # an already-canonical URL is a no-op (hypothesis-gated in
         # tests/test_weburl_props.py).
         ("_u1", rr(url, "#.*$", "")),
-        ("_u2", rr(rr("_u1", _TRACK, ""), "[?&]+$", "")),
+        ("_u2", rr(rr(rr("_u1", _TRACK, br), "([?&])&+", br), "[?&]+$", "")),
         ("_scheme", f"lower({rx('_u2', '^([A-Za-z]+)://')})"),
         ("_hostport", f"lower({rx('_u2', '^[A-Za-z]+://([^/?#]+)')})"),
         (

@@ -112,3 +112,32 @@ def test_dedup_repartition_stable(spark):
 def test_dedup_empty_input(spark):
     df = spark.createDataFrame([], "doc_id long, paras array<string>")
     assert dedup_paragraphs(df).count() == 0
+
+
+@pytest.mark.spark
+def test_dedup_huge_doc_ids_and_positions(spark):
+    """The winner ordinal is min(struct(doc_id, pos)) — no scalar
+    packing, so doc_id beyond ~9.2e13 and pos beyond 1e5 (the old
+    ORD_SCALE packing limits) must still pick first occurrences
+    correctly (ADVICE r4)."""
+    big_a, big_b = 10**16, 10**16 + 1  # would overflow doc_id * 1e5
+    rows = [
+        (big_a, ["dup-para", "unique-a"]),
+        (big_b, ["dup-para", "unique-b"]),
+    ]
+    # pos past the old ORD_SCALE: 100_001 paragraphs, the last a dup of
+    # doc big_a's first — scalar packing would misorder it vs big_b
+    long_doc = (7, ["filler-%d" % i for i in range(100_000)] + ["dup-para"])
+    df = spark.createDataFrame(
+        rows + [long_doc], "doc_id long, paras array<string>"
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_dup"])
+        for r in dedup_paragraphs(df).collect()
+    }
+    # first occurrence of 'dup-para' is doc 7 pos 100_000? No: struct
+    # order is (doc_id, pos), doc 7 < big_a, so doc 7 wins despite the
+    # huge pos; big_a and big_b both count it as a dup.
+    assert got[7] == (100_001, 0)
+    assert got[big_a] == (2, 1)
+    assert got[big_b] == (2, 1)

@@ -137,3 +137,26 @@ def test_range_join_nan_null_coords_drop(spark):
     )
     rows = range_join_pairs(df, 2.0).collect()
     assert [(r["a"], r["b"]) for r in rows] == [(3, 4)]
+
+
+@pytest.mark.spark
+def test_asof_reserved_names_rejected(spark):
+    """_src/_snap/_match and prefix collisions raise instead of silently
+    corrupting the carry (ADVICE r4)."""
+    from core_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 5)], "k long, ts long, _snap long")
+    right = spark.createDataFrame([(1, 9, 7)], "k long, ts long, v long")
+    with pytest.raises(ValueError, match="reserves column names"):
+        asof_join(left, right, "k", "ts", ["v"])
+
+    left2 = spark.createDataFrame(
+        [(1, 10, 5)], "k long, ts long, asof_v long"
+    )
+    with pytest.raises(ValueError, match="collide with"):
+        asof_join(left2, right, "k", "ts", ["v"])
+
+    # a clean frame with the same shape still works
+    left3 = spark.createDataFrame([(1, 10)], "k long, ts long")
+    got = asof_join(left3, right, "k", "ts", ["v"]).collect()
+    assert [(r["k"], r["ts"], r["asof_v"]) for r in got] == [(1, 10, 7)]

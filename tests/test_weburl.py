@@ -57,6 +57,19 @@ CANON_CASES = [
     ("https://h.example//", "h.example", "https://h.example/"),
     ("http://h.example/a?x=1&", "h.example", "http://h.example/a?x=1"),
     ("http://h.example/a?utm_x=1&", "h.example", "http://h.example/a"),
+    # near-miss param names: tracking names are anchored to a [?&]
+    # separator, so params that merely CONTAIN a tracking name survive
+    ("http://h.example/a?xfbclid=1", "h.example",
+     "http://h.example/a?xfbclid=1"),
+    ("http://h.example/a?last_utm_source=y", "h.example",
+     "http://h.example/a?last_utm_source=y"),
+    ("http://h.example/a?fbclid=1&xgclid=2", "h.example",
+     "http://h.example/a?xgclid=2"),
+    # consecutive tracking params: healed separators, no '&&' residue
+    ("http://h.example/a?utm_a=1&fbclid=2&x=3", "h.example",
+     "http://h.example/a?x=3"),
+    ("http://h.example/a?utm_a=1&utm_b=2&c=3", "h.example",
+     "http://h.example/a?c=3"),
 ]
 
 

@@ -25,8 +25,17 @@ _SEG = st.from_regex(r"[A-Za-z0-9._~-]{1,8}", fullmatch=True)
 _KEY = st.one_of(
     st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,6}", fullmatch=True),
     st.sampled_from(["utm_source", "utm_campaign", "utm_a", "fbclid",
-                     "gclid"]),
+                     "gclid",
+                     # near-misses: contain a tracking name but are NOT
+                     # tracking params (must survive canonicalization)
+                     "xfbclid", "last_utm_source", "xgclid", "agclid"]),
 )
+
+_TRACKING = ("fbclid", "gclid")
+
+
+def _is_tracking(k: str) -> bool:
+    return k.startswith("utm_") or k in _TRACKING
 
 
 @st.composite
@@ -82,7 +91,15 @@ def test_canonical_invariants(url):
     query = canon.split("?", 1)[1] if "?" in canon else ""
     for kv in filter(None, query.split("&")):
         k = kv.split("=", 1)[0]
-        assert not k.startswith("utm_") and k not in ("fbclid", "gclid")
+        assert not _is_tracking(k)
+    # ...and every NON-tracking key=value pair survives untouched (the
+    # near-miss keys in _KEY make this fail if tracking names ever match
+    # as substrings of longer param names — the ADVICE r4 regression)
+    in_query = url.split("#", 1)[0]
+    in_query = in_query.split("?", 1)[1] if "?" in in_query else ""
+    kept_in = [kv for kv in filter(None, in_query.split("&"))
+               if not _is_tracking(kv.split("=", 1)[0])]
+    assert [kv for kv in filter(None, query.split("&"))] == kept_in
     assert not canon.endswith("?") and not canon.endswith("&")
     # path part never ends with a redundant slash (root '/' excepted)
     tail = canon.split("://", 1)[1]
