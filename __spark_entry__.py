@@ -212,8 +212,13 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram(spark, sf_dir):
-    """N-gram Jaccard near-dup pairs (inverted-index join, no cross join)."""
-    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.4)
+    """N-gram Jaccard near-dup pairs, EXACT AllPairs mode (the oracle is
+    the exact plan; t=0.4 deliberately exercises the worst case). The
+    default ``mode='auto'`` would route t<0.7 through MinHash+verify —
+    the 100-TB path, gated separately in test_textstats_dedup.py."""
+    return dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), k=3, threshold=0.4, mode="exact"
+    )
 
 
 def q_dedup_minhash(spark, sf_dir):

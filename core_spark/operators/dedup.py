@@ -223,6 +223,11 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if mode == "auto":
+        mode = "exact" if threshold >= NGRAM_ROUTE_THRESHOLD else "lsh_verified"
+    if mode not in ("exact", "lsh_verified"):
+        raise ValueError(f"mode={mode!r}: expected exact|lsh_verified|auto")
+
     # materialize the hashed-set table ONCE: the tokenize+md5 pass is the
     # single most expensive expression in the pipeline and three branches
     # need it (document frequencies, the prefix index, and the final exact
@@ -232,6 +237,17 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     sets = df.select(
         F.col(id_col), F.expr(spark_hashed_shingles(text_col, k)).alias("_shs")
     ).transform(pin)
+
+    if mode == "lsh_verified":
+        rows, bands = lsh_params_for_threshold(threshold, target_recall)
+        cand = minhash_lsh_pairs(
+            df, text_col=text_col, id_col=id_col, k=k,
+            n_perm=rows * bands, bands=bands, hashed_sets=sets,
+        )
+        return verify_pairs_jaccard(
+            cand, df, text_col=text_col, id_col=id_col, k=k,
+            threshold=threshold, hashed_sets=sets,
+        )
     # set size BEFORE exploding so it rides along with every posting row
     sh = sets.select(
         F.col(id_col), F.size("_shs").alias("sz"), F.explode("_shs").alias("h")

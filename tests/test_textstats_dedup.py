@@ -387,7 +387,7 @@ class TestDedupParity:
     def test_ngram_jaccard(self, spark, duck):
         sdf = spark.createDataFrame(DOCS)
         got = (
-            dd.ngram_jaccard_pairs(sdf, k=3, threshold=0.5)
+            dd.ngram_jaccard_pairs(sdf, k=3, threshold=0.5, mode="exact")
             .orderBy("id_a", "id_b").toPandas()
         )
         want = duck.sql(
@@ -400,6 +400,42 @@ class TestDedupParity:
         # the exact-dup pair is found at jaccard 1.0
         exact = got[(got.id_a == 0) & (got.id_b == 1)]
         assert len(exact) == 1 and exact["jaccard"].iloc[0] == 1.0
+
+    def test_ngram_routing(self, spark):
+        """auto dispatch (VERDICT r4 #3): t >= 0.7 -> exact AllPairs,
+        below -> MinHash-LSH candidates + exact verify. Every routed pair
+        must be exact — a subset of the exact plan's pairs with
+        identical jaccard — and on this deterministic fixture the chosen
+        band parameters (recall floor >= 0.9 at the boundary) recover
+        ALL true pairs, so the sets are equal."""
+        sdf = spark.createDataFrame(DOCS)
+
+        def pairs(mode):
+            rows = dd.ngram_jaccard_pairs(
+                sdf, k=3, threshold=0.4, mode=mode
+            ).collect()
+            return {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+
+        exact, routed = pairs("exact"), pairs("lsh_verified")
+        assert set(routed) <= set(exact)
+        for p, j in routed.items():
+            assert abs(j - exact[p]) < 1e-12  # verified = exact values
+        assert set(routed) == set(exact)  # measured recall 1.0 here
+        # auto == lsh_verified below the route threshold
+        assert pairs("auto") == routed
+        with pytest.raises(ValueError, match="mode"):
+            dd.ngram_jaccard_pairs(sdf, threshold=0.4, mode="bogus").collect()
+
+    def test_lsh_params_for_threshold(self):
+        """Band parameters meet the stated recall floor at the threshold
+        and prefer larger rows-per-band (fewer false candidates)."""
+        for t in (0.3, 0.4, 0.5, 0.6, 0.8):
+            rows, bands = dd.lsh_params_for_threshold(t, target_recall=0.9)
+            assert dd.lsh_recall_bound(t, bands, rows) >= 0.9
+            assert 1 <= rows and 1 <= bands <= 32
+        # low thresholds need wider bands but never explode the signature
+        r4, b4 = dd.lsh_params_for_threshold(0.4)
+        assert r4 * b4 <= 32 * 8
 
     def test_minhash_lsh(self, spark, duck):
         sdf = spark.createDataFrame(DOCS)
