@@ -1767,6 +1767,46 @@ def q_paragraph_dedup(spark, sf_dir):
     return dedup_paragraphs(df)
 
 
+# Substring-span dedup generation rule: plant two multi-token boilerplate
+# spans (13 and 12 tokens, k=SPAN_K grams) across 60% of docs at
+# NON-paragraph-aligned offsets (prepended/appended to otherwise-unique
+# text) — exactly what paragraph-level dedup misses. Shared SQL text on
+# both engines (generation-rule oracle pattern).
+SPAN_K = 6
+_SPAN_B1 = (
+    "legal notice all rights reserved unauthorized reproduction of this"
+    " material is strictly prohibited"
+)
+_SPAN_B2 = (
+    "subscribe to our weekly newsletter and follow our page for daily"
+    " updates"
+)
+SPAN_GEN_SQL = f"""
+CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN '{_SPAN_B1}' || ' ' || text
+  WHEN 1 THEN text || ' ' || '{_SPAN_B2}'
+  WHEN 2 THEN '{_SPAN_B1}' || ' ' || text || ' ' || '{_SPAN_B2}'
+  ELSE text
+END
+""".strip()
+
+
+def q_span_dedup(spark, sf_dir):
+    """Cross-document substring-level dedup (operators/spandedup.py — the
+    Spark-native fixed-k-gram variant of Lee et al.'s ExactSubstr):
+    positional k-gram inverted index -> cross-doc first-occurrence
+    winners (min struct, overflow-free) -> flagged starts merged into
+    maximal [start, end) token spans by a within-row fold -> covered
+    tokens removed. Three uniform-key shuffles, all per-row work in JVM
+    higher-order functions."""
+    from core_spark.operators.spandedup import dedup_substrings
+
+    df = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{SPAN_GEN_SQL} AS text"
+    )
+    return dedup_substrings(df, SPAN_K)
+
+
 VOCAB_V, TFIDF_K = 30, 3
 
 
@@ -2075,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_cap": q_url_host_cap,
         "url_latest": q_url_latest,
         "paragraph_dedup": q_paragraph_dedup,
+        "span_dedup": q_span_dedup,
         "tfidf_topk": q_tfidf_topk,
         "pack_sequences": q_pack_sequences,
         "host_quality_gate": q_host_quality_gate,
@@ -2102,6 +2143,7 @@ def oracle_sql() -> dict[str, str]:
     from core_spark.operators.quantiles import sql_exact_group_quantiles
     from core_spark.operators.rangejoin import sql_range_join_pairs
     from core_spark.operators.paradedup import sql_dedup_paragraphs
+    from core_spark.operators.spandedup import sql_dedup_substrings
     from core_spark.operators.termstats import sql_distinctive_terms
     from core_spark.functions.textstats import (
         duck_stop_count, duck_token_count,
@@ -2420,6 +2462,10 @@ def oracle_sql() -> dict[str, str]:
             ts_col="ts_epoch",
         ),
         "paragraph_dedup": sql_dedup_paragraphs("documents", PARA_TOKENS),
+        "span_dedup": sql_dedup_substrings(
+            f"(SELECT doc_id, {SPAN_GEN_SQL} AS text FROM documents)",
+            SPAN_K,
+        ),
         "tfidf_topk": sql_distinctive_terms(
             "documents", "string_split(trim(text), ' ')", VOCAB_V, TFIDF_K
         ),

@@ -1,0 +1,149 @@
+"""Substring-level (cross-document span) dedup vs a Python model.
+
+The model is the spec: hash every positional k-token gram, find grams in
+>= 2 distinct docs, flag all occurrences except the global
+(doc_id, pos)-min winner, merge flagged starts into maximal [start, end)
+token spans, drop covered tokens.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from core_spark.operators.spandedup import (
+    dedup_substrings,
+    sql_dedup_substrings,
+)
+
+K = 4
+
+BOILER = "all rights reserved contact us for details"  # 7 tokens
+DOCS = [
+    (0, f"alpha beta gamma {BOILER} delta"),
+    # same 7-token boilerplate mid-doc, NOT paragraph-aligned
+    (1, f"one two {BOILER} three four five"),
+    # boilerplate at doc start
+    (2, f"{BOILER} six seven"),
+    # within-doc-only repeat: 'p q r s p q r s' repeats its own gram but
+    # shares nothing cross-doc -> untouched
+    (3, "p q r s p q r s"),
+    # two separate shared spans in one doc -> two merged spans
+    (4, f"{BOILER} x y z w {BOILER}"),
+    # shorter than k tokens -> no grams, passes through
+    (5, "tiny doc"),
+    # shares a span with doc 4's unique middle? no — unique text
+    (6, "totally unrelated content here nine ten eleven"),
+]
+
+
+def _model():
+    toks = {d: t.split(" ") for d, t in DOCS}
+    grams: dict[tuple, list[tuple[int, int]]] = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - K + 1):
+            grams.setdefault(tuple(ts[i : i + K]), []).append((d, i))
+    flagged: dict[int, set[int]] = {d: set() for d in toks}
+    for occ in grams.values():
+        if len({d for d, _ in occ}) >= 2:
+            win = min(occ)
+            for d, p in occ:
+                if (d, p) != win:
+                    flagged[d].add(p)
+    out = {}
+    for d, ts in toks.items():
+        spans: list[list[int]] = []
+        for p in sorted(flagged[d]):
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = p + K
+            else:
+                spans.append([p, p + K])
+        covered = {i for s, e in spans for i in range(s, e)}
+        kept = [t for i, t in enumerate(ts) if i not in covered]
+        out[d] = (
+            len(ts),
+            len(spans),
+            sum(e - s for s, e in spans),
+            " ".join(kept),
+        )
+    return out
+
+
+@pytest.mark.spark
+def test_matches_python_model(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_spans"], r["n_removed"], r["text_dedup"]
+        )
+        for r in dedup_substrings(df, K).collect()
+    }
+    assert got == _model()
+
+
+@pytest.mark.spark
+def test_semantics_pinned(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dedup_substrings(df, K).collect()
+    }
+    # doc 0 is the first occurrence -> keeps the boilerplate intact
+    assert got[0]["n_removed"] == 0
+    assert BOILER in got[0]["text_dedup"]
+    # docs 1/2/4 lose the whole 7-token span (merged from 4 grams),
+    # not paragraph-aligned and position-independent
+    assert got[1]["n_removed"] == 7 and BOILER not in got[1]["text_dedup"]
+    assert got[1]["text_dedup"] == "one two three four five"
+    assert got[2]["text_dedup"] == "six seven"
+    # two separate spans in doc 4 stay separate (gap 'x y z w' kept)
+    assert got[4]["n_spans"] == 2 and got[4]["n_removed"] == 14
+    assert got[4]["text_dedup"] == "x y z w"
+    # within-doc-only repetition is not dedup's business
+    assert got[3]["n_removed"] == 0
+    # sub-k docs pass through
+    assert got[5] and got[5]["n_removed"] == 0
+    assert got[5]["text_dedup"] == "tiny doc"
+
+
+@pytest.mark.spark
+def test_duckdb_twin_matches(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    values = ", ".join(f"({d}, '{t}')" for d, t in DOCS)
+    con.execute(
+        f"CREATE VIEW d AS SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            "SELECT doc_id, n_tokens, n_spans, n_removed, text_dedup FROM ("
+            + sql_dedup_substrings("d", K)
+            + ")"
+        ).fetchall()
+    }
+    assert want == _model()
+
+
+@pytest.mark.spark
+def test_long_span_merges_exactly(spark):
+    """A duplicated span of length L >= k is covered by L-k+1 grams that
+    merge back to exactly [start, start+L) — no over- or under-removal
+    at the edges."""
+    shared = " ".join(f"s{i}" for i in range(10))  # L=10, k=4
+    df = spark.createDataFrame(
+        [(0, f"{shared} tailzero"), (1, f"headone {shared} tailone")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_substrings(df, K).collect()}
+    assert got[0]["n_removed"] == 0
+    assert got[1]["n_spans"] == 1 and got[1]["n_removed"] == 10
+    assert got[1]["text_dedup"] == "headone tailone"
+
+
+@pytest.mark.spark
+def test_repartition_stable(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    a = sorted(map(tuple, dedup_substrings(df, K).collect()))
+    b = sorted(map(tuple, dedup_substrings(df.repartition(7), K).collect()))
+    assert a == b
