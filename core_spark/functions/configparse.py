@@ -367,6 +367,55 @@ def parse_config(cfg_path: str, content: str) -> dict | None:
     return None
 
 
+#: The reference's config-DISCOVERY name list (scanner.go:275-308) — a
+#: superset of what any ConfigParser can parse: .rspec / spec_helper.rb /
+#: rails_helper.rb / phpunit.xml* / mocha.opts are discovered but have
+#: nil ConfigParsers in the reference too (scanner.go:374-376 parity,
+#: verified), so scanning them yields a config-parse ERROR row, never a
+#: scope.
+CONFIG_DISCOVERY_NAMES = frozenset({
+    "jest.config.js", "jest.config.ts", "jest.config.mjs",
+    "jest.config.cjs", "jest.config.json",
+    "vitest.config.js", "vitest.config.ts", "vitest.config.mjs",
+    "vitest.config.cjs",
+    "playwright.config.js", "playwright.config.ts",
+    "cypress.config.cjs", "cypress.config.js", "cypress.config.mjs",
+    "cypress.config.mts", "cypress.config.ts",
+    "pytest.ini", "pyproject.toml", "conftest.py",
+    ".rspec", "spec_helper.rb", "rails_helper.rb",
+    "phpunit.xml", "phpunit.xml.dist", "phpunit.dist.xml",
+    ".mocharc.cjs", ".mocharc.js", ".mocharc.json", ".mocharc.jsonc",
+    ".mocharc.mjs", ".mocharc.yaml", ".mocharc.yml", "mocha.opts",
+})
+
+_CONFIG_PARSE_ERR = "no matching framework config parser"
+
+
+def scan_configs(
+    configs: list[tuple[str, str]],
+) -> tuple[list[dict], list[dict]]:
+    """(scopes, errors) over discovered config files — error-as-data
+    parity with scanner.go:374-416: a discovered config file that no
+    parser claims (no dispatch pattern, or the parser declines — e.g.
+    pyproject.toml without a [tool.pytest section, whose content matcher
+    NoMatches in the reference as well) yields a
+    ``{path, phase: "config-parse", error}`` row instead of being
+    silently dropped. ``resolve_scopes`` consumes only the scopes."""
+    scopes: list[dict] = []
+    errors: list[dict] = []
+    for path, content in configs:
+        scope = parse_config(path, content)
+        if scope is None:
+            errors.append({
+                "path": path,
+                "phase": "config-parse",
+                "error": _CONFIG_PARSE_ERR,
+            })
+        else:
+            scopes.append(scope)
+    return scopes, errors
+
+
 # -- containment (scope.go:72-152) ------------------------------------------
 
 

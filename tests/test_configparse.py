@@ -399,3 +399,49 @@ def test_pytest_config_bytes_to_resolved_scope(spark):
     }
     assert got["proj/tests/test_a.py"] == ("proj/pytest.ini", "pytest")
     assert got["proj/pkg/test_b.py"] == ("proj/pkg/conftest.py", "pytest")
+
+
+def test_scan_configs_error_as_data():
+    """Discovered-but-unparseable config files become config-parse error
+    rows (scanner.go:374-416 parity: .rspec / phpunit.xml have nil
+    ConfigParsers in the reference too), never silent drops."""
+    from core_spark.functions.configparse import (
+        CONFIG_DISCOVERY_NAMES,
+        scan_configs,
+    )
+
+    configs = [
+        ("app/.rspec", "--require spec_helper"),
+        ("app/phpunit.xml", "<phpunit/>"),
+        ("app/jest.config.js", "module.exports = {}"),
+        # discovered name, parser declines: pyproject without tool.pytest
+        ("app/pyproject.toml", "[tool.black]\nline-length = 88\n"),
+    ]
+    assert all(p.rsplit("/", 1)[-1] in CONFIG_DISCOVERY_NAMES
+               for p, _ in configs)
+    scopes, errors = scan_configs(configs)
+    assert [s["framework"] for s in scopes] == ["jest"]
+    assert {e["path"] for e in errors} == {
+        "app/.rspec", "app/phpunit.xml", "app/pyproject.toml"
+    }
+    assert all(e["phase"] == "config-parse" for e in errors)
+    assert all(e["error"] == "no matching framework config parser"
+               for e in errors)
+
+
+def test_discovery_names_cover_dispatch():
+    """Every dispatch pattern's canonical names are discoverable (the
+    reference discovers a SUPERSET of what its parsers parse)."""
+    from core_spark.functions.configparse import (
+        CONFIG_DISCOVERY_NAMES,
+        scan_configs,
+    )
+
+    parseable = [
+        "jest.config.js", "vitest.config.ts", "playwright.config.ts",
+        ".mocharc.json", "cypress.config.js", "pytest.ini", "conftest.py",
+    ]
+    for name in parseable:
+        assert name in CONFIG_DISCOVERY_NAMES, name
+        scopes, errors = scan_configs([(f"x/{name}", "")])
+        assert not errors or name == "pyproject.toml", name
