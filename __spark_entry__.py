@@ -1262,6 +1262,36 @@ def q_s2_assign(spark, sf_dir):
     ).select("doc_id", "s2_cell")
 
 
+S2_ZONAL_LEVEL = 2
+
+
+def q_s2_zonal(spark, sf_dir):
+    """G7 on the spherical S2 lattice (area-uniform cells, no planar-seam
+    caveats): per-cell rollup at level 2 — doc count + language
+    diversity. Rows-only by design (the Hilbert bit-interleave has no
+    SQL twin); gated by the dual-implementation pytest instead
+    (tests/test_s2.py: vectorized numpy kernel vs independent scalar
+    bit-walk, plus this exact rollup compared end-to-end). Routing:
+    hexgrid is the fast planar JVM-SQL lattice (seam caveats at ±180 and
+    the poles — COVERAGE.md); S2 is the global path for worldwide
+    corpora."""
+    from pyspark.sql import functions as F
+
+    from core_spark.functions.s2 import s2_cell_col
+
+    pts = _points(spark, sf_dir)
+    return (
+        pts.withColumn(
+            "s2_cell", s2_cell_col("lat", "lon", S2_ZONAL_LEVEL)
+        )
+        .groupBy("s2_cell")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Near-dup clustering end-to-end: MinHash-LSH candidates -> exact
     Jaccard verify -> connected components (alternating star contraction)
@@ -2092,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outline": q_outline,
         "token_match": q_token_match,
         "s2_assign": q_s2_assign,
+        "s2_zonal": q_s2_zonal,
         "extract_invariant": q_extract_invariant,
         "simhash_pairs": q_simhash_pairs,
         "dedup_cluster": q_dedup_cluster,

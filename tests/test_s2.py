@@ -177,3 +177,30 @@ def test_scalar_bitwalk_matches_vectorized_kernel():
             dtype=np.int64,
         )
         assert (vec == sca).all(), f"level {level}: {int((vec != sca).sum())} mismatches"
+
+
+@pytest.mark.spark
+def test_s2_zonal_rollup_dual_impl(spark):
+    """The s2_zonal query (per-cell count + language diversity at
+    S2_ZONAL_LEVEL) matches the same rollup computed from the INDEPENDENT scalar
+    bit-walk in plain pandas — gating the whole Spark path (Arrow batch
+    -> numpy kernel -> groupBy) end-to-end, not just the cell column."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["s2_cell"]: (r["n"], r["n_langs"])
+        for r in entry.q_s2_zonal(spark, sf).collect()
+    }
+    pts = entry._points(spark, sf, wide=False).toPandas()
+    cells = [
+        _s2_cell_scalar(float(a), float(o), entry.S2_ZONAL_LEVEL)
+        for a, o in zip(pts.lat, pts.lon)
+    ]
+    pts = pts.assign(cell=np.array(cells, dtype=np.int64))
+    want = {
+        int(c): (int(g.shape[0]), int(g.lang.nunique()))
+        for c, g in pts.groupby("cell")
+    }
+    assert got == want
+    assert len(got) > 1  # the rollup actually partitions space
