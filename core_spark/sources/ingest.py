@@ -22,10 +22,14 @@ filter on the scan, applied before any UDF stage.
 from __future__ import annotations
 
 import fnmatch
+import os
+import re
 
 DEFAULT_SKIP_DIRS = (
     "node_modules", ".git", "vendor", "dist", ".next", "__pycache__", ".cache",
-)  # reference list: pkg/parser/scanner.go:42-51
+)  # reference list: pkg/parser/scanner.go:42-51 ('coverage' is special:
+# skipped ONLY at the scan root — shouldSkipDir, scanner.go:656-659 — so
+# it is handled positionally in read_file_tree, not in this set)
 
 DEFAULT_MAX_FILE_SIZE = 10 * 1024 * 1024  # scanner.go:37
 
@@ -74,6 +78,14 @@ def read_file_tree(
     content ever reaches Python (the S4 'never descend' analog; at the
     listing level Spark still enumerates, so for vendored monorepos prefer a
     ``pathGlobFilter`` that excludes the dirs outright).
+
+    CAVEAT (test_golden_adversarial.py): Hadoop's hidden-path filter
+    silently drops every path segment starting with ``_`` or ``.`` —
+    ``__tests__``, ``__mocks__``, ``.github`` never reach this scan, and
+    jest trees live in ``__tests__``. Repo-shaped trees should use
+    ``walk_file_tree`` (the reference's WalkDir analog, which also
+    implements the F4 symlink filter); this scan is for big plain trees
+    where distributed listing matters.
     """
     from pyspark.sql import functions as F
 
@@ -86,8 +98,115 @@ def read_file_tree(
     df = reader.load(root)
     for d in skip_dirs:
         df = df.filter(~F.col("path").contains(f"/{d}/"))
+    # root-level 'coverage/' only (scanner.go:656-659: shouldSkipDir skips
+    # a coverage dir iff its parent IS the scan root; nested
+    # tests/*/coverage dirs are real content and stay)
+    root_uri = (
+        root if "://" in root or root.startswith("file:")
+        else "file:" + os.path.abspath(root)
+    )
+    df = df.filter(
+        ~F.col("path").rlike("^" + re.escape(root_uri.rstrip("/")) + "/coverage/")
+    )
     df = df.filter(F.col("length") <= max_file_size)
     return df
+
+
+#: Arrow-safe source text from a binary content column: a plain CAST keeps
+#: invalid UTF-8 bytes inside the UTF8String, and the first Arrow transfer
+#: (mapInPandas kernels, toPandas) then throws MALFORMED_CHARACTER_CODING.
+#: make_valid_utf8 repairs invalid sequences to U+FFFD up front — the Go
+#: reference regex-scans raw bytes and never crashes on them; this is the
+#: Spark-side equivalent (test_golden_adversarial.py pins it end-to-end).
+SAFE_SOURCE_EXPR = "make_valid_utf8(CAST(content AS STRING))"
+
+
+def walk_file_tree(
+    spark,
+    root: str,
+    glob: str | None = None,
+    skip_dirs: tuple[str, ...] = DEFAULT_SKIP_DIRS,
+    max_file_size: int = DEFAULT_MAX_FILE_SIZE,
+):
+    """Driver-side discovery walk + distributed content read — the
+    faithful analog of the reference's filepath.WalkDir scan
+    (scanner.go:641-662):
+
+    - sees ``__tests__`` / ``__mocks__`` / ``.github`` and every other
+      ``_``/``.``-prefixed dir that Hadoop's hidden-path filter silently
+      drops from ``read_file_tree`` (only the named ``skip_dirs`` are
+      pruned, plus ``coverage`` at the scan root only);
+    - skips symlinked files and never follows symlinked dirs — the F4
+      symlink filter (TestScan_SymlinkSkipping parity);
+    - listing is sequential on the driver exactly like the reference's
+      walk (repo-shaped trees, not the 10^12-row corpus — that is
+      ``read_corpus``); content reads happen in one distributed Arrow
+      stage over the shared filesystem.
+
+    Returns the same (path, modificationTime, length, content) schema as
+    ``read_file_tree``, with the same ``file:`` path prefix.
+    """
+    import datetime
+    import stat as statmod
+
+    import pandas as pd
+
+    root_abs = os.path.abspath(root)
+    listed: list[tuple[str, object, int]] = []
+    for dirpath, dirnames, filenames in os.walk(root_abs):
+        dirnames[:] = sorted(
+            d for d in dirnames
+            if d not in skip_dirs
+            and not (d == "coverage" and dirpath == root_abs)
+        )
+        for fn in sorted(filenames):
+            p = os.path.join(dirpath, fn)
+            try:
+                st = os.lstat(p)
+            except OSError:
+                continue
+            if statmod.S_ISLNK(st.st_mode):  # F4: symlink filter
+                continue
+            if st.st_size > max_file_size:
+                continue
+            listed.append((
+                "file:" + p,
+                datetime.datetime.fromtimestamp(
+                    st.st_mtime, tz=datetime.timezone.utc
+                ),
+                int(st.st_size),
+            ))
+    meta = spark.createDataFrame(
+        pd.DataFrame(listed, columns=["path", "modificationTime", "length"])
+        if listed
+        else pd.DataFrame(
+            {"path": pd.Series(dtype=object),
+             "modificationTime": pd.Series(dtype="datetime64[ns, UTC]"),
+             "length": pd.Series(dtype="int64")}
+        ),
+        "path string, modificationTime timestamp, length long",
+    )
+    if glob:
+        meta = glob_filter(meta, [glob])
+
+    def _read(batches):
+        for pdf in batches:
+            blobs = []
+            for p in pdf["path"]:
+                fp = p[5:] if p.startswith("file:") else p
+                try:
+                    with open(fp, "rb") as fh:
+                        blobs.append(fh.read())
+                except OSError:
+                    blobs.append(None)
+            pdf = pdf.copy()
+            pdf["content"] = blobs
+            yield pdf
+
+    return meta.mapInPandas(
+        _read,
+        "path string, modificationTime timestamp, length long, content binary",
+    )
 
 
 def glob_filter(df, patterns: list[str], path_col: str = "path"):
