@@ -50,6 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from core_spark.operators.paradedup import tokens_expr
+from core_spark.plans.materialize import pin
 
 
 def _gram_hashes(toks_col: str, k: int, dialect: str) -> str:
@@ -78,10 +79,18 @@ def dedup_substrings(
 ) -> DataFrame:
     """(id, n_tokens, n_spans, n_removed, text_dedup) after cross-doc
     repeated-span removal (module docstring for plan and semantics)."""
-    toks = df.select(
-        F.col(id_col), F.expr(tokens_expr(text_col, "spark")).alias("_toks")
+    # both multi-consumer tables are pinned (plans/materialize.py): toks
+    # feeds the gram stage AND the final reassembly join; grams feeds the
+    # stats aggregate AND the flag-join probe — each branch of a Spark
+    # plan re-evaluates its input, so unpinned the tokenize+md5 pass runs
+    # up to 4x (CLAUDE.md self-join rule; measured 1.98s -> see PLANS 29)
+    toks = pin(
+        df.select(
+            F.col(id_col),
+            F.expr(tokens_expr(text_col, "spark")).alias("_toks"),
+        )
     )
-    grams = (
+    grams = pin(
         toks.filter(F.size("_toks") >= k)
         .select(
             id_col,
