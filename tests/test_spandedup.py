@@ -147,3 +147,76 @@ def test_repartition_stable(spark):
     a = sorted(map(tuple, dedup_substrings(df, K).collect()))
     b = sorted(map(tuple, dedup_substrings(df.repartition(7), K).collect()))
     assert a == b
+
+
+def test_duckdb_twin_fuzz_vs_model():
+    """Hypothesis drives the DuckDB twin (millisecond per example, no
+    JVM) against the Python model on random corpora; Spark<->DuckDB
+    parity on fixed fixtures is pinned above, so a DuckDB-proved
+    property extends to Spark (the test_weburl_props pattern)."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    tok = st.sampled_from(["a", "b", "c", "d", "boiler", "plate", "x"])
+    docs_strategy = st.lists(
+        st.lists(tok, min_size=0, max_size=14).map(" ".join),
+        min_size=1, max_size=6,
+    )
+
+    def model(docs, k):
+        toks = {d: t.split(" ") if t else [""] for d, t in docs}
+        grams = {}
+        for d, ts in toks.items():
+            for i in range(len(ts) - k + 1):
+                grams.setdefault(tuple(ts[i: i + k]), []).append((d, i))
+        flagged = {d: set() for d in toks}
+        for occ in grams.values():
+            if len({d for d, _ in occ}) >= 2:
+                win = min(occ)
+                for d, p in occ:
+                    if (d, p) != win:
+                        flagged[d].add(p)
+        out = {}
+        for d, ts in toks.items():
+            spans = []
+            for p in sorted(flagged[d]):
+                if spans and p <= spans[-1][1]:
+                    spans[-1][1] = p + k
+                else:
+                    spans.append([p, p + k])
+            cov = {i for s, e in spans for i in range(s, e)}
+            kept = [t for i, t in enumerate(ts) if i not in cov]
+            out[d] = (len(ts), len(spans),
+                      sum(e - s for s, e in spans), " ".join(kept))
+        return out
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts=docs_strategy)
+    def check(texts):
+        docs = list(enumerate(texts))
+        con = duckdb.connect()
+        values = ", ".join(f"({d}, '{t}')" for d, t in docs)
+        got = {
+            r[0]: (r[1], r[2], r[3], r[4])
+            for r in con.execute(
+                "SELECT doc_id, n_tokens, n_spans, n_removed, text_dedup "
+                "FROM (" + sql_dedup_substrings(
+                    f"(SELECT * FROM (VALUES {values}) AS t(doc_id, text))",
+                    3,
+                ) + ")"
+            ).fetchall()
+        }
+        assert got == model(docs, 3)
+
+    check()
+
+
+@pytest.mark.spark
+def test_plan_never_cartesian(spark):
+    """The flag join is an equi-join on the gram hash and the reassembly
+    join an equi-join on the doc key — the physical plan must contain
+    no cartesian/broadcast-nested-loop stage at any input size."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = dedup_substrings(df, K)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
