@@ -229,3 +229,80 @@ class TestStreamCuration:
         )
         assert len(got) == 35  # 5 hosts x cap 7
         assert got == want
+
+
+class TestStreamSubdocDedup:
+    def test_stream_paragraph_and_span_dedup_match_batch(self, spark, tmp_path):
+        """Sub-document dedup twins via the generic ledger: paragraphs /
+        spans must dedup against the WHOLE accumulated corpus, so the
+        batch_reducer is identity (a batch-local dedup is NOT a
+        contraction — it would reassemble per-doc text before global
+        winners are known and change tokenization); the resolver applies
+        the full operator over the ledger. Cross-batch duplicates are
+        the interesting case: the boilerplate lands in micro-batches 0,
+        1 and 2, and only its globally-first occurrence survives."""
+        from core_spark.operators.paradedup import (
+            dedup_paragraphs, paragraphs_expr, tokens_expr,
+        )
+        from core_spark.operators.spandedup import dedup_substrings
+        from core_spark.streaming.incremental import (
+            resolve_ledger,
+            stream_accumulate,
+        )
+
+        boiler = "all rights reserved contact us for details now"
+        rows = [
+            (d, (f"u{d} v{d} {boiler} w{d}" if d % 3 == 0
+                 else f"unique text number {d} with words {d}"))
+            for d in range(30)
+        ]
+        input_dir = str(tmp_path / "in")
+        for part in range(3):  # batch p carries docs d % 3 == p shapes
+            chunk = [r for r in rows if r[0] % 3 == part]
+            spark.createDataFrame(
+                chunk, "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(input_dir)
+
+        q = stream_accumulate(
+            spark,
+            input_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            output_dir=str(tmp_path / "ledger"),
+            schema="doc_id long, text string",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+        def paras(df):
+            return df.selectExpr(
+                "doc_id", f"{tokens_expr('text', 'spark')} AS _toks"
+            ).selectExpr(
+                "doc_id", f"{paragraphs_expr('_toks', 4, 'spark')} AS paras"
+            )
+
+        for name, op in (
+            ("paragraph", lambda df: dedup_paragraphs(paras(df))),
+            ("span", lambda df: dedup_substrings(df, 4)),
+        ):
+            got = sorted(
+                map(tuple,
+                    resolve_ledger(spark, str(tmp_path / "ledger"), op)
+                    .collect())
+            )
+            want = sorted(
+                map(tuple, op(spark.read.parquet(input_dir)).collect())
+            )
+            assert got == want, name
+        # cross-batch: docs 0,3,...,27 share the boilerplate; with the
+        # stream's arrival order the winner is doc 0 and the other nine
+        # boilerplate carriers each lose exactly one span
+        span = {
+            r["doc_id"]: r["n_removed"]
+            for r in resolve_ledger(
+                spark, str(tmp_path / "ledger"),
+                lambda df: dedup_substrings(df, 4),
+            ).collect()
+        }
+        assert span[0] == 0
+        losers = [d for d in range(3, 30, 3)]
+        assert all(span[d] >= 8 for d in losers)  # the 8-token boilerplate
