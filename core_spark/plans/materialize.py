@@ -32,6 +32,14 @@ behind one knob instead of hard-coded per call site:
     matters: a lazy persist would let the first self-join's two branches
     race to populate the cache and still recompute.
 
+    CAVEAT (measured, sf0.1): because lineage is NOT cut, ITERATIVE
+    operators whose loops pin each round (connected components, cell
+    compaction, adaptive kNN) accumulate ever-deeper logical plans and
+    pay growing analysis/serialization cost per round — dedup_cluster
+    2.4s (local/reliable) vs 17.6s (persist). ``persist`` fits
+    single-pass branch reuse; loops want ``local`` (bench) or
+    ``reliable`` (cluster), both of which truncate lineage.
+
 Select globally with ``SPARK_GRAFT_MATERIALIZE=local|reliable|persist``
 (read per call, so tests can flip it at runtime), or per call via the
 ``strategy=`` argument. ``tests/test_materialize.py`` pins that all
