@@ -1304,6 +1304,28 @@ def q_s2_zonal(spark, sf_dir):
     )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup collapse (operators/dedup.py::
+    dedup_keep_best): same MinHash->verify->connected-components
+    pipeline as dedup_cluster, but each duplicate family keeps its
+    LONGEST member (ties -> lowest doc_id) — the production curation
+    policy — via a component-keyed min(struct(-score, id)) argmax.
+    Oracled against the independent recursive-CTE closure plan."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    hs = docs.select(
+        F.col("doc_id"),
+        F.expr(dd.spark_hashed_shingles("text", 3)).alias("_shs"),
+    ).transform(pin)
+    cands = dd.minhash_lsh_pairs(docs, k=3, n_perm=8, bands=4, hashed_sets=hs)
+    pairs = dd.verify_pairs_jaccard(cands, docs, k=3, threshold=0.5,
+                                    hashed_sets=hs)
+    return dd.dedup_keep_best(docs, pairs, "length(text)").selectExpr(
+        "doc_id"
+    )
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Near-dup clustering end-to-end: MinHash-LSH candidates -> exact
     Jaccard verify -> connected components (alternating star contraction)
@@ -2115,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "s2_zonal": q_s2_zonal,
         "dedup_ngram_routed": q_dedup_ngram_routed,
+        "dedup_keep_best": q_dedup_keep_best,
         # -- round-4 queries without a driver row yet ------------------
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
@@ -2163,8 +2186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "test_file_filter": q_test_file_filter,
         "pii_redact": q_pii_redact,
         "pipeline_stats": q_pipeline_stats,
-        "window_topk": q_window_topk,
         # ---- driver window boundary (entry 50 above) -----------------
+        "window_topk": q_window_topk,
         "agg_histogram": q_agg_histogram,
         "scan_filter_agg": q_scan_filter_agg,
         "join_agg": q_join_agg,
@@ -2285,6 +2308,10 @@ def oracle_sql() -> dict[str, str]:
         "test_file_filter": _sql_test_file_filter_oracle(),
         "dedup_cluster": dd.sql_dedup_cluster(
             "documents", k=3, n_perm=8, bands=4, threshold=0.5
+        ),
+        "dedup_keep_best": dd.sql_dedup_keep_best(
+            "documents", "length(text)", k=3, n_perm=8, bands=4,
+            threshold=0.5,
         ),
         # expected outline counts straight from q_outline's generation rules:
         # every doc has h1+intro(2 words); %2 adds h2+3 words; %3 adds

@@ -675,6 +675,85 @@ def dedup_keep_representatives(df, pairs, id_col: str = "doc_id"):
     return df.join(drop, id_col, "left_anti")
 
 
+def dedup_keep_best(df, pairs, score_expr: str, id_col: str = "doc_id"):
+    """Quality-aware near-dup collapse: per component keep the member
+    with the HIGHEST ``score_expr`` (ties -> lowest id) instead of the
+    lowest id — the policy real pipelines use (keep the longest or
+    best-quality copy of a boilerplate family; Lee et al. keep one
+    arbitrary member, production curation keeps the best one).
+
+    Same shuffle shape as ``dedup_keep_representatives`` plus one
+    component-keyed argmax: the winner is ``min(struct(-score, id))``
+    (lexicographic struct min = max score then min id, identical on
+    both engines — the paradedup winner pattern). ``score_expr`` is any
+    portable SQL expression over ``df``'s columns (``length(text)``,
+    a precomputed quality column, ...). Docs in no pair are kept.
+    """
+    from pyspark.sql import functions as F
+
+    comp = connected_components(pairs)
+    # members feeds BOTH the winner aggregate and the drop join (branch
+    # re-evaluation would re-run the component join + doc scan twice)
+    members = pin(
+        comp.join(
+            df.selectExpr(f"{id_col} AS node", f"({score_expr}) AS _s"),
+            "node",
+        ).selectExpr("node", "component", "named_struct('n', -_s, 'node', node) AS _key")
+    )
+    winners = members.groupBy("component").agg(F.min("_key").alias("_w"))
+    drop = (
+        members.join(winners, "component")
+        .filter(F.col("_key") != F.col("_w"))
+        .selectExpr(f"node AS {id_col}")
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
+def sql_dedup_keep_best(docs_table: str, score_expr: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3, n_perm: int = 8, bands: int = 4,
+                        threshold: float = 0.5) -> str:
+    """DuckDB oracle twin of the minhash->verify->components->keep-best
+    pipeline — independent plan (recursive transitive-closure CTE like
+    sql_dedup_cluster, then an argmax via the same ROW(-score, id) min)."""
+    cand = sql_minhash_lsh_pairs(docs_table, text_col, id_col, k=k,
+                                 n_perm=n_perm, bands=bands)
+    hashed = duck_hashed_shingles(text_col, k)
+    jac = (
+        "len(list_intersect(sa.shs, sb.shs))"
+        " / len(list_distinct(list_concat(sa.shs, sb.shs)))"
+    )
+    return f"""
+WITH RECURSIVE cand AS ({cand}),
+sets AS (SELECT {id_col}, {hashed} AS shs FROM {docs_table}),
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  JOIN sets sa ON sa.{id_col} = id_a
+  JOIN sets sb ON sb.{id_col} = id_b
+  WHERE {jac} >= {_flit(threshold)}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+),
+labels AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+scored AS (
+  SELECT l.node, l.comp, ROW(-({score_expr}), l.node) AS key_
+  FROM labels l JOIN {docs_table} d ON d.{id_col} = l.node
+),
+winners AS (SELECT comp, MIN(key_) AS w FROM scored GROUP BY comp)
+SELECT {id_col} FROM {docs_table}
+WHERE {id_col} NOT IN (
+  SELECT node FROM scored JOIN winners USING (comp) WHERE key_ <> w)
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit, numpy UDF stage) + Hamming blocking
 # ---------------------------------------------------------------------------

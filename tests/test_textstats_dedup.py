@@ -727,3 +727,43 @@ class TestAdmitNewDocs:
         got = [(r["doc_id"], r["fp"])
                for r in admit_new_docs(existing, new).collect()]
         assert got == [(2, "X")]
+
+
+class TestKeepBest:
+    @pytest.mark.spark
+    def test_keep_best_vs_keep_min_id(self, spark):
+        """dedup_keep_best keeps the highest-score member per family
+        (ties -> lowest id), not the lowest id; unpaired docs always
+        survive."""
+        rows = [
+            (0, "a b"),            # family {0,1,2}: 2 < 5 < 5 tokens
+            (1, "a b c d e"),      # winner: longest...
+            (2, "a b c d f"),      # ...tie on 5 tokens -> lowest id = 1
+            (7, "lonely unpaired document"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2)], "id_a long, id_b long"
+        )
+        best = sorted(
+            r["doc_id"]
+            for r in dd.dedup_keep_best(df, pairs, "length(text)").collect()
+        )
+        assert best == [1, 7]
+        rep = sorted(
+            r["doc_id"]
+            for r in dd.dedup_keep_representatives(df, pairs).collect()
+        )
+        assert rep == [0, 7]  # min-id policy keeps the SHORT doc
+
+    @pytest.mark.spark
+    def test_keep_best_empty_pairs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "y z")], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        got = sorted(
+            r["doc_id"]
+            for r in dd.dedup_keep_best(df, pairs, "length(text)").collect()
+        )
+        assert got == [1, 2]
