@@ -199,3 +199,76 @@ def test_non_utf8_source_survives(spark, tmp_path):
     assert list(rows["works"]["suite_path"]) == ["suite"]
     # invalid bytes were repaired to U+FFFD instead of poisoning Arrow
     assert "caf�" in docs.collect()[0]["source"]
+
+
+@pytest.mark.spark
+def test_cargo_crates_and_csharp_test_dir(spark, tmp_path):
+    """TestScan_CargoTest + TestScan_CSharpTestDirectory parity, through
+    the real distributed path (walk -> candidate filter -> detect ->
+    inventory): a non-_test.rs file under crates/ is a candidate and
+    yields cargo-test with both #[test] fns; a non-standard-named .cs
+    under test/ yields mstest with its [TestMethod]."""
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.detect import default_registry, detect, lang_col
+    from core_spark.operators.inventory import extract_inventory
+    from core_spark.sources.ingest import (
+        sql_test_file_candidate,
+        walk_file_tree,
+    )
+
+    rust = (
+        "#[cfg(test)]\n"
+        "mod tests {\n"
+        "    #[test]\n"
+        "    fn test_addition() { assert_eq!(2 + 2, 4); }\n"
+        "    #[test]\n"
+        "    fn test_subtraction() { assert_eq!(5 - 3, 2); }\n"
+        "}\n"
+    )
+    cs = (
+        "using Microsoft.VisualStudio.TestTools.UnitTesting;\n\n"
+        "namespace SomeProject;\n\n"
+        "[TestClass]\n"
+        "public class DataRowTests_Regular\n"
+        "{\n"
+        "    [TestMethod]\n"
+        "    public void Test1() => Assert.IsTrue(true);\n"
+        "}\n"
+    )
+    _write_tree(tmp_path, {
+        "crates/core/flags/defs.rs": rust.encode(),
+        "test/SomeProject/DataRowTests_Regular.cs": cs.encode(),
+    })
+    tree = walk_file_tree(spark, str(tmp_path)).select(
+        F.regexp_replace("path", f"^file:{tmp_path}/", "").alias("path"),
+        F.col("content").cast("string").alias("source"),
+    )
+    cand = tree.filter(F.expr(sql_test_file_candidate("path")))
+    assert cand.count() == 2  # both non-standard names are candidates
+    det = {
+        r["url"]: r["framework"]
+        for r in detect(
+            cand.selectExpr("path AS url", "source AS text").withColumn(
+                "lang", lang_col("url")
+            ),
+            default_registry(),
+            lang_col_name="lang",
+        ).collect()
+    }
+    assert det == {
+        "crates/core/flags/defs.rs": "cargo-test",
+        "test/SomeProject/DataRowTests_Regular.cs": "mstest",
+    }
+    inv = {}
+    for r in extract_inventory(cand).collect():
+        inv.setdefault(r["path"], []).append((r["kind"], r["name"]))
+    assert sorted(inv["crates/core/flags/defs.rs"]) == [
+        ("suite", "tests"),
+        ("test", "test_addition"),
+        ("test", "test_subtraction"),
+    ]
+    assert sorted(inv["test/SomeProject/DataRowTests_Regular.cs"]) == [
+        ("suite", "DataRowTests_Regular"),
+        ("test", "Test1"),
+    ]
