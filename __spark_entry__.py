@@ -1734,6 +1734,20 @@ def q_decontaminate(spark, sf_dir):
     return contaminated_docs(docs, docs.filter("doc_id % 50 = 0"), k=5)
 
 
+def q_decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination (operators/decontaminate.py::
+    decontaminate_spans): contaminated k-gram runs are REMOVED as merged
+    [start,end) token spans instead of flagging whole docs — benchmark
+    gram hashes broadcast, corpus positions filtered map-side, removal
+    machinery shared with span dedup. Benchmark = every 50th doc, so
+    those docs are fully scrubbed and quoting docs lose just the
+    quoted run."""
+    from core_spark.operators.decontaminate import decontaminate_spans
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate_spans(docs, docs.filter("doc_id % 50 = 0"), k=5)
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.9, "es": 0.9, "fr": 0.9, "zh": 0.25}
 
 
@@ -2141,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 queries without a driver row yet ------------------
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
+        "decontaminate_spans": q_decontaminate_spans,
         "sample_stratified": q_sample_stratified,
         "sample_quota": q_sample_quota,
         "url_host_cap": q_url_host_cap,
@@ -2185,8 +2200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_cascade": q_detect_cascade,
         "test_file_filter": q_test_file_filter,
         "pii_redact": q_pii_redact,
-        "pipeline_stats": q_pipeline_stats,
         # ---- driver window boundary (entry 50 above) -----------------
+        "pipeline_stats": q_pipeline_stats,
         "window_topk": q_window_topk,
         "agg_histogram": q_agg_histogram,
         "scan_filter_agg": q_scan_filter_agg,
@@ -2215,7 +2230,10 @@ def oracle_sql() -> dict[str, str]:
     from core_spark.data.polygons import edges_sql_values
     from core_spark.functions.geoparse import DEC_PATTERN
     from core_spark.functions.repetition import duck_rep_sql
-    from core_spark.operators.decontaminate import sql_contaminated_docs
+    from core_spark.operators.decontaminate import (
+        sql_contaminated_docs,
+        sql_decontaminate_spans,
+    )
     from core_spark.operators.knn import sql_knn
     from core_spark.operators.sampling import keep_predicate, sql_sample_quota
     from core_spark.operators.asof import sql_asof_join
@@ -2526,6 +2544,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _sql_pii_redact_oracle(),
         "text_repetition": duck_rep_sql("documents"),
         "decontaminate": sql_contaminated_docs(
+            "documents", "doc_id % 50 = 0", k=5
+        ),
+        "decontaminate_spans": sql_decontaminate_spans(
             "documents", "doc_id % 50 = 0", k=5
         ),
         "sample_stratified": (

@@ -116,3 +116,90 @@ def sql_contaminated_docs(
                CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
         FROM {table} d LEFT JOIN hits h USING ({key})
     """
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 5,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level decontamination: REMOVE each contaminated k-gram run
+    (merged to maximal [start, end) token spans) instead of flagging or
+    dropping whole documents — the surgical variant real pipelines
+    prefer for long documents that merely QUOTE a benchmark item.
+
+    Shape: benchmark grams are md5-hashed exactly like the corpus side
+    (operators/spandedup._gram_hashes) and **broadcast**; corpus
+    positional grams are filtered map-side, so only contaminated
+    positions (rare) ever shuffle into the per-doc span merge. The
+    removal machinery (within-row fold + coverage filter) is SHARED
+    with cross-doc span dedup (spandedup.remove_spans) — the flag
+    source differs, nothing else. Every occurrence is removed (no
+    first-occurrence winner: contaminated text must go everywhere).
+
+    Tokenization is the single-space split shared with the span-dedup
+    family (paradedup.tokens_expr), so offsets and reassembly agree
+    across all three sub-document operators.
+
+    Output: (key, n_tokens, n_spans, n_removed, text_clean).
+    """
+    from core_spark.operators.paradedup import tokens_expr
+    from core_spark.operators.spandedup import _gram_hashes, remove_spans
+    from core_spark.plans.materialize import pin
+
+    toks = pin(
+        docs.select(
+            F.col(key), F.expr(tokens_expr(text_col, "spark")).alias("_toks")
+        )
+    )
+    grams = (
+        toks.filter(F.size("_toks") >= k)
+        .select(
+            key,
+            F.posexplode(F.expr(_gram_hashes("_toks", k, "spark"))).alias(
+                "_pos", "_h"
+            ),
+        )
+    )
+    bench_hashes = (
+        bench.select(F.expr(tokens_expr(text_col, "spark")).alias("_toks"))
+        .filter(F.size("_toks") >= k)
+        .select(
+            F.explode(
+                F.expr(
+                    f"array_distinct({_gram_hashes('_toks', k, 'spark')})"
+                )
+            ).alias("_h")
+        )
+        .distinct()
+    )
+    flagged = grams.join(F.broadcast(bench_hashes), "_h").select(key, "_pos")
+    return remove_spans(toks, flagged, k, id_col=key, out_col="text_clean")
+
+
+def sql_decontaminate_spans(
+    table: str,
+    bench_where: str,
+    k: int = 5,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of decontaminate_spans (benchmark = rows of ``table``
+    matching ``bench_where``, as in sql_contaminated_docs); the span
+    tail is the shared independent gaps-and-islands formulation."""
+    from core_spark.operators.paradedup import tokens_expr
+    from core_spark.operators.spandedup import sql_gram_cte, sql_span_tail
+
+    toks = tokens_expr(text_col, "duckdb")
+    return f"""
+WITH toks AS (
+  SELECT {key}, {toks} AS _toks FROM {table}
+), grams AS ({sql_gram_cte(k, key)}
+), bhash AS (
+  SELECT DISTINCT _h
+  FROM grams WHERE {bench_where.replace(key, f"grams.{key}")}
+), flagged AS (
+  SELECT g.{key}, g._pos FROM grams g JOIN bhash USING (_h)
+){sql_span_tail(k, key, "text_clean")}"""

@@ -71,6 +71,61 @@ def _gram_hashes(toks_col: str, k: int, dialect: str) -> str:
     )
 
 
+def remove_spans(
+    toks: DataFrame,
+    flagged: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Shared span-removal tail: merge flagged k-gram start positions
+    (``flagged``: (id, _pos) rows) into maximal [start, end) token spans
+    with a within-row fold, drop covered tokens from ``toks``
+    ((id, _toks) rows), emit (id, n_tokens, n_spans, n_removed,
+    ``out_col``). Used by cross-doc span dedup AND span-level
+    decontamination — the flag SOURCE differs, the removal machinery is
+    identical."""
+    spans_fold = (
+        "aggregate(sort_array(collect_list(_pos)), "
+        "CAST(array() AS array<struct<start: int, end: int>>), "
+        "(acc, p) -> CASE WHEN size(acc) > 0 "
+        "AND p <= element_at(acc, -1).end THEN "
+        f"concat(slice(acc, 1, size(acc) - 1), "
+        f"array(struct(element_at(acc, -1).start AS start, "
+        f"CAST(p + {k} AS INT) AS end))) "
+        f"ELSE concat(acc, array(struct(CAST(p AS INT) AS start, "
+        f"CAST(p + {k} AS INT) AS end))) END)"
+    )
+    doc_spans = flagged.groupBy(id_col).agg(
+        F.expr(spans_fold).alias("_spans")
+    )
+    return (
+        toks.join(doc_spans, id_col, "left")
+        .withColumn(
+            "_spans",
+            F.coalesce(
+                "_spans",
+                F.expr("CAST(array() AS array<struct<start: int, end: int>>)"),
+            ),
+        )
+        .select(
+            id_col,
+            F.size("_toks").alias("n_tokens"),
+            F.size("_spans").alias("n_spans"),
+            F.expr(
+                "aggregate(_spans, 0, (s, sp) -> s + sp.end - sp.start)"
+            ).alias("n_removed"),
+            F.array_join(
+                F.expr(
+                    "filter(_toks, (t, i) -> "
+                    "NOT exists(_spans, sp -> i >= sp.start AND i < sp.end))"
+                ),
+                " ",
+            ).alias(out_col),
+        )
+    )
+
+
 def dedup_substrings(
     df: DataFrame,
     k: int,
@@ -113,75 +168,15 @@ def dedup_substrings(
     )
     # within-row interval merge: positions sorted; p <= last.end extends
     # (sorted input => new end is always p + k), p > last.end opens a span
-    spans_fold = (
-        "aggregate(sort_array(collect_list(_pos)), "
-        "CAST(array() AS array<struct<start: int, end: int>>), "
-        "(acc, p) -> CASE WHEN size(acc) > 0 "
-        "AND p <= element_at(acc, -1).end THEN "
-        f"concat(slice(acc, 1, size(acc) - 1), "
-        f"array(struct(element_at(acc, -1).start AS start, "
-        f"CAST(p + {k} AS INT) AS end))) "
-        f"ELSE concat(acc, array(struct(CAST(p AS INT) AS start, "
-        f"CAST(p + {k} AS INT) AS end))) END)"
-    )
-    doc_spans = flagged.groupBy(id_col).agg(
-        F.expr(spans_fold).alias("_spans")
-    )
-    out = (
-        toks.join(doc_spans, id_col, "left")
-        .withColumn(
-            "_spans",
-            F.coalesce(
-                "_spans",
-                F.expr("CAST(array() AS array<struct<start: int, end: int>>)"),
-            ),
-        )
-        .select(
-            id_col,
-            F.size("_toks").alias("n_tokens"),
-            F.size("_spans").alias("n_spans"),
-            F.expr(
-                "aggregate(_spans, 0, (s, sp) -> s + sp.end - sp.start)"
-            ).alias("n_removed"),
-            F.array_join(
-                F.expr(
-                    "filter(_toks, (t, i) -> "
-                    "NOT exists(_spans, sp -> i >= sp.start AND i < sp.end))"
-                ),
-                " ",
-            ).alias("text_dedup"),
-        )
-    )
-    return out
+    return remove_spans(toks, flagged, k, id_col=id_col)
 
 
-def sql_dedup_substrings(
-    table: str,
-    k: int,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> str:
-    """DuckDB oracle twin — independent formulation: gaps-and-islands
-    window merge instead of the fold, anti-join token reassembly instead
-    of the index filter. Same semantics, different plan."""
-    toks = tokens_expr(text_col, "duckdb")
-    grams = _gram_hashes("_toks", k, "duckdb")
-    return f"""
-WITH toks AS (
-  SELECT {id_col}, {toks} AS _toks FROM {table}
-), grams AS (
-  SELECT {id_col}, u - 1 AS _pos, _g[u] AS _h
-  FROM (SELECT {id_col}, {grams} AS _g FROM toks),
-       unnest(generate_series(1, len(_g))) AS s(u)
-), stats AS (
-  SELECT _h, COUNT(DISTINCT {id_col}) AS _ndocs,
-         MIN(ROW({id_col}, _pos)) AS _win
-  FROM grams GROUP BY _h
-), flagged AS (
-  SELECT g.{id_col}, g._pos
-  FROM grams g JOIN stats USING (_h)
-  WHERE _ndocs >= 2 AND ROW(g.{id_col}, g._pos) <> _win
-), lagged AS (
+def sql_span_tail(k: int, id_col: str, out_col: str) -> str:
+    """SQL tail shared by the span-dedup and span-decontamination twins
+    (expects CTEs ``toks(id, _toks)`` and ``flagged(id, _pos)``):
+    gaps-and-islands window merge + anti-join token reassembly — the
+    independent formulation of the Spark fold."""
+    return f""", lagged AS (
   SELECT {id_col}, _pos,
          CASE WHEN _pos <= COALESCE(LAG(_pos) OVER w, -{k} - 1) + {k}
               THEN 0 ELSE 1 END AS _brk
@@ -217,6 +212,41 @@ SELECT toks.{id_col} AS {id_col},
        CAST(agg.n_removed AS INT) AS n_removed,
        COALESCE((SELECT string_agg(_tok, ' ' ORDER BY _i)
                  FROM kept WHERE kept.{id_col} = toks.{id_col}), '')
-         AS text_dedup
+         AS {out_col}
 FROM toks JOIN agg USING ({id_col})
-    """
+"""
+
+
+def sql_gram_cte(k: int, id_col: str) -> str:
+    """``grams(id, _pos, _h)`` CTE body over an upstream ``toks`` CTE."""
+    grams = _gram_hashes("_toks", k, "duckdb")
+    return f"""
+  SELECT {id_col}, u - 1 AS _pos, _g[u] AS _h
+  FROM (SELECT {id_col}, {grams} AS _g FROM toks),
+       unnest(generate_series(1, len(_g))) AS s(u)
+"""
+
+
+def sql_dedup_substrings(
+    table: str,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle twin — independent formulation: gaps-and-islands
+    window merge instead of the fold, anti-join token reassembly instead
+    of the index filter. Same semantics, different plan."""
+    toks = tokens_expr(text_col, "duckdb")
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {toks} AS _toks FROM {table}
+), grams AS ({sql_gram_cte(k, id_col)}
+), stats AS (
+  SELECT _h, COUNT(DISTINCT {id_col}) AS _ndocs,
+         MIN(ROW({id_col}, _pos)) AS _win
+  FROM grams GROUP BY _h
+), flagged AS (
+  SELECT g.{id_col}, g._pos
+  FROM grams g JOIN stats USING (_h)
+  WHERE _ndocs >= 2 AND ROW(g.{id_col}, g._pos) <> _win
+){sql_span_tail(k, id_col, "text_dedup")}"""

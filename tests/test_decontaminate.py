@@ -59,3 +59,71 @@ def test_duckdb_twin_matches():
         for r in con.execute(sql).fetchall()
     )
     assert got == {i: (n, 1 if n else 0) for i, n in EXPECT.items()}
+
+
+@pytest.mark.spark
+def test_decontaminate_spans_semantics(spark):
+    """Span-level decontamination removes exactly the contaminated runs:
+    benchmark-quoting docs lose the quoted span (merged edge-exact),
+    clean docs pass through, benchmark docs themselves are scrubbed."""
+    from core_spark.operators.decontaminate import decontaminate_spans
+
+    bench_text = "the secret benchmark answer is forty two exactly"  # 8 toks
+    docs = spark.createDataFrame(
+        [
+            (0, bench_text),  # the benchmark item itself
+            (1, f"intro words here {bench_text} trailing commentary"),
+            (2, "completely clean document with unrelated words"),
+            # quotes only a 4-token fragment: below k=5, must survive
+            (3, "mentions the secret benchmark answer briefly again"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 0")
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate_spans(docs, bench, k=5).collect()
+    }
+    assert got[0]["n_removed"] == 8 and got[0]["text_clean"] == ""
+    assert got[1]["n_spans"] == 1 and got[1]["n_removed"] == 8
+    assert got[1]["text_clean"] == "intro words here trailing commentary"
+    assert got[2]["n_removed"] == 0
+    assert got[3]["n_removed"] == 0  # sub-k quote is invisible by design
+
+
+@pytest.mark.spark
+def test_decontaminate_spans_duckdb_twin(spark):
+    """Spark and the DuckDB twin agree on planted in-corpus benchmarks."""
+    import duckdb
+
+    from core_spark.operators.decontaminate import (
+        decontaminate_spans,
+        sql_decontaminate_spans,
+    )
+
+    rows = [
+        (i, f"unique body {i} " * 2 + ("shared eval snippet words five six"
+                                       if i % 3 == 0 else f"tail {i}"))
+        for i in range(12)
+    ]
+    rows = [(i, t.strip()) for i, t in rows]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(tuple,
+            decontaminate_spans(docs, docs.filter("doc_id % 3 = 0"), k=5)
+            .collect())
+    )
+    con = duckdb.connect()
+    values = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    con.execute(
+        f"CREATE VIEW d AS SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            "SELECT doc_id, n_tokens, n_spans, n_removed, text_clean FROM ("
+            + sql_decontaminate_spans("d", "doc_id % 3 = 0", k=5)
+            + ")"
+        ).fetchall()
+    )
+    assert got == want
