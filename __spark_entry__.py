@@ -1749,6 +1749,23 @@ def q_decontaminate_spans(spark, sf_dir):
 
 
 SAMPLE_RATES = {"en": 0.5, "de": 0.9, "es": 0.9, "fr": 0.9, "zh": 0.25}
+#: target token shares for the training mix; 'es' has no target -> dropped
+MIXTURE_TARGETS = {"en": 0.5, "de": 0.2, "fr": 0.2, "zh": 0.1}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Training-mix reweighting (operators/sampling.py::mixture_sample):
+    downsample strata so output TOKEN shares hit MIXTURE_TARGETS — the
+    binding stratum (smallest tokens/share) survives whole and sets the
+    output size, the rest are hash-thresholded; untargeted strata drop.
+    One tiny per-stratum aggregate -> broadcast rates -> codegen'd
+    filter; no data-row shuffle, no driver collect."""
+    from core_spark.operators.sampling import mixture_sample
+
+    docs = _docs(spark, sf_dir, wide=False)
+    return mixture_sample(
+        docs, MIXTURE_TARGETS, "size(split(trim(text), ' '))"
+    ).selectExpr("doc_id", "lang")
 
 
 def q_sample_stratified(spark, sf_dir):
@@ -2158,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_spans": q_decontaminate_spans,
         "sample_stratified": q_sample_stratified,
         "sample_quota": q_sample_quota,
+        "mixture_sample": q_mixture_sample,
         "url_host_cap": q_url_host_cap,
         "url_latest": q_url_latest,
         "paragraph_dedup": q_paragraph_dedup,
@@ -2199,8 +2217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "framework_detect": q_framework_detect,
         "detect_cascade": q_detect_cascade,
         "test_file_filter": q_test_file_filter,
-        "pii_redact": q_pii_redact,
         # ---- driver window boundary (entry 50 above) -----------------
+        "pii_redact": q_pii_redact,
         "pipeline_stats": q_pipeline_stats,
         "window_topk": q_window_topk,
         "agg_histogram": q_agg_histogram,
@@ -2235,7 +2253,11 @@ def oracle_sql() -> dict[str, str]:
         sql_decontaminate_spans,
     )
     from core_spark.operators.knn import sql_knn
-    from core_spark.operators.sampling import keep_predicate, sql_sample_quota
+    from core_spark.operators.sampling import (
+        keep_predicate,
+        sql_mixture_sample,
+        sql_sample_quota,
+    )
     from core_spark.operators.asof import sql_asof_join
     from core_spark.operators.tiles import sql_compact_cells
     from core_spark.operators.packing import sql_pack_sequences
@@ -2554,6 +2576,11 @@ def oracle_sql() -> dict[str, str]:
             + keep_predicate(SAMPLE_RATES, dialect="duckdb")
         ),
         "sample_quota": sql_sample_quota("documents", 25, "doc_id, lang"),
+        "mixture_sample": sql_mixture_sample(
+            "documents", MIXTURE_TARGETS,
+            "len(string_split(trim(text), ' '))",
+            select_cols="doc_id, d.lang AS lang",
+        ),
         "url_host_cap": sql_cap_per_host(
             sql_canonicalize(
                 f"(SELECT doc_id, source, {URL_GEN_SQL} AS url"

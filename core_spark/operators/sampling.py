@@ -126,3 +126,83 @@ def sql_sample_quota(
           FROM {table}
         ) WHERE _rn <= {n_per_stratum}
     """
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    token_expr: str,
+    stratum_col: str = "lang",
+    key: str = "doc_id",
+    salt: str = ":mixture",
+) -> DataFrame:
+    """Downsample strata to a TARGET token mixture (training-mix
+    reweighting): output token shares follow ``targets`` while only ever
+    downsampling. The binding stratum — smallest tokens/share — is kept
+    in full and fixes the output size ``T_out = min_s tokens_s/share_s``;
+    every other stratum is hash-thresholded to
+    ``rate_s = share_s * T_out / tokens_s``. Strata without a target are
+    DROPPED (the mixture is the contract).
+
+    Scale shape: rates derive from one per-stratum token aggregate
+    (map-side combine) — tiny, broadcast both ways; the corpus pass is a
+    broadcast join + codegen'd hash filter, no shuffle of data rows and
+    NO driver collect. ``token_expr`` is a Spark SQL integer expression
+    (e.g. ``size(split(trim(text), ' '))``); the kept fraction
+    concentrates to the rate exactly as in ``sample_stratified``.
+    """
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(s, float(p)) for s, p in sorted(targets.items())],
+        f"{stratum_col} string, _share double",
+    )
+    stats = (
+        df.selectExpr(stratum_col, f"CAST({token_expr} AS BIGINT) AS _nt")
+        .groupBy(stratum_col)
+        .agg(F.sum("_nt").alias("_toks"))
+        .join(F.broadcast(tgt), stratum_col)
+    )
+    tout = stats.selectExpr("MIN(_toks / _share) AS _tout")
+    rates = stats.crossJoin(F.broadcast(tout)).selectExpr(
+        stratum_col, "_share * _tout / _toks AS _rate"
+    )
+    h = _hash_expr(key, salt, "spark")
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(F.expr(f"{h} < _rate * {SCALE}"))
+        .drop("_rate")
+    )
+
+
+def sql_mixture_sample(
+    table: str,
+    targets: dict[str, float],
+    token_expr: str,
+    stratum_col: str = "lang",
+    key: str = "doc_id",
+    salt: str = ":mixture",
+    select_cols: str = "*",
+) -> str:
+    """DuckDB twin of mixture_sample (``token_expr`` in DuckDB dialect,
+    e.g. ``len(string_split(trim(text), ' '))``). Arithmetic order is
+    identical to the Spark emission (share * tout / toks, min over
+    toks/share), so the double rates are bit-identical."""
+    values = ", ".join(f"('{s}', {float(p)!r})"
+                       for s, p in sorted(targets.items()))
+    return f"""
+WITH tgt({stratum_col}, _share) AS (VALUES {values}),
+stats AS (
+  SELECT {stratum_col}, SUM(CAST({token_expr} AS BIGINT)) AS _toks
+  FROM {table} GROUP BY {stratum_col}
+),
+joined AS (
+  SELECT s.{stratum_col}, _toks, _share
+  FROM stats s JOIN tgt USING ({stratum_col})
+),
+tout AS (SELECT MIN(_toks / _share) AS _tout FROM joined),
+rates AS (
+  SELECT {stratum_col}, _share * _tout / _toks AS _rate FROM joined, tout
+)
+SELECT {select_cols} FROM {table} d JOIN rates USING ({stratum_col})
+WHERE {_hash_expr(key, salt, "duckdb")} < _rate * {SCALE}
+"""

@@ -81,3 +81,35 @@ def test_sample_quota_duckdb_twin():
             key=lambda i: (_py_hash(i, ":quota"), i),
         )
         assert ids == set(pool[:7]), lang
+
+
+@pytest.mark.spark
+def test_mixture_sample_semantics(spark):
+    """Output token shares track the targets, the binding stratum
+    survives whole, untargeted strata drop, and nothing upsamples."""
+    from core_spark.operators.sampling import mixture_sample
+
+    rows = []
+    # tokens per stratum: en 4000, de 1000, zh 500, xx 300 (untargeted)
+    for lang, n_docs, words in (("en", 400, 10), ("de", 100, 10),
+                                ("zh", 50, 10), ("xx", 30, 10)):
+        for i in range(n_docs):
+            rows.append((len(rows), lang, " ".join(
+                f"w{i}x{j}" for j in range(words))))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    targets = {"en": 0.5, "de": 0.3, "zh": 0.2}
+    out = mixture_sample(
+        df, targets, "size(split(trim(text), ' '))"
+    ).toPandas()
+    # binding stratum: min(tokens/share) = min(8000, 3333.3, 2500) -> zh
+    # T_out = 2500; expected kept tokens: en 1250, de 750, zh 500
+    kept = out.groupby("lang").size() * 10
+    assert set(out.lang) <= set(targets)         # xx dropped
+    assert kept["zh"] == 500                     # binding stratum whole
+    assert abs(kept["en"] - 1250) / 1250 < 0.12  # hash-threshold Chernoff
+    assert abs(kept["de"] - 750) / 750 < 0.15
+    # deterministic: same input, same kept set
+    again = mixture_sample(
+        df, targets, "size(split(trim(text), ' '))"
+    ).toPandas()
+    assert sorted(out.doc_id) == sorted(again.doc_id)
