@@ -121,16 +121,78 @@ def read_file_tree(
 SAFE_SOURCE_EXPR = "make_valid_utf8(CAST(content AS STRING))"
 
 
+def _empty_meta_pdf():
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"path": pd.Series(dtype=object),
+         "modificationTime": pd.Series(dtype="datetime64[ns, UTC]"),
+         "length": pd.Series(dtype="int64")}
+    )
+
+
+def _read_contents(batches):
+    """mapInPandas stage: attach file bytes to (path, mtime, length) rows
+    (shared by both walk_file_tree modes); unreadable files yield NULL."""
+    for pdf in batches:
+        blobs = []
+        for pth in pdf["path"]:
+            fp = pth[5:] if pth.startswith("file:") else pth
+            try:
+                with open(fp, "rb") as fh:
+                    blobs.append(fh.read())
+            except OSError:
+                blobs.append(None)
+        pdf = pdf.copy()
+        pdf["content"] = blobs
+        yield pdf
+
+
+def _walk_subtree(
+    top: str,
+    skip_dirs: tuple[str, ...],
+    max_file_size: int,
+) -> list[tuple[str, object, int]]:
+    """Reference shouldSkipDir semantics over ONE subtree: named skip
+    dirs pruned everywhere, symlinked files skipped, symlinked dirs
+    never followed. ``coverage`` is NOT special here — the root-level
+    rule is the caller's job. Pure stdlib so it runs on executors."""
+    import datetime
+    import stat as statmod
+
+    out: list[tuple[str, object, int]] = []
+    for dirpath, dirnames, filenames in os.walk(top):
+        dirnames[:] = sorted(d for d in dirnames if d not in skip_dirs)
+        for fn in sorted(filenames):
+            p = os.path.join(dirpath, fn)
+            try:
+                st = os.lstat(p)
+            except OSError:
+                continue
+            if statmod.S_ISLNK(st.st_mode):  # F4: symlink filter
+                continue
+            if st.st_size > max_file_size:
+                continue
+            out.append((
+                "file:" + p,
+                datetime.datetime.fromtimestamp(
+                    st.st_mtime, tz=datetime.timezone.utc
+                ),
+                int(st.st_size),
+            ))
+    return out
+
+
 def walk_file_tree(
     spark,
     root: str,
     glob: str | None = None,
     skip_dirs: tuple[str, ...] = DEFAULT_SKIP_DIRS,
     max_file_size: int = DEFAULT_MAX_FILE_SIZE,
+    distributed: bool = False,
 ):
-    """Driver-side discovery walk + distributed content read — the
-    faithful analog of the reference's filepath.WalkDir scan
-    (scanner.go:641-662):
+    """Discovery walk + distributed content read — the faithful analog
+    of the reference's filepath.WalkDir scan (scanner.go:641-662):
 
     - sees ``__tests__`` / ``__mocks__`` / ``.github`` and every other
       ``_``/``.``-prefixed dir that Hadoop's hidden-path filter silently
@@ -138,10 +200,15 @@ def walk_file_tree(
       pruned, plus ``coverage`` at the scan root only);
     - skips symlinked files and never follows symlinked dirs — the F4
       symlink filter (TestScan_SymlinkSkipping parity);
-    - listing is sequential on the driver exactly like the reference's
-      walk (repo-shaped trees, not the 10^12-row corpus — that is
-      ``read_corpus``); content reads happen in one distributed Arrow
-      stage over the shared filesystem.
+    - ``distributed=False`` (default): listing is sequential on the
+      driver exactly like the reference's walk — right for repo-shaped
+      trees. ``distributed=True``: the driver enumerates only the scan
+      root's immediate entries (where the root-only coverage rule and
+      root-level files live) and fans each top-level subtree out to the
+      executors, which walk AND read in one Arrow stage — the monorepo
+      path (a million-file tree costs the driver one readdir; executors
+      parallelize by subtree over the shared filesystem). Both modes
+      return identical rows (pinned in test_golden_adversarial.py).
 
     Returns the same (path, modificationTime, length, content) schema as
     ``read_file_tree``, with the same ``file:`` path prefix.
@@ -152,6 +219,59 @@ def walk_file_tree(
     import pandas as pd
 
     root_abs = os.path.abspath(root)
+    if distributed:
+        subtrees: list[str] = []
+        listed: list[tuple[str, object, int]] = []
+        for name in sorted(os.listdir(root_abs)):
+            p = os.path.join(root_abs, name)
+            try:
+                st = os.lstat(p)
+            except OSError:
+                continue
+            if statmod.S_ISLNK(st.st_mode):
+                continue
+            if statmod.S_ISDIR(st.st_mode):
+                if name in skip_dirs or name == "coverage":
+                    continue  # root-only coverage rule lives here
+                subtrees.append(p)
+            elif st.st_size <= max_file_size:
+                listed.append((
+                    "file:" + p,
+                    datetime.datetime.fromtimestamp(
+                        st.st_mtime, tz=datetime.timezone.utc
+                    ),
+                    int(st.st_size),
+                ))
+        meta_schema = "path string, modificationTime timestamp, length long"
+        root_files = spark.createDataFrame(
+            pd.DataFrame(
+                listed, columns=["path", "modificationTime", "length"]
+            )
+            if listed
+            else _empty_meta_pdf(),
+            meta_schema,
+        )
+        tops = spark.createDataFrame(
+            [(t,) for t in subtrees], "top string"
+        ).repartition(max(1, len(subtrees)))
+
+        def _list(batches):
+            for pdf in batches:
+                rows = []
+                for top in pdf["top"]:
+                    rows.extend(_walk_subtree(top, skip_dirs, max_file_size))
+                yield pd.DataFrame(
+                    rows, columns=["path", "modificationTime", "length"]
+                ) if rows else _empty_meta_pdf()
+
+        meta = root_files.unionByName(tops.mapInPandas(_list, meta_schema))
+        if glob:
+            meta = glob_filter(meta, [glob])
+        return meta.mapInPandas(
+            _read_contents,
+            "path string, modificationTime timestamp, length long,"
+            " content binary",
+        )
     listed: list[tuple[str, object, int]] = []
     for dirpath, dirnames, filenames in os.walk(root_abs):
         dirnames[:] = sorted(
@@ -179,32 +299,13 @@ def walk_file_tree(
     meta = spark.createDataFrame(
         pd.DataFrame(listed, columns=["path", "modificationTime", "length"])
         if listed
-        else pd.DataFrame(
-            {"path": pd.Series(dtype=object),
-             "modificationTime": pd.Series(dtype="datetime64[ns, UTC]"),
-             "length": pd.Series(dtype="int64")}
-        ),
+        else _empty_meta_pdf(),
         "path string, modificationTime timestamp, length long",
     )
     if glob:
         meta = glob_filter(meta, [glob])
-
-    def _read(batches):
-        for pdf in batches:
-            blobs = []
-            for p in pdf["path"]:
-                fp = p[5:] if p.startswith("file:") else p
-                try:
-                    with open(fp, "rb") as fh:
-                        blobs.append(fh.read())
-                except OSError:
-                    blobs.append(None)
-            pdf = pdf.copy()
-            pdf["content"] = blobs
-            yield pdf
-
     return meta.mapInPandas(
-        _read,
+        _read_contents,
         "path string, modificationTime timestamp, length long, content binary",
     )
 

@@ -272,3 +272,42 @@ def test_cargo_crates_and_csharp_test_dir(spark, tmp_path):
         ("suite", "DataRowTests_Regular"),
         ("test", "Test1"),
     ]
+
+
+@pytest.mark.spark
+def test_walk_distributed_matches_sequential(spark, tmp_path):
+    """distributed=True (driver lists only the root; executors walk AND
+    read each top-level subtree in one Arrow stage — the monorepo path)
+    returns exactly the sequential walk's rows, including the tricky
+    rules: root-only coverage skip, hidden dirs kept, skip dirs pruned,
+    symlinks dropped, root-LEVEL files included."""
+    import os
+
+    from core_spark.sources.ingest import walk_file_tree
+
+    _write_tree(tmp_path, {
+        "ROOTFILE.test.ts": JEST_BYTES,          # root-level file
+        "coverage/report.test.ts": JEST_BYTES,   # root coverage: skipped
+        "a/coverage/nested.test.ts": JEST_BYTES, # nested coverage: kept
+        "__tests__/t.test.ts": JEST_BYTES,       # hidden dir: kept
+        ".github/ci.yml": b"on: push",
+        "node_modules/x/y.test.ts": JEST_BYTES,  # skip dir
+        "b/deep/leaf.test.ts": JEST_BYTES,
+    })
+    os.symlink(tmp_path / "b", tmp_path / "mirror")
+
+    def rows(distributed):
+        return sorted(
+            (r["path"], r["length"], bytes(r["content"] or b""))
+            for r in walk_file_tree(
+                spark, str(tmp_path), distributed=distributed
+            ).collect()
+        )
+
+    seq, dist = rows(False), rows(True)
+    assert seq == dist
+    rels = [p.replace(f"file:{tmp_path}/", "") for p, _, _ in seq]
+    assert rels == sorted([
+        "ROOTFILE.test.ts", "a/coverage/nested.test.ts",
+        "__tests__/t.test.ts", ".github/ci.yml", "b/deep/leaf.test.ts",
+    ])
