@@ -1748,6 +1748,48 @@ def q_decontaminate_spans(spark, sf_dir):
     return decontaminate_spans(docs, docs.filter("doc_id % 50 = 0"), k=5)
 
 
+def q_refinery_subdoc(spark, sf_dir):
+    """Sub-document refinery — the round-5 operators composed as ONE
+    oracled chain (the corpus_refinery pattern): cross-doc span dedup
+    over boilerplate-planted text -> span-level decontamination of the
+    deduped text (benchmark = every 50th doc) -> token-mixture
+    reweighting of the scrubbed corpus. Output (doc_id, lang,
+    n_tokens_clean). Each stage is the standalone audited operator; the
+    chain gates their composition (column renames between stages, empty
+    texts after scrubbing, mixture over post-clean token counts)."""
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.decontaminate import decontaminate_spans
+    from core_spark.operators.sampling import mixture_sample
+    from core_spark.operators.spandedup import dedup_substrings
+
+    base = pin(
+        _docs(spark, sf_dir).selectExpr(
+            "doc_id", f"{SPAN_GEN_SQL} AS text", "lang"
+        )
+    )
+    langs = base.select("doc_id", "lang")
+    t1 = (
+        dedup_substrings(base, SPAN_K)
+        .selectExpr("doc_id", "text_dedup AS text")
+        .join(langs, "doc_id")
+    )
+    t2 = (
+        decontaminate_spans(t1, t1.filter("doc_id % 50 = 0"), k=5)
+        .selectExpr("doc_id", "text_clean AS text")
+        .join(langs, "doc_id")
+    )
+    return mixture_sample(
+        t2, MIXTURE_TARGETS, "size(split(trim(text), ' '))"
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr("CAST(size(split(trim(text), ' ')) AS INT)").alias(
+            "n_tokens_clean"
+        ),
+    )
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.9, "es": 0.9, "fr": 0.9, "zh": 0.25}
 #: target token shares for the training mix; 'es' has no target -> dropped
 MIXTURE_TARGETS = {"en": 0.5, "de": 0.2, "fr": 0.2, "zh": 0.1}
@@ -2176,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_quota": q_sample_quota,
         "mixture_sample": q_mixture_sample,
+        "refinery_subdoc": q_refinery_subdoc,
         "url_host_cap": q_url_host_cap,
         "url_latest": q_url_latest,
         "paragraph_dedup": q_paragraph_dedup,
@@ -2216,8 +2259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "framework_detect": q_framework_detect,
         "detect_cascade": q_detect_cascade,
-        "test_file_filter": q_test_file_filter,
         # ---- driver window boundary (entry 50 above) -----------------
+        "test_file_filter": q_test_file_filter,
         "pii_redact": q_pii_redact,
         "pipeline_stats": q_pipeline_stats,
         "window_topk": q_window_topk,
@@ -2580,6 +2623,32 @@ def oracle_sql() -> dict[str, str]:
             "documents", MIXTURE_TARGETS,
             "len(string_split(trim(text), ' '))",
             select_cols="doc_id, d.lang AS lang",
+        ),
+        # the sub-document refinery chain composes the three twins by
+        # nesting (each emitter's WITH is subquery-scoped in DuckDB)
+        "refinery_subdoc": sql_mixture_sample(
+            "(SELECT s.doc_id, s.text_clean AS text, d.lang"
+            " FROM ("
+            + sql_decontaminate_spans(
+                "(SELECT s.doc_id, s.text_dedup AS text, d.lang"
+                " FROM ("
+                + sql_dedup_substrings(
+                    f"(SELECT doc_id, {SPAN_GEN_SQL} AS text"
+                    " FROM documents)",
+                    SPAN_K,
+                )
+                + ") s JOIN documents d USING (doc_id))",
+                "doc_id % 50 = 0",
+                k=5,
+            )
+            + ") s JOIN documents d USING (doc_id))",
+            MIXTURE_TARGETS,
+            "len(string_split(trim(text), ' '))",
+            select_cols=(
+                "doc_id, d.lang AS lang,"
+                " CAST(len(string_split(trim(d.text), ' ')) AS INT)"
+                " AS n_tokens_clean"
+            ),
         ),
         "url_host_cap": sql_cap_per_host(
             sql_canonicalize(
