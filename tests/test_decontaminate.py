@@ -127,3 +127,65 @@ def test_decontaminate_spans_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_decontaminate_spans_twin_fuzz():
+    """Hypothesis drives the DuckDB twin against a Python model on
+    random corpora with in-corpus benchmarks (JVM-free; Spark parity is
+    pinned above on fixed rows — the test_weburl_props pattern)."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    K = 3
+    tok = st.sampled_from(["a", "b", "c", "eval", "set", "x", "y"])
+    corp = st.lists(
+        st.lists(tok, min_size=0, max_size=12).map(" ".join),
+        min_size=2, max_size=6,
+    )
+
+    def model(docs):
+        toks = {d: (t.split(" ") if t else [""]) for d, t in docs}
+        bench_grams = set()
+        for d, ts in toks.items():
+            if d % 2 == 0:  # benchmark = even doc ids
+                for i in range(len(ts) - K + 1):
+                    bench_grams.add(tuple(ts[i: i + K]))
+        out = {}
+        for d, ts in toks.items():
+            flagged = sorted(
+                i for i in range(len(ts) - K + 1)
+                if tuple(ts[i: i + K]) in bench_grams
+            )
+            spans = []
+            for p in flagged:
+                if spans and p <= spans[-1][1]:
+                    spans[-1][1] = p + K
+                else:
+                    spans.append([p, p + K])
+            cov = {i for s, e in spans for i in range(s, e)}
+            kept = [t for i, t in enumerate(ts) if i not in cov]
+            out[d] = (len(ts), len(spans),
+                      sum(e - s for s, e in spans), " ".join(kept))
+        return out
+
+    from core_spark.operators.decontaminate import sql_decontaminate_spans
+
+    @settings(max_examples=120, deadline=None)
+    @given(texts=corp)
+    def check(texts):
+        docs = list(enumerate(texts))
+        con = duckdb.connect()
+        values = ", ".join(f"({d}, '{t}')" for d, t in docs)
+        got = {
+            r[0]: (r[1], r[2], r[3], r[4])
+            for r in con.execute(
+                "SELECT doc_id, n_tokens, n_spans, n_removed, text_clean "
+                "FROM (" + sql_decontaminate_spans(
+                    f"(SELECT * FROM (VALUES {values}) AS t(doc_id, text))",
+                    "doc_id % 2 = 0", k=K,
+                ) + ")"
+            ).fetchall()
+        }
+        assert got == model(docs)
+
+    check()

@@ -113,3 +113,24 @@ def test_mixture_sample_semantics(spark):
         df, targets, "size(split(trim(text), ' '))"
     ).toPandas()
     assert sorted(out.doc_id) == sorted(again.doc_id)
+
+
+@pytest.mark.spark
+def test_mixture_sample_edge_semantics(spark):
+    """Targets absent from the corpus don't constrain T_out; a corpus of
+    only-untargeted strata returns empty; a single targeted stratum is
+    kept whole."""
+    from core_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "en", "one two three") for i in range(10)]
+        + [(100 + i, "xx", "vier fünf") for i in range(5)],
+        "doc_id long, lang string, text string",
+    )
+    expr = "size(split(trim(text), ' '))"
+    # 'ja' target absent from corpus -> en binds alone, kept whole
+    out = mixture_sample(df, {"en": 0.5, "ja": 0.5}, expr).toPandas()
+    assert sorted(out.doc_id) == list(range(10))
+    # only untargeted strata -> nothing survives
+    out2 = mixture_sample(df.filter("lang = 'xx'"), {"en": 1.0}, expr)
+    assert out2.count() == 0
