@@ -55,6 +55,20 @@ def test_reliable_and_persist_match_local(spark, qname, strategy_env):
 
 
 @pytest.mark.spark
+@pytest.mark.parametrize("qname", ["dedup_cluster", "tile_compact"])
+def test_reliable_matches_local_on_loop_operators(spark, qname, strategy_env):
+    """The ITERATIVE operators (star-contraction components, fixed-depth
+    compaction) pin every round; reliable checkpointing must not change
+    their fixpoints. persist is exercised for correctness too, even
+    though it's documented as the wrong strategy for loops (slow, keeps
+    lineage — see materialize.py docstring)."""
+    local = _run(spark, qname, "local")
+    assert local, f"{qname} returned no rows at {SF_SMOKE}"
+    assert _run(spark, qname, "reliable") == local
+    assert _run(spark, qname, "persist") == local
+
+
+@pytest.mark.spark
 def test_reliable_sets_checkpoint_dir(spark, strategy_env):
     df = spark.range(10)
     out = materialize.pin(df, strategy="reliable")
