@@ -70,7 +70,7 @@ def compact_cells(df, input_res: int, min_res: int, cell_col: str = "cell"):
     cur = df.select(F.col(cell_col).alias("cell")).distinct()
     kept_levels = []
     for _res in range(input_res, min_res, -1):
-        cur = cur.transform(pin)
+        cur = pin(cur, loop=True)
         withp = hx.apply_steps(
             cur, hx.parent_steps("cell", "parent")
         ).select("cell", "parent")

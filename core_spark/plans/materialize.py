@@ -82,14 +82,25 @@ def _ensure_checkpoint_dir(df: DataFrame) -> None:
     sc.setCheckpointDir(target)
 
 
-def pin(df: DataFrame, strategy: str | None = None) -> DataFrame:
+def pin(df: DataFrame, strategy: str | None = None,
+        loop: bool = False) -> DataFrame:
     """Eagerly materialize ``df`` before it feeds multiple plan branches.
 
     Always eager — the whole point is that downstream branches (self-join
     sides, union arms, convergence probes) reuse computed partitions
     instead of re-running the upstream plan per branch.
+
+    ``loop=True`` marks a call inside an iterative operator (one pin per
+    round: connected components, cell compaction, adaptive kNN rings).
+    Loops REQUIRE lineage truncation — under ``persist`` each round's
+    plan nests all prior rounds' and analysis cost grows per round
+    (measured 7x on connected components, module docstring) — so a
+    process-wide ``persist`` setting is overridden to ``reliable`` at
+    loop sites; explicit per-call ``strategy=`` still wins.
     """
     s = strategy or current_strategy()
+    if loop and strategy is None and s == "persist":
+        s = "reliable"
     if s == "local":
         return df.localCheckpoint(eager=True)
     if s == "reliable":

@@ -101,3 +101,24 @@ def test_no_raw_localcheckpoint_outside_helper():
                     if ".localCheckpoint(" in line:
                         hits.append(f"{path}:{i}")
     assert not hits, f"raw localCheckpoint outside materialize.py: {hits}"
+
+
+@pytest.mark.spark
+def test_loop_sites_override_persist(spark, strategy_env):
+    """loop=True must never run under persist (lineage accumulates per
+    round — the measured 7x hazard): a process-wide persist setting is
+    overridden to reliable at loop sites, visible as a reliable
+    checkpoint; an explicit per-call strategy still wins."""
+    os.environ[materialize._ENV] = "persist"
+    out = materialize.pin(spark.range(20), loop=True)
+    assert out.count() == 20
+    # reliable checkpoint ran: dir configured; a checkpointed frame's
+    # plan is a scan of the materialized RDD, not InMemoryRelation
+    assert spark.sparkContext.getCheckpointDir() is not None
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan and "InMemoryRelation" not in plan
+    # explicit strategy beats the hint: persist -> InMemory, no rescan
+    out2 = materialize.pin(spark.range(7), strategy="persist", loop=True)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert out2.count() == 7 and "InMemoryTableScan" in plan2
+    out2.unpersist()
