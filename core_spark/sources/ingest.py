@@ -209,6 +209,9 @@ def walk_file_tree(
       path (a million-file tree costs the driver one readdir; executors
       parallelize by subtree over the shared filesystem). Both modes
       return identical rows (pinned in test_golden_adversarial.py).
+      Skew caveat: parallelism is by TOP-LEVEL subtree, so one huge
+      subtree serializes onto one task — for such trees pass that
+      subtree as the scan root instead (its own children then fan out).
 
     Returns the same (path, modificationTime, length, content) schema as
     ``read_file_tree``, with the same ``file:`` path prefix.
