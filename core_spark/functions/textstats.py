@@ -21,9 +21,30 @@ from __future__ import annotations
 # Tokenization + quality signals
 # ---------------------------------------------------------------------------
 
-# BPE-ish word splitter: runs of letters/digits or single non-space symbols.
+# BPE-ish word splitter: runs of letters/digits or single non-space symbols —
+# approximates how byte-pair tokenizers segment at word/punct boundaries, so
+# its count tracks real token budgets far closer than whitespace words do
+# (punctuation-heavy web text: 'Hello, world!' = 4 BPE-ish vs 2 whitespace).
 # \p{L} is Java-regex; DuckDB RE2 uses the same \p{L} syntax — shared subset.
+# Consumed by spark/duck_quality_cols as the oracled n_bpe_tokens column.
 TOKEN_PATTERN = r"[\p{L}\p{N}]+|[^\p{L}\p{N}\s]"
+
+
+def spark_bpe_token_count(text_col: str) -> str:
+    """BPE-ish token count (Spark SQL; Java-regex literal escaping)."""
+    pat = TOKEN_PATTERN.replace("\\", "\\\\")
+    return (
+        f"CASE WHEN {text_col} IS NULL THEN 0 "
+        f"ELSE regexp_count({text_col}, '{pat}') END"
+    )
+
+
+def duck_bpe_token_count(text_col: str) -> str:
+    """DuckDB twin (RE2; raw backslashes in the literal)."""
+    return (
+        f"CASE WHEN {text_col} IS NULL THEN 0 "
+        f"ELSE len(regexp_extract_all({text_col}, '{TOKEN_PATTERN}')) END"
+    )
 
 STOPWORDS = (
     "the of and to in a is that it for on with as are this be at or by an "
@@ -87,6 +108,7 @@ def spark_quality_cols(text_col: str) -> dict[str, str]:
     return {
         "n_chars": n,
         "n_tokens": toks,
+        "n_bpe_tokens": spark_bpe_token_count(text_col),
         "alpha_ratio": f"CASE WHEN {n} > 0 THEN CAST({alpha} AS DOUBLE)/{n} ELSE 0.0 END",
         "punct_ratio": f"CASE WHEN {n} > 0 THEN CAST({punct} AS DOUBLE)/{n} ELSE 0.0 END",
         "digit_ratio": f"CASE WHEN {n} > 0 THEN CAST({digits} AS DOUBLE)/{n} ELSE 0.0 END",
@@ -110,6 +132,7 @@ def duck_quality_cols(text_col: str) -> dict[str, str]:
     return {
         "n_chars": n,
         "n_tokens": toks,
+        "n_bpe_tokens": duck_bpe_token_count(text_col),
         "alpha_ratio": f"CASE WHEN {n} > 0 THEN CAST({alpha} AS DOUBLE)/{n} ELSE 0.0 END",
         "punct_ratio": f"CASE WHEN {n} > 0 THEN CAST({punct} AS DOUBLE)/{n} ELSE 0.0 END",
         "digit_ratio": f"CASE WHEN {n} > 0 THEN CAST({digits} AS DOUBLE)/{n} ELSE 0.0 END",

@@ -767,3 +767,31 @@ class TestKeepBest:
             for r in dd.dedup_keep_best(df, pairs, "length(text)").collect()
         )
         assert got == [1, 2]
+
+
+class TestBpeTokenCount:
+    @pytest.mark.spark
+    def test_bpe_count_parity_and_semantics(self, spark, duck):
+        """The BPE-ish count (runs of letters/digits or single symbols)
+        is engine-identical on unicode/punctuation-heavy text and
+        tracks tokenizer segmentation where whitespace counts don't."""
+        from core_spark.functions.textstats import (
+            duck_bpe_token_count,
+            spark_bpe_token_count,
+        )
+
+        texts = ["Hello, world!", "", "   ", "one",
+                 "ünïcode tökens 3.14 (test)", "a--b..c", None]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [r["n"] for r in df.selectExpr(
+            f"{spark_bpe_token_count('text')} AS n").collect()]
+        vals = ", ".join(
+            "(" + ("NULL" if t is None else "'" + t.replace("'", "''") + "'")
+            + ")" for t in texts)
+        want = [r[0] for r in duck.execute(
+            f"SELECT {duck_bpe_token_count('text')}"
+            f" FROM (VALUES {vals}) t(text)").fetchall()]
+        assert got == want
+        # 'Hello, world!' = Hello , world ! -> 4 (whitespace says 2)
+        assert got[0] == 4
+        assert got[6] == 0  # NULL-safe
