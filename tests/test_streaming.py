@@ -306,3 +306,59 @@ class TestStreamSubdocDedup:
         assert span[0] == 0
         losers = [d for d in range(3, 30, 3)]
         assert all(span[d] >= 8 for d in losers)  # the 8-token boilerplate
+
+
+@pytest.mark.spark
+class TestStreamZonalAgg:
+    def test_watermarked_window_agg_matches_batch(self, spark, tmp_path):
+        """The PURE streaming path (withWatermark + event-time windows +
+        state store, no foreachBatch) produces exactly the batch
+        windowed rollup on the same input — the native stateful-agg
+        twin of the ledger variant above."""
+        from pyspark.sql import functions as F
+
+        from core_spark.functions.extract import with_extracted_text
+        from core_spark.functions.geoparse import with_mentions
+        from core_spark.operators.tiles import assign_tiles
+        from core_spark.streaming.incremental import stream_zonal_agg
+
+        input_dir = str(tmp_path / "in")
+        for part in range(2):
+            pdf = synth.webpages_pandas(80, start=part * 80)[
+                ["doc_id", "url", "warc_ts", "html", "lang"]
+            ]
+            spark.createDataFrame(pdf).coalesce(1).write.mode(
+                "append"
+            ).parquet(input_dir)
+
+        agg = stream_zonal_agg(spark, input_dir)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("zagg")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r["w"]["start"], r["h3_r7"], r["n"])
+            for r in spark.sql("SELECT * FROM zagg").collect()
+        )
+
+        batch = spark.read.parquet(input_dir)
+        extracted = with_extracted_text(batch).filter(
+            F.col("extract_error").isNull()
+        )
+        mentions = with_mentions(
+            extracted, key_cols=("doc_id", "url", "lang", "warc_ts")
+        )
+        tiled = assign_tiles(mentions, resolutions=(7,))
+        want = sorted(
+            (r["w"]["start"], r["h3_r7"], r["n"])
+            for r in tiled.groupBy(
+                F.window("warc_ts", "1 hour").alias("w"), "h3_r7"
+            ).agg(F.count("*").alias("n")).collect()
+        )
+        assert len(got) > 0
+        assert got == want
