@@ -256,6 +256,44 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+def _sql_fingerprint_winnow() -> str:
+    """DuckDB twin of q_fingerprint_winnow (same stepwise emission)."""
+    from core_spark.functions.textstats import winnow_steps
+
+    inner = "SELECT doc_id, text FROM documents"
+    for name, expr in winnow_steps("text", "duckdb"):
+        inner = f"SELECT *, {expr} AS {name} FROM ({inner})"
+    return f"""
+SELECT doc_id,
+       CAST(len(fps) AS INT) AS n_fps,
+       COALESCE(fps[1], 0) AS fp_min,
+       COALESCE(fps[-1], 0) AS fp_max,
+       COALESCE(list_sum(fps), 0)::BIGINT AS fp_sum
+FROM ({inner})
+"""
+
+
+def q_fingerprint_winnow(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (textstats.winnow_steps —
+    Rabin-Karp token windows + Schleimer et al. min-selection): per doc
+    the fingerprint-set size and min/max/sum — position-robust content
+    ids whose overlap measures shared substrings (the MOSS scheme),
+    complementing the whole-doc md5 `fingerprint`. Pure stepwise JVM
+    SQL, one projection, no shuffle."""
+    from core_spark.functions.textstats import winnow_steps
+
+    docs = _docs(spark, sf_dir, wide=False)
+    stepped = hx.apply_steps(docs, winnow_steps("text", "spark"))
+    return stepped.selectExpr(
+        "doc_id",
+        "CAST(size(fps) AS INT) AS n_fps",
+        "COALESCE(try_element_at(fps, 1), 0) AS fp_min",
+        "COALESCE(try_element_at(fps, -1), 0) AS fp_max",
+        "COALESCE(aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x), 0)"
+        " AS fp_sum",
+    )
+
+
 def q_text_langid(spark, sf_dir):
     """Stopword-marker language ID — stepwise score columns + array arg-max
     on Spark (codegen-safe; textstats.lang_id_steps), monolithic portable
@@ -2219,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_quota": q_sample_quota,
         "mixture_sample": q_mixture_sample,
         "refinery_subdoc": q_refinery_subdoc,
+        "fingerprint_winnow": q_fingerprint_winnow,
         "url_host_cap": q_url_host_cap,
         "url_latest": q_url_latest,
         "paragraph_dedup": q_paragraph_dedup,
@@ -2420,6 +2459,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_langid": f"SELECT doc_id, {ts.sql_lang_id('text')} AS lang_pred FROM documents",
         "fingerprint": f"SELECT doc_id, {ts.duck_fingerprint('text')} AS fp FROM documents",
+        "fingerprint_winnow": _sql_fingerprint_winnow(),
         "ann_topk": """
             SELECT query_id, rank, vec_id FROM (
               SELECT q.vec_id AS query_id, v.vec_id,

@@ -269,3 +269,81 @@ def spark_fingerprint(text_col: str) -> str:
 def duck_fingerprint(text_col: str) -> str:
     """Same fingerprint, DuckDB dialect (identical value)."""
     return f"(('0x' || substr(md5({text_col}), 1, 15))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash winnowing fingerprints (Rabin-Karp + Schleimer et al. MOSS)
+# ---------------------------------------------------------------------------
+
+#: polynomial base / modulus for the token rolling hash. M = 2^31 - 1 keeps
+#: every intermediate (acc < M, acc*B < 2^51) inside BIGINT on both engines;
+#: token hashes are the portable md5 recipe reduced mod M.
+WINNOW_B = 1_000_003
+WINNOW_M = (1 << 31) - 1
+WINNOW_W = 4  # tokens per rolling window
+WINNOW_G = 4  # winnowing guarantee window (windows per min-selection)
+
+
+def _rolling_expr(th: str, i: str, dialect: str) -> str:
+    """Unrolled w-term Rabin-Karp window hash starting at 1-based ``i``
+    over token-hash array ``th`` — IDENTICAL integer arithmetic text on
+    both engines (no fold builtin needed, w is small and fixed)."""
+    el = (lambda j: f"element_at({th}, {i} + {j})") if dialect == "spark" \
+        else (lambda j: f"{th}[{i} + {j}]")
+    acc = el(0)
+    for j in range(1, WINNOW_W):
+        acc = f"((({acc}) * {WINNOW_B} + {el(j)}) % {WINNOW_M})"
+    return acc
+
+
+def winnow_steps(text_col: str, dialect: str, out: str = "fps"
+                 ) -> list[tuple[str, str]]:
+    """Stepwise columns (CLAUDE.md rule) ending in ``out`` = the SORTED
+    DISTINCT winnowed fingerprint array:
+
+    1. ``_wth``  token hashes mod M (one md5 per token);
+    2. ``_wrh``  rolling window hashes (w consecutive token hashes,
+       Rabin-Karp polynomial — a shared substring of >= w tokens yields
+       identical window hashes wherever it appears);
+    3. ``out``   winnowed selection: min hash of every g consecutive
+       windows (Schleimer et al.) — position-robust fingerprints whose
+       overlap measures shared content, distinct + sorted.
+    """
+    if dialect == "spark":
+        toks = f"split(trim({text_col}), ' ')"
+        th = (
+            f"transform({toks}, t -> CAST(conv(substr(md5(t), 1, 15),"
+            f" 16, 10) AS BIGINT) % {WINNOW_M})"
+        )
+        # filter-then-transform: sequence(1, n) is ascending for n >= 1
+        # (token arrays are never empty: split('') = ['']); a sequence
+        # with a negative span DESCENDS in Spark, so the window count is
+        # enforced by the filter, never by the sequence bound
+        rh = (
+            f"transform(filter(sequence(1, size(_wth)),"
+            f" i -> i <= size(_wth) - {WINNOW_W - 1}),"
+            f" i -> {_rolling_expr('_wth', 'i', 'spark')})"
+        )
+        wn = (
+            f"array_sort(array_distinct(transform("
+            f"filter(sequence(1, greatest(size(_wrh), 1)),"
+            f" i -> i <= size(_wrh) - {WINNOW_G - 1}),"
+            f" i -> array_min(slice(_wrh, i, {WINNOW_G})))))"
+        )
+    else:
+        toks = f"string_split(trim({text_col}), ' ')"
+        th = (
+            f"[('0x' || substr(md5(t), 1, 15))::BIGINT % {WINNOW_M}"
+            f" for t in {toks}]"
+        )
+        rh = (
+            f"[{_rolling_expr('_wth', 'i', 'duckdb')}"
+            f" for i in range(1, len(_wth) + 1)"
+            f" if i <= len(_wth) - {WINNOW_W - 1}]"
+        )
+        wn = (
+            f"list_sort(list_distinct([list_min(_wrh[i:i + {WINNOW_G - 1}])"
+            f" for i in range(1, len(_wrh) + 1)"
+            f" if i <= len(_wrh) - {WINNOW_G - 1}]))"
+        )
+    return [("_wth", th), ("_wrh", rh), (out, wn)]

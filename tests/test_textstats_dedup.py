@@ -795,3 +795,61 @@ class TestBpeTokenCount:
         # 'Hello, world!' = Hello , world ! -> 4 (whitespace says 2)
         assert got[0] == 4
         assert got[6] == 0  # NULL-safe
+
+
+class TestWinnowFingerprint:
+    @pytest.mark.spark
+    def test_winnow_parity_model_and_moss_property(self, spark, duck):
+        """Rolling-hash winnowing: engine-identical arrays, match a
+        Python Rabin-Karp+winnow model, and satisfy the MOSS property —
+        docs sharing a long substring share fingerprints, unrelated
+        docs don't; sub-(w+g-1)-token docs emit none."""
+        import functools
+        import hashlib
+
+        from core_spark.functions.hexgrid import apply_steps
+        from core_spark.functions.textstats import (
+            WINNOW_B, WINNOW_G, WINNOW_M, WINNOW_W, winnow_steps,
+        )
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog today",
+            "prefix words here the quick brown fox jumps over the lazy dog",
+            "completely different content with other words entirely here",
+            "tiny doc", "",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+        got = {
+            r["doc_id"]: list(r["fps"])
+            for r in apply_steps(df, winnow_steps("text", "spark"))
+            .select("doc_id", "fps").collect()
+        }
+        vals = ", ".join(
+            f"({i}, '{t}')" for i, t in enumerate(texts))
+        inner = f"SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+        for name, expr in winnow_steps("text", "duckdb"):
+            inner = f"SELECT *, {expr} AS {name} FROM ({inner})"
+        want = {
+            r[0]: list(r[1])
+            for r in duck.execute(
+                f"SELECT doc_id, fps FROM ({inner})").fetchall()
+        }
+        assert got == want
+
+        def model(t):
+            toks = t.strip().split(" ")
+            th = [int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+                  % WINNOW_M for x in toks]
+            rh = [functools.reduce(
+                lambda a, j: (a * WINNOW_B + th[j]) % WINNOW_M,
+                range(i + 1, i + WINNOW_W), th[i])
+                for i in range(len(th) - WINNOW_W + 1)]
+            return sorted({min(rh[i:i + WINNOW_G])
+                           for i in range(len(rh) - WINNOW_G + 1)})
+
+        assert all(got[i] == model(t) for i, t in enumerate(texts))
+        assert len(set(got[0]) & set(got[1])) >= 1   # shared substring
+        assert not set(got[0]) & set(got[2])         # unrelated
+        assert got[3] == [] and got[4] == []         # sub-threshold
