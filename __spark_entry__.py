@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from core_spark.functions import hexgrid as hx
 from core_spark.functions import textstats as ts
 from core_spark.operators import dedup as dd
+from core_spark.operators import linkgraph as lg
 from core_spark.plans.materialize import pin
 
 # ---------------------------------------------------------------------------
@@ -2231,6 +2232,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_zonal_rollup(spark, "/root/testdata/sf0.001")
 
 
+def q_link_pagerank(spark, sf_dir):
+    """Host link-graph PageRank, exact BIGINT arithmetic (3 damped
+    rounds at damping 17/20 over a deterministic md5-derived host graph
+    with uniform out-degree 4 — linkgraph.py module docstring). The
+    classic iterative web-scale workload: per-round materialization via
+    pin(loop=True), uniform-key shuffles, node directory joined against
+    the edge table. Oracled bit-for-bit (derivation + all rounds are
+    integer-exact on both engines; a fractions.Fraction pytest proves
+    the DIV steps lose nothing)."""
+    docs = _docs(spark, sf_dir, wide=False)
+    edges = lg.derive_host_edges(docs, n_hosts=97, k_out=4)
+    return lg.pagerank(edges, k_out=4, iters=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness harness
     # checks the FIRST 50 entries (CORRECTNESS_r04 stopped at entry 50
@@ -2245,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # locally by scripts/selfcheck.py, which runs every entry.
     return {
         # -- new this round -------------------------------------------
+        "link_pagerank": q_link_pagerank,
         "span_dedup": q_span_dedup,
         "s2_zonal": q_s2_zonal,
         "dedup_ngram_routed": q_dedup_ngram_routed,
@@ -2703,6 +2719,9 @@ def oracle_sql() -> dict[str, str]:
             f" {TS_CRAWL_SQL} AS ts_epoch FROM documents",
             "doc_id, url, ts_epoch",
             ts_col="ts_epoch",
+        ),
+        "link_pagerank": lg.sql_host_pagerank(
+            "SELECT doc_id FROM documents", n_hosts=97, k_out=4, iters=3
         ),
         "paragraph_dedup": sql_dedup_paragraphs("documents", PARA_TOKENS),
         "span_dedup": sql_dedup_substrings(

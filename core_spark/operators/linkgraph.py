@@ -1,0 +1,199 @@
+"""Host-level link graph + exact-integer PageRank (fixed iterations).
+
+The web-corpus analog of the reference's dependency graph rollups
+(specvital/core aggregates per-scope detections up a tree; a web corpus
+aggregates authority over the host link graph). PageRank is THE classic
+iterative web-scale workload, and it exercises exactly the machinery this
+engine centralizes for loops: per-round materialization with lineage
+truncation (``plans/materialize.pin(loop=True)``), uniform-key shuffles,
+and a small node directory joined against a large edge table.
+
+Exactness discipline (the whole point of this variant)
+------------------------------------------------------
+Float PageRank is NOT cross-engine deterministic: double sums depend on
+association order, so Spark and DuckDB can differ in the last ulp and an
+order-insensitive value hash would flip. This module instead runs the
+damped iteration in pure BIGINT arithmetic:
+
+- every node has exactly ``k_out`` out-edge SLOTS (multi-edges and
+  self-loops allowed — both engines keep them),
+- damping 0.85 is carried as the fraction 17/20,
+- the initial rank is ``r0 = (20·k_out)^3`` per node, which makes every
+  intermediate of a 3-iteration run divisible when it must be:
+  ``r_t`` is a multiple of ``(20·k_out)^(3-t)``, so the per-round
+  ``17 · (Σ in-rank) DIV (20·k_out)`` is TRUE integer division with zero
+  remainder (asserted in tests against a fractions.Fraction model).
+
+With mass conserved (no dangling nodes — fixed out-degree), total rank
+stays ``N·r0`` after every round; at web scale (10^8 hosts) that is
+~5·10^13 · N/N per node, far inside BIGINT.
+
+Graph derivation (generation-rule oracle, CLAUDE.md trick)
+----------------------------------------------------------
+The corpus tables carry no hyperlinks, so the edge table is DERIVED
+deterministically from the document ids: hosts are the dense residues
+``doc_id % n_hosts`` present in the table, and host ``h``'s ``k_out``
+out-slots target the hash-selected node ``md5('lg_<h>_<j>') % N`` via a
+dense index over the host directory. Both engines emit the identical
+graph, so the DuckDB twin gates the whole pipeline (derivation +
+3 rounds) bit-for-bit. The dense-index window runs over the HOST
+DIRECTORY (tiny — 97 rows here, ~10^8 at web scale, never the corpus);
+a real crawl would extract (src_host, dst_host) from anchors instead
+and skip the index entirely — ``pagerank()`` takes any edge table whose
+out-degree is uniformly ``k_out``.
+
+At 100 TB: the edge table shuffles on uniform host keys (md5-derived —
+no skew by construction; a real crawl graph would salt mega-hosts the
+same way zonal.py salts mega-cells); the rank table is |hosts| rows,
+re-pinned per round so each iteration's plan stays flat (the measured
+7x persist-vs-local lesson, materialize.py docstring). Exactly
+``iters`` joins + hash-aggs — O(log-free) fixed rounds, no convergence
+probe needed because the iteration count is part of the contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from core_spark.plans.materialize import pin
+
+#: damping 0.85 as an exact fraction
+_DAMP_NUM, _DAMP_DEN = 17, 20
+
+
+def initial_rank(k_out: int, iters: int = 3) -> int:
+    """Per-node starting mass making ``iters`` rounds integer-exact."""
+    return (_DAMP_DEN * k_out) ** iters
+
+
+def derive_host_edges(
+    docs: DataFrame,
+    n_hosts: int = 97,
+    k_out: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic (src, dst) host edge table from document ids.
+
+    Closed by construction: targets are chosen from the dense index of
+    hosts actually present, so every dst has its own ``k_out`` out-slots
+    (no dangling mass at ANY scale factor).
+    """
+    from pyspark.sql import Window
+
+    nodes = docs.selectExpr(f"{id_col} % {n_hosts} AS host").distinct()
+    # Dense 0..N-1 index over the HOST DIRECTORY (tiny; module docstring).
+    idx = nodes.withColumn(
+        "i", F.row_number().over(Window.orderBy("host")) - F.lit(1)
+    )
+    cnt = nodes.agg(F.count("*").cast("long").alias("n"))
+    slots = (
+        idx.select(F.col("host").alias("src"))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(k_out - 1))))
+        .crossJoin(F.broadcast(cnt))
+        .selectExpr(
+            "src",
+            # portable 60-bit md5 hash -> target slot in [0, N)
+            "CAST(conv(substr(md5(concat('lg_', CAST(src AS STRING), '_', "
+            "CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT) % n AS ti",
+        )
+    )
+    tgt = idx.select(F.col("i").alias("ti"), F.col("host").alias("dst"))
+    return slots.join(F.broadcast(tgt), "ti").select("src", "dst")
+
+
+def pagerank(
+    edges: DataFrame, k_out: int, iters: int = 3
+) -> DataFrame:
+    """(host, in_deg, rank): exact-BIGINT damped PageRank over ``edges``.
+
+    ``edges`` must have exactly ``k_out`` rows per src (multi-edges and
+    self-loops count as slots). Returns in-degree (slot count) and the
+    rank after ``iters`` rounds at scale ``initial_rank(k_out, iters)``
+    total mass per node.
+    """
+    edges = pin(edges)  # consumed every round + by in_deg
+    nodes = pin(edges.select(F.col("src").alias("host")).distinct())
+    r0 = initial_rank(k_out, iters)
+    teleport = (_DAMP_DEN - _DAMP_NUM) * r0 // _DAMP_DEN
+    share_den = _DAMP_DEN * k_out  # Σ in-rank is divisible by this
+    ranks = nodes.withColumn("rank", F.lit(r0).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.host)
+            .groupBy("dst")
+            .agg(F.sum("rank").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.host == contrib.dst, "left")
+            .selectExpr(
+                "host",
+                f"{teleport} + {_DAMP_NUM} * "
+                f"(coalesce(s, 0) DIV {share_den}) AS rank",
+            )
+        )
+        ranks = pin(ranks, loop=True)
+    in_deg = edges.groupBy(F.col("dst").alias("host")).agg(
+        F.count("*").alias("in_deg")
+    )
+    return (
+        ranks.join(in_deg, "host", "left")
+        .selectExpr("host", "coalesce(in_deg, 0) AS in_deg", "rank")
+    )
+
+
+def sql_host_pagerank(
+    inner_sql: str,
+    n_hosts: int = 97,
+    k_out: int = 4,
+    iters: int = 3,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of derive_host_edges + pagerank (unrolled CTE chain)."""
+    r0 = initial_rank(k_out, iters)
+    teleport = (_DAMP_DEN - _DAMP_NUM) * r0 // _DAMP_DEN
+    share_den = _DAMP_DEN * k_out
+    jj = ", ".join(f"({j})" for j in range(k_out))
+    rounds = []
+    prev = "r0"
+    for t in range(1, iters + 1):
+        rounds.append(
+            f"""c{t} AS (
+              SELECT e.dst AS host, CAST(SUM(r.rank) AS BIGINT) AS s
+              FROM edges e JOIN {prev} r ON r.host = e.src
+              GROUP BY e.dst
+            ), r{t} AS (
+              SELECT n.host AS host,
+                     {teleport} + {_DAMP_NUM} * (COALESCE(c.s, 0) // {share_den}) AS rank
+              FROM nodes n LEFT JOIN c{t} c USING (host)
+            )"""
+        )
+        prev = f"r{t}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+        WITH nodes AS (
+          SELECT DISTINCT ({id_col} % {n_hosts}) AS host FROM ({inner_sql})
+        ), idx AS (
+          SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS i FROM nodes
+        ), cnt AS (
+          SELECT COUNT(*) AS n FROM nodes
+        ), slots AS (
+          SELECT host AS src, j
+          FROM idx CROSS JOIN (VALUES {jj}) AS jj(j)
+        ), edges AS (
+          SELECT s.src AS src, t.host AS dst
+          FROM slots s CROSS JOIN cnt c
+          JOIN idx t ON t.i = (
+            ('0x' || substr(md5('lg_' || CAST(s.src AS VARCHAR) || '_' ||
+                                 CAST(s.j AS VARCHAR)), 1, 15))::BIGINT
+          ) % c.n
+        ), indeg AS (
+          SELECT dst AS host, COUNT(*) AS in_deg FROM edges GROUP BY dst
+        ),
+        r0 AS (
+          SELECT host, CAST({r0} AS BIGINT) AS rank FROM nodes
+        ),
+        {rounds_sql}
+        SELECT r.host AS host, COALESCE(i.in_deg, 0) AS in_deg,
+               r.rank AS rank
+        FROM {prev} r LEFT JOIN indeg i USING (host)
+    """

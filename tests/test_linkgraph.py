@@ -1,0 +1,106 @@
+"""Link-graph PageRank: integer exactness, mass conservation, engine parity."""
+
+from __future__ import annotations
+
+import hashlib
+from fractions import Fraction
+
+import pytest
+
+from core_spark.operators.linkgraph import (
+    derive_host_edges,
+    initial_rank,
+    pagerank,
+    sql_host_pagerank,
+)
+
+N_HOSTS, K_OUT, ITERS = 13, 4, 3
+
+
+def _hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _model_edges(doc_ids, n_hosts=N_HOSTS, k_out=K_OUT):
+    hosts = sorted({d % n_hosts for d in doc_ids})
+    n = len(hosts)
+    return hosts, [
+        (h, hosts[_hash60(f"lg_{h}_{j}") % n])
+        for h in hosts
+        for j in range(k_out)
+    ]
+
+
+def _model_pagerank_fraction(hosts, edges, k_out=K_OUT, iters=ITERS):
+    """Exact-rational model: proves the BIGINT path loses nothing."""
+    r0 = Fraction(initial_rank(k_out, iters))
+    ranks = {h: r0 for h in hosts}
+    for _ in range(iters):
+        inflow = {h: Fraction(0) for h in hosts}
+        for s, d in edges:
+            inflow[d] += ranks[s]
+        ranks = {
+            h: Fraction(3, 20) * r0 + Fraction(17, 20) * inflow[h] / k_out
+            for h in hosts
+        }
+    return ranks
+
+
+def test_fraction_model_is_integral_and_conserves_mass():
+    hosts, edges = _model_edges(range(200))
+    ranks = _model_pagerank_fraction(hosts, edges)
+    r0 = initial_rank(K_OUT, ITERS)
+    for v in ranks.values():
+        assert v.denominator == 1  # integer-exact by construction
+    assert sum(ranks.values()) == len(hosts) * r0  # mass conserved
+    assert len(set(ranks.values())) > 1  # non-trivial (ranks differ)
+
+
+@pytest.mark.spark
+def test_spark_matches_fraction_model(spark):
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    edges = derive_host_edges(docs, n_hosts=N_HOSTS, k_out=K_OUT)
+    got = {
+        r["host"]: (r["in_deg"], r["rank"])
+        for r in pagerank(edges, k_out=K_OUT, iters=ITERS).collect()
+    }
+    hosts, medges = _model_edges(range(200))
+    model = _model_pagerank_fraction(hosts, medges)
+    indeg = {h: 0 for h in hosts}
+    for _, d in medges:
+        indeg[d] += 1
+    assert set(got) == set(hosts)
+    for h in hosts:
+        assert got[h] == (indeg[h], int(model[h]))
+
+
+@pytest.mark.spark
+def test_duckdb_twin_matches_spark(spark):
+    import duckdb
+
+    docs = spark.range(150).withColumnRenamed("id", "doc_id")
+    edges = derive_host_edges(docs, n_hosts=N_HOSTS, k_out=K_OUT)
+    got = sorted(
+        tuple(r) for r in pagerank(edges, k_out=K_OUT, iters=ITERS).collect()
+    )
+    sql = sql_host_pagerank(
+        "SELECT range AS doc_id FROM range(150)",
+        n_hosts=N_HOSTS, k_out=K_OUT, iters=ITERS,
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want
+
+
+@pytest.mark.spark
+def test_pagerank_identical_under_reliable_materialization(spark, monkeypatch):
+    docs = spark.range(120).withColumnRenamed("id", "doc_id")
+
+    def run():
+        e = derive_host_edges(docs, n_hosts=N_HOSTS, k_out=K_OUT)
+        return sorted(
+            tuple(r) for r in pagerank(e, k_out=K_OUT, iters=ITERS).collect()
+        )
+
+    base = run()
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "reliable")
+    assert run() == base
