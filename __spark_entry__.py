@@ -2232,6 +2232,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_zonal_rollup(spark, "/root/testdata/sf0.001")
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout bucket stats — the write-side spatial
+    layout op (Iceberg OPTIMIZE ZORDER analog, zorder.py docstring).
+    Buckets are zkey-prefix ranges (the file boundaries a range-
+    clustered write produces); min/max lat/lon per bucket are exactly
+    the column stats a scan prunes on. The layout op itself
+    (repartitionByRange + sortWithinPartitions) is plan- and
+    data-asserted in tests/test_zorder.py; this query oracles the key
+    derivation + footprints bit-for-bit (pure +,*,/ quantization,
+    multiply/mask interleave on BIGINT)."""
+    from pyspark.sql import functions as F
+
+    import core_spark.operators.zorder as zo
+
+    pts = _points(spark, sf_dir, wide=False)
+    keyed = zo.with_zorder_key(pts)
+    return (
+        keyed.selectExpr(f"zkey DIV {1 << 26} AS bucket", "lat", "lon")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("lat").alias("min_lat"),
+            F.max("lat").alias("max_lat"),
+            F.min("lon").alias("min_lon"),
+            F.max("lon").alias("max_lon"),
+        )
+    )
+
+
 def q_link_pagerank(spark, sf_dir):
     """Host link-graph PageRank, exact BIGINT arithmetic (3 damped
     rounds at damping 17/20 over a deterministic md5-derived host graph
@@ -2261,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round -------------------------------------------
         "link_pagerank": q_link_pagerank,
+        "zorder_layout": q_zorder_layout,
         "span_dedup": q_span_dedup,
         "s2_zonal": q_s2_zonal,
         "dedup_ngram_routed": q_dedup_ngram_routed,
@@ -2373,6 +2403,7 @@ def oracle_sql() -> dict[str, str]:
         sql_latest_snapshot,
     )
     from core_spark.operators.pip import sql_pip_parity_join
+    from core_spark.operators.zorder import sql_zorder_bucket_stats
 
     cascade = """
     CASE
@@ -2719,6 +2750,9 @@ def oracle_sql() -> dict[str, str]:
             f" {TS_CRAWL_SQL} AS ts_epoch FROM documents",
             "doc_id, url, ts_epoch",
             ts_col="ts_epoch",
+        ),
+        "zorder_layout": sql_zorder_bucket_stats(
+            _POINTS_SQL, bucket_shift_pow2=1 << 26, dialect="duck"
         ),
         "link_pagerank": lg.sql_host_pagerank(
             "SELECT doc_id FROM documents", n_hosts=97, k_out=4, iters=3
