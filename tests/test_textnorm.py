@@ -1,0 +1,153 @@
+"""Unicode normalization (functions/textnorm) vs a Python model + the
+DuckDB twin.
+
+Gate chain: Spark ``normalize_text`` == Python model (fixed tricky batch,
+one Spark round-trip) and DuckDB ``sql_clean_nfc`` == the SAME model
+(fixed batch + hypothesis fuzz, no Spark in the loop) — so Spark == DuckDB
+transitively, which is what the ``text_normalize`` oracle then pins on
+real corpus data. NFC is a Unicode-STANDARD function; pandas (Python
+unicodedata) and DuckDB (utf8proc) must agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from core_spark.functions.textnorm import (
+    CONTROL_CLASS,
+    HSPACE_CLASS,
+    clean_text,
+    nfc_series,
+    normalize_text,
+    sql_clean_nfc,
+)
+
+_CONTROL_RE = re.compile(CONTROL_CLASS)
+_HSPACE_RE = re.compile(HSPACE_CLASS)
+
+
+def model(s: str) -> str:
+    """Reference semantics: strip controls, collapse hspace, trim
+    SPACES only (Spark/DuckDB trim is space-only — not Python .strip(),
+    which would also eat the newlines clean_text deliberately keeps),
+    then standard NFC."""
+    s = _CONTROL_RE.sub("", s)
+    s = _HSPACE_RE.sub(" ", s)
+    return unicodedata.normalize("NFC", s.strip(" "))
+
+
+# Decomposed accents, Hangul jamo (compose to one syllable), the
+# angstrom SIGN (U+212B -> U+00C5 under NFC), an fi ligature (NFC keeps
+# it -- only NFKC decomposes), stacked combining marks, controls, tab
+# runs, NUL, newline padding (kept by trim), already-composed text.
+TRICKY = [
+    "élève",
+    "Ångström",
+    "Å unit",
+    "각 jamo",
+    "ﬁsh ligature",
+    "ö́ stacked",
+    "ṩ dot order",
+    "x\x07y\x00z\x1f.",
+    "a\tb  c\t\t d",
+    " \n pad \n ",
+    "café composed",
+    "plain ascii",
+    "",
+    "\t \t",
+]
+
+
+@pytest.mark.spark
+def test_normalize_text_matches_model(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRICKY)], "id long, t string"
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in normalize_text(df, "t", "n").select("id", "n").collect()
+    }
+    assert got == {i: model(t) for i, t in enumerate(TRICKY)}
+
+
+@pytest.mark.spark
+def test_normalize_text_single_arrow_stage(spark):
+    """The NFC stage must be ONE ArrowEvalPython — clean_text rides the
+    JVM projection, never a second Python stage."""
+    df = spark.createDataFrame([(1, "á")], "id long, t string")
+    plan = (
+        normalize_text(df, "t", "n")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time fallback
+
+
+@pytest.mark.spark
+def test_clean_text_jvm_only(spark):
+    """clean_text alone is pure codegen'd JVM SQL (no Python stage)."""
+    df = spark.createDataFrame([(1, " x\x07 \t y ")], "id long, t string")
+    out = df.select(clean_text("t").alias("c"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert out.collect()[0]["c"] == "x y"
+
+
+def test_nfc_series_is_standard_nfc():
+    s = pd.Series(TRICKY)
+    assert list(nfc_series(s)) == [
+        unicodedata.normalize("NFC", t) for t in TRICKY
+    ]
+
+
+def _duck(strings):
+    con = duckdb.connect()
+    try:
+        # dtype pinned: an empty list would infer float64 -> DOUBLE
+        con.register(
+            "df", pd.DataFrame({"t": pd.Series(list(strings), dtype="string")})
+        )
+        return [
+            r[0]
+            for r in con.execute(
+                f"SELECT {sql_clean_nfc('t')} FROM df"
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+
+
+def test_duckdb_twin_matches_model_fixed():
+    assert _duck(TRICKY) == [model(t) for t in TRICKY]
+
+
+# Combining marks, jamo, precomposed, compatibility chars, controls,
+# hspace — the NFC/clean stress alphabet (no surrogates).
+_ALPHABET = (
+    "ab zAN19."
+    "\t\n\x00\x07\x1f\x7f"
+    "̧̣́̀̈̊̇"
+    "eocnéÅÅﬁ"
+    "각각"
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet=_ALPHABET, max_size=24), max_size=12))
+def test_duckdb_twin_matches_model_fuzz(strings):
+    assert _duck(strings) == [model(t) for t in strings]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=_ALPHABET, max_size=24))
+def test_model_idempotent(s):
+    assert model(model(s)) == model(s)
