@@ -2322,6 +2322,51 @@ FROM documents
 """
 
 
+# Case + accents + decomposition + word-final capital sigma (where the
+# JVM's Final_Sigma rule would fire if fold_text didn't translate Σ→σ
+# before lower) — appended so the fold oracle exercises every folding
+# step, not just ASCII lowercasing.
+_FOLD_SUFFIX = "\t ÉLÈVE  Ångström\x07 ΣΙΓΜΑΣ Å"
+
+
+def q_text_fold(spark, sf_dir):
+    """CCNet-style dedup-key folding (functions/textnorm.fold_text):
+    JVM cleanup → strip ALL Unicode marks (NFD → drop Mn/Mc/Me → NFC,
+    exactly DuckDB strip_accents' utf8proc STRIPMARK map) in ONE Arrow
+    stage → JVM Σ→σ translate + lower. Accent/case/composition variants
+    collapse to one key, so exact dedup / fingerprints / decon grams
+    catch near-identical docs byte-hashing misses (pytest demos the
+    collapse). Oracled byte-for-byte vs lower(strip_accents(...)) —
+    engine-parity fuzz in tests/test_textnorm.py found and pinned the
+    one real divergence (JVM conditional Final_Sigma)."""
+    from pyspark.sql import functions as F
+
+    from core_spark.functions import textnorm as tn
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    raw = docs.withColumn("raw", F.concat("text", F.lit(_FOLD_SUFFIX)))
+    return tn.fold_text(raw, "raw", "fold").selectExpr(
+        "doc_id",
+        "CAST(length(fold) AS INT) AS n_fold",
+        "substring(md5(fold), 1, 16) AS fold_fp",
+    )
+
+
+def _sql_text_fold() -> str:
+    """DuckDB twin of q_text_fold (suffix rebuilt from codepoints with
+    chr(), same as _sql_text_normalize)."""
+    from core_spark.functions.textnorm import sql_fold
+
+    suffix = " || ".join(f"chr({ord(c)})" for c in _FOLD_SUFFIX)
+    folded = sql_fold(f"(text || {suffix})")
+    return f"""
+SELECT doc_id,
+       CAST(length({folded}) AS INT) AS n_fold,
+       substring(md5({folded}), 1, 16) AS fold_fp
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness harness
     # checks the FIRST 50 entries (CORRECTNESS_r04 stopped at entry 50
@@ -2337,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round -------------------------------------------
         "text_normalize": q_text_normalize,
+        "text_fold": q_text_fold,
         "link_pagerank": q_link_pagerank,
         "zorder_layout": q_zorder_layout,
         "span_dedup": q_span_dedup,
@@ -2369,7 +2415,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "tile_parent_rollup": q_tile_parent_rollup,
         "zonal_rollup": q_zonal_rollup,
-        "zonal_salted": q_zonal_salted,
         "rasterize": q_rasterize,
         "pip_join": q_pip_join,
         "knn": q_knn,
@@ -2398,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "framework_detect": q_framework_detect,
         "detect_cascade": q_detect_cascade,
+        "zonal_salted": q_zonal_salted,
         "s2_assign": q_s2_assign,
         "test_file_filter": q_test_file_filter,
         "pii_redact": q_pii_redact,
@@ -2806,6 +2852,7 @@ def oracle_sql() -> dict[str, str]:
             ts_col="ts_epoch",
         ),
         "text_normalize": _sql_text_normalize(),
+        "text_fold": _sql_text_fold(),
         "zorder_layout": sql_zorder_bucket_stats(
             _POINTS_SQL, bucket_shift_pow2=1 << 26, dialect="duck"
         ),
