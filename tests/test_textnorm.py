@@ -272,6 +272,29 @@ def test_fold_collapses_variant_docs_for_dedup(spark):
 
 
 @pytest.mark.spark
+def test_fold_composes_with_exact_dedup(spark):
+    """Through the real operator: exact_dedup on the fold key keeps ONE
+    representative (lowest id) for the 4 variants; on raw bytes it keeps
+    all 4."""
+    from core_spark.operators.dedup import exact_dedup
+
+    variants = [
+        "Élève Café",  # precomposed
+        "Élève Café",  # decomposed, same canonical text
+        "ÉLÈVE CAFÉ",  # upper
+        "eleve  cafe\t",  # accent-less, messy whitespace
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(variants)], "doc_id long, text string"
+    )
+    raw = exact_dedup(df).collect()
+    assert len(raw) == 4 and all(r["dup_count"] == 1 for r in raw)
+    folded = exact_dedup(fold_text(df), text_col="text_fold").collect()
+    assert len(folded) == 1
+    assert folded[0]["doc_id"] == 0 and folded[0]["dup_count"] == 4
+
+
+@pytest.mark.spark
 def test_fold_text_single_arrow_stage(spark):
     df = spark.createDataFrame([(1, "Á")], "id long, t string")
     plan = (
