@@ -25,6 +25,7 @@ from core_spark.functions import hexgrid as hx
 from core_spark.functions import textstats as ts
 from core_spark.operators import dedup as dd
 from core_spark.operators import linkgraph as lg
+from core_spark.operators import lmscore as lms
 from core_spark.plans.materialize import pin
 
 # ---------------------------------------------------------------------------
@@ -2367,6 +2368,19 @@ FROM documents
 """
 
 
+def q_lm_fluency(spark, sf_dir):
+    """Char-trigram LM fluency scoring (operators/lmscore.py) — the
+    CCNet-style language-model quality filter, integer-exact: fit a
+    trigram model on a deterministic md5-sampled quarter of the corpus
+    (map-side filter, one hash-agg on uniform trigram keys, top-V cut),
+    then score EVERY doc via broadcast join + per-doc re-agg. Rarity =
+    SCALE DIV count; OOV = max penalty; score = integer mean rarity
+    (low = fluent). vocab_size=256 < the corpus's 377 distinct trigrams
+    so the OOV arm is actually exercised (all 500 docs have OOV hits at
+    sf0.01; scores spread 12k-135k)."""
+    return lms.trigram_fluency(_docs(spark, sf_dir), vocab_size=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness harness
     # checks the FIRST 50 entries (CORRECTNESS_r04 stopped at entry 50
@@ -2383,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round -------------------------------------------
         "text_normalize": q_text_normalize,
         "text_fold": q_text_fold,
+        "lm_fluency": q_lm_fluency,
         "link_pagerank": q_link_pagerank,
         "zorder_layout": q_zorder_layout,
         "span_dedup": q_span_dedup,
@@ -2415,7 +2430,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "tile_parent_rollup": q_tile_parent_rollup,
         "zonal_rollup": q_zonal_rollup,
-        "rasterize": q_rasterize,
         "pip_join": q_pip_join,
         "knn": q_knn,
         "geoparse_dec": q_geoparse_dec,
@@ -2444,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "framework_detect": q_framework_detect,
         "detect_cascade": q_detect_cascade,
         "zonal_salted": q_zonal_salted,
+        "rasterize": q_rasterize,
         "s2_assign": q_s2_assign,
         "test_file_filter": q_test_file_filter,
         "pii_redact": q_pii_redact,
@@ -2853,6 +2868,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_normalize": _sql_text_normalize(),
         "text_fold": _sql_text_fold(),
+        "lm_fluency": lms.sql_trigram_fluency("documents", vocab_size=256),
         "zorder_layout": sql_zorder_bucket_stats(
             _POINTS_SQL, bucket_shift_pow2=1 << 26, dialect="duck"
         ),
