@@ -2368,6 +2368,89 @@ FROM documents
 """
 
 
+def _c4_gen_steps(dialect: str) -> list[tuple[str, str]]:
+    """Generation rule for the C4-cleaning oracle: the fixture corpus has
+    no newlines or punctuation, so derive a web-page-like column — 8-token
+    lines whose terminator ('.', '!', '?', or none) is chosen by the
+    line's own md5 (content-addressed, so no list-index primitive is
+    needed — DuckDB's list_transform has no index arg), plus a junk first
+    line by doc_id arm (lorem-ipsum page ban / javascript line ban /
+    curly-brace page ban / too-short line / clean). Same steps textually
+    on both engines."""
+    from core_spark.operators.paradedup import (
+        _hash60, paragraphs_expr, tokens_expr,
+    )
+
+    h = _hash60("l", "spark" if dialect == "spark" else "duckdb")
+    term = (
+        f"CASE CAST({h} % 4 AS INT) WHEN 0 THEN '.' WHEN 1 THEN '!'"
+        f" WHEN 2 THEN '?' ELSE '' END"
+    )
+    if dialect == "spark":
+        plines = f"transform(_rawlines, l -> l || {term})"
+        joined = "array_join(_plines, char(10))"
+        nl = "char(10)"
+    else:
+        plines = f"list_transform(_rawlines, l -> l || {term})"
+        joined = "COALESCE(array_to_string(_plines, chr(10)), '')"
+        nl = "chr(10)"
+    junk = (
+        f"CASE CAST(doc_id % 5 AS INT)"
+        f" WHEN 0 THEN 'lorem ipsum dolor sit amet.' || {nl} || _joined"
+        f" WHEN 1 THEN 'please enable javascript to continue.' || {nl}"
+        f" || _joined"
+        f" WHEN 2 THEN 'var f = function() {{ return 1; }}.' || {nl}"
+        f" || _joined"
+        f" WHEN 3 THEN 'too short.' || {nl} || _joined"
+        f" ELSE _joined END"
+    )
+    return [
+        ("_toks", tokens_expr("text", dialect)),
+        ("_rawlines", paragraphs_expr("_toks", 8, dialect)),
+        ("_plines", plines),
+        ("_joined", joined),
+        ("gen_text", junk),
+    ]
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4-style page cleaning (operators/c4clean.py — the Raffel et al.
+    2020 §2.2 heuristics): line-level terminal-punctuation / min-words /
+    javascript rules, page-level min-sentences / lorem-ipsum /
+    curly-brace gates. One codegen'd stepwise projection, no shuffle, no
+    Python (plan-asserted Exchange-free in pytest). Input lines+
+    punctuation derived by _c4_gen_steps (generation-rule oracle);
+    outputs pin the cleaned text by md5 prefix."""
+    from core_spark.operators.c4clean import clean_steps
+
+    docs = _docs(spark, sf_dir, wide=False).select("doc_id", "text")
+    gen = hx.apply_steps(docs, _c4_gen_steps("spark"))
+    out = hx.apply_steps(gen, clean_steps("gen_text", "spark"))
+    return out.selectExpr(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "n_sent",
+        "c4_kept",
+        "substring(md5(c4_clean), 1, 16) AS clean_fp",
+    )
+
+
+def _sql_c4_clean_oracle() -> str:
+    from core_spark.operators.c4clean import clean_steps
+
+    inner = "SELECT doc_id, text FROM documents"
+    for name, expr in _c4_gen_steps("duckdb") + clean_steps(
+        "gen_text", "duckdb"
+    ):
+        inner = f"SELECT *, {expr} AS {name} FROM ({inner})"
+    return f"""
+SELECT doc_id, n_lines, n_kept, n_sent, c4_kept,
+       substring(md5(c4_clean), 1, 16) AS clean_fp
+FROM ({inner})
+"""
+
+
 def q_lm_fluency(spark, sf_dir):
     """Char-trigram LM fluency scoring (operators/lmscore.py) — the
     CCNet-style language-model quality filter, integer-exact: fit a
@@ -2398,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "text_fold": q_text_fold,
         "lm_fluency": q_lm_fluency,
+        "c4_clean": q_c4_clean,
         "link_pagerank": q_link_pagerank,
         "zorder_layout": q_zorder_layout,
         "span_dedup": q_span_dedup,
@@ -2432,7 +2516,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_rollup": q_zonal_rollup,
         "pip_join": q_pip_join,
         "knn": q_knn,
-        "geoparse_dec": q_geoparse_dec,
         "extract_invariant": q_extract_invariant,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
@@ -2459,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_cascade": q_detect_cascade,
         "zonal_salted": q_zonal_salted,
         "rasterize": q_rasterize,
+        "geoparse_dec": q_geoparse_dec,
         "s2_assign": q_s2_assign,
         "test_file_filter": q_test_file_filter,
         "pii_redact": q_pii_redact,
@@ -2869,6 +2953,7 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": _sql_text_normalize(),
         "text_fold": _sql_text_fold(),
         "lm_fluency": lms.sql_trigram_fluency("documents", vocab_size=256),
+        "c4_clean": _sql_c4_clean_oracle(),
         "zorder_layout": sql_zorder_bucket_stats(
             _POINTS_SQL, bucket_shift_pow2=1 << 26, dialect="duck"
         ),
