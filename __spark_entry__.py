@@ -2451,6 +2451,92 @@ FROM ({inner})
 """
 
 
+def _gopher_gen_steps(dialect: str) -> list[tuple[str, str]]:
+    """Generation rule for the Gopher-gate oracle: the fixture corpus has
+    single-space words, no lines, and only ONE Gopher stop word ('the'),
+    so every doc would fail g_stop vacuously. Derive 8-token lines with
+    content-hash decorations (bullets ~40%, ellipsis endings ~20%) and
+    doc_id arms that push each gate across its threshold: all-bullet
+    pages, stop-word-bearing pages, symbol-heavy pages, and plain pages."""
+    from core_spark.operators.paradedup import (
+        _hash60, paragraphs_expr, tokens_expr,
+    )
+
+    h = _hash60("l", "spark" if dialect == "spark" else "duckdb")
+    deco = (
+        f"CASE CAST({h} % 5 AS INT) WHEN 0 THEN '- ' || l"
+        f" WHEN 1 THEN l || '...' WHEN 2 THEN '* ' || l ELSE l END"
+    )
+    if dialect == "spark":
+        dlines = f"transform(_rawlines, l -> {deco})"
+        joined = "array_join(_dlines, char(10))"
+        nl = "char(10)"
+    else:
+        dlines = f"list_transform(_rawlines, l -> {deco})"
+        joined = "COALESCE(array_to_string(_dlines, chr(10)), '')"
+        nl = "chr(10)"
+    gen = (
+        f"CASE CAST(doc_id % 4 AS INT)"
+        f" WHEN 0 THEN '- ' || replace(_joined, {nl}, {nl} || '- ')"
+        f" WHEN 1 THEN _joined || {nl} ||"
+        f" 'and that have with the of to be'"
+        f" WHEN 2 THEN _joined || ' ### ## # ... ...'"
+        f" ELSE _joined END"
+    )
+    return [
+        ("_toks", tokens_expr("text", dialect)),
+        ("_rawlines", paragraphs_expr("_toks", 8, dialect)),
+        ("_dlines", dlines),
+        ("_joined", joined),
+        ("gen_text", gen),
+    ]
+
+
+def q_gopher_gate(spark, sf_dir):
+    """Gopher quality rules (operators/gopherrules.py — Rae et al. 2021
+    Table A1, the word-statistics half; repetition.py is the other
+    half): word count / mean word length / symbol ratio / bullet- and
+    ellipsis-line fractions / alphabetic-word fraction / stop-word
+    presence, every gate in pure BIGINT cross-multiplication (no double
+    ever compared). One Exchange-free Python-free stepwise projection
+    (plan-asserted in pytest); lines + gate-crossing arms derived by
+    _gopher_gen_steps."""
+    from core_spark.operators.gopherrules import GATE_COLS, gopher_steps
+
+    docs = _docs(spark, sf_dir, wide=False).select("doc_id", "text")
+    gen = hx.apply_steps(docs, _gopher_gen_steps("spark"))
+    out = hx.apply_steps(gen, gopher_steps("gen_text", "spark"))
+    return out.select(
+        "doc_id",
+        "words",
+        "sum_word_len",
+        "n_symbols",
+        "bullet_lines",
+        "ellipsis_lines",
+        "alpha_words",
+        "stop_types",
+        *GATE_COLS,
+    )
+
+
+def _sql_gopher_gate_oracle() -> str:
+    from core_spark.operators.gopherrules import GATE_COLS, gopher_steps
+
+    inner = "SELECT doc_id, text FROM documents"
+    for name, expr in _gopher_gen_steps("duckdb") + gopher_steps(
+        "gen_text", "duckdb"
+    ):
+        inner = f"SELECT *, {expr} AS {name} FROM ({inner})"
+    outs = ", ".join(
+        [
+            "doc_id", "words", "sum_word_len", "n_symbols",
+            "bullet_lines", "ellipsis_lines", "alpha_words", "stop_types",
+        ]
+        + GATE_COLS
+    )
+    return f"SELECT {outs} FROM ({inner})"
+
+
 def q_lm_fluency(spark, sf_dir):
     """Char-trigram LM fluency scoring (operators/lmscore.py) — the
     CCNet-style language-model quality filter, integer-exact: fit a
@@ -2482,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fold": q_text_fold,
         "lm_fluency": q_lm_fluency,
         "c4_clean": q_c4_clean,
+        "gopher_gate": q_gopher_gate,
         "link_pagerank": q_link_pagerank,
         "zorder_layout": q_zorder_layout,
         "span_dedup": q_span_dedup,
@@ -2523,7 +2610,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "simhash_pairs": q_simhash_pairs,
         "dedup_cluster": q_dedup_cluster,
-        "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_recall": q_ann_ivf_recall,
         "corpus_curation": q_corpus_curation,
@@ -2543,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_salted": q_zonal_salted,
         "rasterize": q_rasterize,
         "geoparse_dec": q_geoparse_dec,
+        "ann_topk": q_ann_topk,
         "s2_assign": q_s2_assign,
         "test_file_filter": q_test_file_filter,
         "pii_redact": q_pii_redact,
@@ -2954,6 +3041,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fold": _sql_text_fold(),
         "lm_fluency": lms.sql_trigram_fluency("documents", vocab_size=256),
         "c4_clean": _sql_c4_clean_oracle(),
+        "gopher_gate": _sql_gopher_gate_oracle(),
         "zorder_layout": sql_zorder_bucket_stats(
             _POINTS_SQL, bucket_shift_pow2=1 << 26, dialect="duck"
         ),
