@@ -2537,6 +2537,151 @@ def _sql_gopher_gate_oracle() -> str:
     return f"SELECT {outs} FROM ({inner})"
 
 
+# Constant five-sentence page built from corpus-pool words + Gopher stop
+# words: passes C4 (punctuated ≥3-word lines) and Gopher (≥50 words,
+# stops present), and its trigrams are in-distribution so the LM score
+# stays under the pipeline threshold. Planted at doc_id%20==1 (as-is)
+# and %20==5 (UPPERCASED) so the fold-key dedup stage has a real
+# cross-case duplicate family to collapse.
+_PIPE_CONST_LINES = [
+    "the table scan and value part with that have merge sort now.",
+    "a fast row hash of the big data column stays here today.",
+    "the small batch join and window agg keep that order well.",
+    "a slow filter group with the key value line runs fine too.",
+    "the query stream sort of a part table ends this page now.",
+]
+#: integer LM-score ceiling for the pipeline's fluency gate (keeps both
+#: planted case variants: measured 263,711 / 943,103 at sf0.01)
+_PIPE_LM_MAX = 1_000_000
+
+
+def _pipe_gen_expr(dialect: str) -> str:
+    """The pipeline's input arm (applies after _c4_gen_steps' _joined):
+    planted constant pages, a lorem page-ban arm, a stop-word-bearing
+    punctuated line (the main survivor arm), and a curly-brace arm."""
+    nl = "char(10)" if dialect == "spark" else "chr(10)"
+    const = f" || {nl} || ".join(f"'{l}'" for l in _PIPE_CONST_LINES)
+    const_up = f" || {nl} || ".join(
+        f"'{l.upper()}'" for l in _PIPE_CONST_LINES
+    )
+    return (
+        f"CASE"
+        f" WHEN CAST(doc_id % 20 AS INT) = 1 THEN {const}"
+        f" WHEN CAST(doc_id % 20 AS INT) = 5 THEN {const_up}"
+        f" WHEN CAST(doc_id % 4 AS INT) = 0 THEN"
+        f" 'lorem ipsum dolor sit amet.' || {nl} || _joined"
+        f" WHEN CAST(doc_id % 4 AS INT) = 1 THEN _joined || {nl} ||"
+        f" 'and that we have with the of be here today.'"
+        f" WHEN CAST(doc_id % 4 AS INT) = 2 THEN"
+        f" 'var f = function() {{ return 1; }}.' || {nl} || _joined"
+        f" ELSE _joined END"
+    )
+
+
+def q_pipeline_modern(spark, sf_dir):
+    """The modern web-pipeline capstone, composed end-to-end from this
+    round's operators: C4 page cleaning → Gopher quality gates (on the
+    cleaned text) → char-trigram LM fluency → fold-key (case/accent-
+    insensitive) exact-dedup representative selection. Flag-style
+    output (one row per doc: c4_kept, gopher_kept, lm score, fold_fp,
+    final_kept) so every stage's behavior is oracled, not just the
+    surviving set; final_kept = all gates AND lowest-id member of the
+    doc's fold family. The planted constant page (two byte-distinct
+    case variants across ~50 docs) collapses to ONE representative —
+    the cross-case dedup that byte-level hashing cannot do. Chain
+    tables that feed multiple consumers are pinned (CLAUDE.md rule);
+    the LM stage's double corpus scan is the operator's own documented
+    shape."""
+    from pyspark.sql import functions as F
+
+    from core_spark.functions import textnorm as tn
+    from core_spark.operators.c4clean import clean_steps
+    from core_spark.operators.gopherrules import gopher_steps
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # gen_text must land in the SAME apply_steps call as _joined —
+    # apply_steps drops _-prefixed intermediates when it returns
+    gen = hx.apply_steps(
+        docs,
+        _c4_gen_steps("spark")[:-1]
+        + [("gen_text", _pipe_gen_expr("spark"))],
+    ).select("doc_id", "gen_text")
+    chain = hx.apply_steps(gen, clean_steps("gen_text", "spark"))
+    chain = hx.apply_steps(chain, gopher_steps("c4_clean", "spark"))
+    flags = pin(
+        chain.select("doc_id", "c4_kept", "gopher_kept", "c4_clean")
+    )
+    scores = lms.trigram_fluency(
+        flags.selectExpr("doc_id", "c4_clean AS text"), vocab_size=256
+    ).select("doc_id", "score")
+    joined = flags.join(scores, "doc_id")
+    folded = pin(
+        tn.fold_text(joined, "c4_clean", "_fold").selectExpr(
+            "doc_id",
+            "c4_kept",
+            "gopher_kept",
+            "score",
+            "substring(md5(_fold), 1, 16) AS fold_fp",
+            f"COALESCE(c4_kept AND gopher_kept AND score < {_PIPE_LM_MAX},"
+            f" false) AS _cand",
+        )
+    )
+    winners = (
+        folded.where("_cand")
+        .groupBy("fold_fp")
+        .agg(F.min("doc_id").alias("_rep"))
+    )
+    return (
+        folded.join(winners, "fold_fp", "left")
+        .selectExpr(
+            "doc_id",
+            "c4_kept",
+            "gopher_kept",
+            "score",
+            "fold_fp",
+            "COALESCE(_cand AND doc_id = _rep, false) AS final_kept",
+        )
+    )
+
+
+def _sql_pipeline_modern() -> str:
+    from core_spark.functions.textnorm import sql_fold
+    from core_spark.operators.c4clean import clean_steps
+    from core_spark.operators.gopherrules import gopher_steps
+
+    inner = "SELECT doc_id, text FROM documents"
+    steps = (
+        _c4_gen_steps("duckdb")[:-1]
+        + [("gen_text", _pipe_gen_expr("duckdb"))]
+        + clean_steps("gen_text", "duckdb")
+        + gopher_steps("c4_clean", "duckdb")
+    )
+    for name, expr in steps:
+        inner = f"SELECT *, {expr} AS {name} FROM ({inner})"
+    flags = (
+        f"SELECT doc_id, c4_kept, gopher_kept, c4_clean FROM ({inner})"
+    )
+    lm = lms.sql_trigram_fluency(
+        f"(SELECT doc_id, c4_clean AS text FROM ({flags}))", vocab_size=256
+    )
+    return f"""
+WITH flags AS ({flags}), lm AS ({lm}),
+j AS (
+  SELECT f.doc_id, f.c4_kept, f.gopher_kept, l.score,
+         substring(md5({sql_fold('f.c4_clean')}), 1, 16) AS fold_fp,
+         COALESCE(f.c4_kept AND f.gopher_kept
+                  AND l.score < {_PIPE_LM_MAX}, false) AS _cand
+  FROM flags f JOIN lm l USING (doc_id)
+),
+w AS (
+  SELECT fold_fp, MIN(doc_id) AS _rep FROM j WHERE _cand GROUP BY fold_fp
+)
+SELECT j.doc_id, j.c4_kept, j.gopher_kept, j.score, j.fold_fp,
+       COALESCE(j._cand AND j.doc_id = w._rep, false) AS final_kept
+FROM j LEFT JOIN w USING (fold_fp)
+"""
+
+
 def q_lm_fluency(spark, sf_dir):
     """Char-trigram LM fluency scoring (operators/lmscore.py) — the
     CCNet-style language-model quality filter, integer-exact: fit a
@@ -2569,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_fluency": q_lm_fluency,
         "c4_clean": q_c4_clean,
         "gopher_gate": q_gopher_gate,
+        "pipeline_modern": q_pipeline_modern,
         "link_pagerank": q_link_pagerank,
         "zorder_layout": q_zorder_layout,
         "span_dedup": q_span_dedup,
@@ -2613,7 +2759,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_recall": q_ann_ivf_recall,
         "corpus_curation": q_corpus_curation,
-        "sessionize": q_sessionize,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         # ---- driver window boundary (entry 50 above) -----------------
@@ -2630,6 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize": q_rasterize,
         "geoparse_dec": q_geoparse_dec,
         "ann_topk": q_ann_topk,
+        "sessionize": q_sessionize,
         "s2_assign": q_s2_assign,
         "test_file_filter": q_test_file_filter,
         "pii_redact": q_pii_redact,
@@ -3042,6 +3188,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_fluency": lms.sql_trigram_fluency("documents", vocab_size=256),
         "c4_clean": _sql_c4_clean_oracle(),
         "gopher_gate": _sql_gopher_gate_oracle(),
+        "pipeline_modern": _sql_pipeline_modern(),
         "zorder_layout": sql_zorder_bucket_stats(
             _POINTS_SQL, bucket_shift_pow2=1 << 26, dialect="duck"
         ),
