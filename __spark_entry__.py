@@ -2700,13 +2700,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # checks the FIRST 50 entries (CORRECTNESS_r04 stopped at entry 50
     # exactly). The window is rotated each round so every query gets a
     # driver-green row in SOME round's file: positions 1-50 below hold
-    # this round's new queries (span_dedup, s2_zonal, dedup_ngram_routed),
-    # the 17 queries the r4 run never reached, and the operators this
-    # round touched (materialize knob, ngram routing, weburl regex,
-    # quantiles, paradedup). Positions 51+ are pure-kernel / plain-SQL
-    # queries UNCHANGED since their green CORRECTNESS_r04 rows
-    # (inventories, simple joins/aggs, multimodal) — all still gated
-    # locally by scripts/selfcheck.py, which runs every entry.
+    # every round-5 query (the normalization/LM/C4/Gopher/pipeline
+    # batch, span_dedup, s2_zonal, dedup_ngram_routed, ...), the 17
+    # queries the r4 run never reached, and every operator round 5
+    # touched (materialize knob, ngram routing, weburl regex, quantiles,
+    # paradedup, tiles/knn/dedup pins). Positions 51+ are queries GREEN
+    # in CORRECTNESS_r04 whose code is UNCHANGED since (verified per
+    # file against the r4 boundary commit: detect.py, s2.py,
+    # geoparse.py, similarity.py, zonal.py, pip.py, sessions.py, the
+    # inventory kernels, multimodal) — all still gated locally by
+    # scripts/selfcheck.py, which runs every entry with no cap.
     return {
         # -- new this round -------------------------------------------
         "text_normalize": q_text_normalize,
