@@ -362,3 +362,68 @@ class TestStreamZonalAgg:
         )
         assert len(got) > 0
         assert got == want
+
+
+class TestStreamCleaningRules:
+    def test_stream_c4_gopher_flags_match_batch(self, spark, tmp_path):
+        """The round-5 cleaning layer (C4 rules + Gopher gates) is pure
+        row-local work, so it streams through the generic ledger
+        combinator unchanged: per-micro-batch application is trivially a
+        contraction (identity resolver), and the resolved ledger must
+        equal the one-shot batch application row for row."""
+        from core_spark.operators.c4clean import c4_clean
+        from core_spark.operators.gopherrules import gopher_gate
+        from core_spark.streaming.incremental import (
+            resolve_ledger,
+            stream_accumulate,
+        )
+
+        pages = [
+            (i, t)
+            for i, t in enumerate(
+                [
+                    "Good sentence number %d sits right here.\n"
+                    "Another full sentence lands right here!\n"
+                    "A third one with the and that here?\n"
+                    "Fourth keeps the page alive today.\n"
+                    "Fifth closes it out for good." % i
+                    for i in range(30)
+                ]
+                + ["lorem ipsum dolor sit amet page.", "", "short one."]
+            )
+        ]
+        input_dir = str(tmp_path / "in")
+        for part in range(3):
+            chunk = pages[part * 11 : (part + 1) * 11]
+            spark.createDataFrame(
+                chunk, "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(input_dir)
+
+        def stage(df):
+            return gopher_gate(c4_clean(df), "c4_clean").select(
+                "doc_id", "c4_kept", "gopher_kept", "c4_clean"
+            )
+
+        q = stream_accumulate(
+            spark,
+            input_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            output_dir=str(tmp_path / "ledger"),
+            schema="doc_id long, text string",
+            batch_reducer=stage,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+        got = sorted(
+            tuple(r)
+            for r in resolve_ledger(
+                spark, str(tmp_path / "ledger"), lambda df: df
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in stage(spark.read.parquet(input_dir)).collect()
+        )
+        assert len(got) == len(pages)
+        assert got == want
