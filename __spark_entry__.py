@@ -2682,6 +2682,71 @@ FROM j LEFT JOIN w USING (fold_fp)
 """
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC source gate (sources/warc.py — ISO 28500, Common Crawl's
+    native format): every document is encoded as a single-record WARC
+    archive (odd doc_ids as a per-record-gzip member, the standard
+    .warc.gz layout) and parsed back with the REAL record parser in the
+    same Arrow stage; the emitted fields come from the PARSED record,
+    so header grammar, Content-Length slicing, gzip membering, and
+    payload bytes are all gated byte-for-byte against a pure-SQL
+    derivation of the same fields. File-level ingestion (binaryFile →
+    the same parser) is pytest-gated in test_warc.py."""
+    import pandas as pd
+
+    from core_spark.sources.warc import encode_warc, parse_warc_bytes
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "url", "warc_ts", "rec_type", "n_payload",
+                "payload_fp")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                s = i % 86400
+                ts = f"2026-01-01T{s // 3600:02d}:{s % 3600 // 60:02d}:{s % 60:02d}Z"
+                rec = {
+                    "url": f"https://corpus.example/doc/{i}",
+                    "ts": ts,
+                    "payload": str(text).encode("utf-8"),
+                }
+                data = encode_warc([rec], per_record_gzip=bool(i % 2))
+                (p,) = parse_warc_bytes(data)
+                assert p["error"] is None, p["error"]
+                import hashlib
+
+                out["doc_id"].append(i)
+                out["url"].append(p["url"])
+                out["warc_ts"].append(p["ts"])
+                out["rec_type"].append(p["rec_type"])
+                out["n_payload"].append(len(p["payload"]))
+                out["payload_fp"].append(
+                    hashlib.md5(p["payload"]).hexdigest()[:16]
+                )
+            yield pd.DataFrame(out)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return docs.mapInPandas(
+        run,
+        "doc_id long, url string, warc_ts string, rec_type string,"
+        " n_payload int, payload_fp string",
+    )
+
+
+_SQL_WARC_ROUNDTRIP = """
+SELECT doc_id,
+       'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       '2026-01-01T' || lpad(CAST((doc_id % 86400) // 3600 AS VARCHAR), 2, '0')
+         || ':' || lpad(CAST((doc_id % 3600) // 60 AS VARCHAR), 2, '0')
+         || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z'
+         AS warc_ts,
+       'response' AS rec_type,
+       CAST(strlen(text) AS INT) AS n_payload,
+       substring(md5(text), 1, 16) AS payload_fp
+FROM documents
+"""
+
+
 def q_lm_fluency(spark, sf_dir):
     """Char-trigram LM fluency scoring (operators/lmscore.py) — the
     CCNet-style language-model quality filter, integer-exact: fit a
@@ -2718,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "gopher_gate": q_gopher_gate,
         "pipeline_modern": q_pipeline_modern,
+        "warc_roundtrip": q_warc_roundtrip,
         "link_pagerank": q_link_pagerank,
         "zorder_layout": q_zorder_layout,
         "span_dedup": q_span_dedup,
@@ -2748,7 +2814,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         # -- operators touched this round + geospatial core ------------
         "tile_assign": q_tile_assign,
-        "tile_parent_rollup": q_tile_parent_rollup,
         "zonal_rollup": q_zonal_rollup,
         "pip_join": q_pip_join,
         "knn": q_knn,
@@ -2778,6 +2843,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize": q_rasterize,
         "geoparse_dec": q_geoparse_dec,
         "ann_topk": q_ann_topk,
+        # tile_parent_rollup: only compact_cells changed in tiles.py this
+        # round (gated by the in-window tile_compact); the rollup itself
+        # is r4-green and untouched
+        "tile_parent_rollup": q_tile_parent_rollup,
         "sessionize": q_sessionize,
         "s2_assign": q_s2_assign,
         "test_file_filter": q_test_file_filter,
@@ -3192,6 +3261,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": _sql_c4_clean_oracle(),
         "gopher_gate": _sql_gopher_gate_oracle(),
         "pipeline_modern": _sql_pipeline_modern(),
+        "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "zorder_layout": sql_zorder_bucket_stats(
             _POINTS_SQL, bucket_shift_pow2=1 << 26, dialect="duck"
         ),
