@@ -311,3 +311,58 @@ def test_walk_distributed_matches_sequential(spark, tmp_path):
         "ROOTFILE.test.ts", "a/coverage/nested.test.ts",
         "__tests__/t.test.ts", ".github/ci.yml", "b/deep/leaf.test.ts",
     ])
+
+
+@pytest.mark.spark
+def test_empty_tree_yields_empty_stable_schema(spark, tmp_path):
+    """Reference TestScan 'empty inventory for empty directory'
+    (scanner_test.go:27-47): an empty scan root is a valid scan — zero
+    rows, not an error, and the inventory schema is the full stable one
+    so downstream aggregations compile against nothing."""
+    from core_spark.operators.inventory import INVENTORY_SCHEMA, extract_inventory
+    from core_spark.sources.ingest import walk_file_tree
+
+    (tmp_path / "empty").mkdir()
+    files = walk_file_tree(spark, str(tmp_path / "empty"))
+    assert files.count() == 0
+    inv = extract_inventory(files.withColumnRenamed("content", "source"))
+    assert inv.count() == 0
+    assert inv.schema == spark.createDataFrame([], INVENTORY_SCHEMA).schema
+
+
+@pytest.mark.spark
+def test_multi_file_errors_aggregate_per_file(spark, tmp_path):
+    """Reference TestScan 'aggregate errors from multiple files'
+    (scanner_test.go:184-208): several files failing in the same scan
+    each surface as their OWN error-as-data row while healthy files in
+    the same batch still produce inventory rows — one bad file must
+    never fail the stage or mask another file's error."""
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.inventory import extract_inventory
+
+    # 4000-level describe nesting blows the recursive-descent kernel's
+    # recursion limit — a genuinely hostile (generated) source, and the
+    # organic way to reach the error arm: the kernels never raise on
+    # ordinary garbage (fuzz-hardened), only on resource exhaustion.
+    hostile = (
+        "describe('d', () => {\n" * 4000
+        + "it('x', () => {});\n"
+        + "});\n" * 4000
+    )
+    rows = [
+        ("ok/a.test.js", JEST_BYTES.decode()),
+        ("bad/one.test.js", hostile),
+        ("ok/b.test.js", JEST_BYTES.decode()),
+        ("bad/two.test.js", hostile),
+    ]
+    df = spark.createDataFrame(rows, "path string, source string")
+    inv = extract_inventory(df)
+    errs = {r["path"]: r["err"] for r in inv.where("err IS NOT NULL").collect()}
+    assert set(errs) == {"bad/one.test.js", "bad/two.test.js"}
+    assert all("RecursionError" in e for e in errs.values())
+    good = inv.where("err IS NULL")
+    assert sorted(
+        r["path"] for r in good.select("path").distinct().collect()
+    ) == ["ok/a.test.js", "ok/b.test.js"]
+    assert good.where(F.col("name") == "test").count() == 2
