@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from core_spark.functions import hexgrid as hx
 from core_spark.functions import textstats as ts
 from core_spark.operators import dedup as dd
+from core_spark.operators import heavyhitters as hh
 from core_spark.operators import linkgraph as lg
 from core_spark.operators import lmscore as lms
 from core_spark.plans.materialize import pin
@@ -2747,6 +2748,37 @@ FROM documents
 """
 
 
+# Zipf(2) host derivation via the ruler sequence on doc_id: h0 gets half
+# the docs, h1 a quarter, ... h5 1/64th, everything else is a singleton
+# tail host — the per-host page-count shape real heavy-hitter jobs see
+# (the corpus's own token distribution is near-uniform: 31 words, useless
+# for discrimination). Same integer CASE on both engines.
+def _ruler_host_sql(dialect: str) -> str:
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    arms = " ".join(
+        f"WHEN doc_id % {2 << j} = {1 << j} THEN 'h{j}'" for j in range(6)
+    )
+    return f"CASE {arms} ELSE 'tail' || CAST(doc_id AS {cast}) END"
+
+
+def q_frequent_hosts(spark, sf_dir):
+    """Guaranteed-exact frequent items (operators/heavyhitters.py —
+    Misra-Gries-family two-pass): per-Arrow-batch pigeonhole candidate
+    summaries (no shuffle, complete by construction under ANY
+    partitioning), then an exact recount whose hash-agg keys are
+    bounded by the candidate set plus one NULL residual bucket — never
+    the full item cardinality, which at web scale rivals the corpus.
+    Threshold 1/20 over the Zipf ruler hosts: h0–h3 qualify (1/2 …
+    1/16 of docs), h4 (1/32) and the singleton tail are correctly cut.
+    Exact output = exact oracle (plain GROUP BY/HAVING)."""
+    from core_spark.operators.heavyhitters import frequent_items
+
+    hosts = _docs(spark, sf_dir).selectExpr(
+        f"{_ruler_host_sql('spark')} AS item"
+    )
+    return frequent_items(hosts, "item", num=1, den=20)
+
+
 def q_lm_fluency(spark, sf_dir):
     """Char-trigram LM fluency scoring (operators/lmscore.py) — the
     CCNet-style language-model quality filter, integer-exact: fit a
@@ -2784,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_gate": q_gopher_gate,
         "pipeline_modern": q_pipeline_modern,
         "warc_roundtrip": q_warc_roundtrip,
+        "frequent_hosts": q_frequent_hosts,
         "link_pagerank": q_link_pagerank,
         "zorder_layout": q_zorder_layout,
         "span_dedup": q_span_dedup,
@@ -2815,7 +2848,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- operators touched this round + geospatial core ------------
         "tile_assign": q_tile_assign,
         "zonal_rollup": q_zonal_rollup,
-        "pip_join": q_pip_join,
         "knn": q_knn,
         "extract_invariant": q_extract_invariant,
         "dedup_exact": q_dedup_exact,
@@ -2847,6 +2879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round (gated by the in-window tile_compact); the rollup itself
         # is r4-green and untouched
         "tile_parent_rollup": q_tile_parent_rollup,
+        "pip_join": q_pip_join,
         "sessionize": q_sessionize,
         "s2_assign": q_s2_assign,
         "test_file_filter": q_test_file_filter,
@@ -3262,6 +3295,12 @@ def oracle_sql() -> dict[str, str]:
         "gopher_gate": _sql_gopher_gate_oracle(),
         "pipeline_modern": _sql_pipeline_modern(),
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
+        "frequent_hosts": hh.sql_frequent_items(
+            f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
+            "item",
+            num=1,
+            den=20,
+        ),
         "zorder_layout": sql_zorder_bucket_stats(
             _POINTS_SQL, bucket_shift_pow2=1 << 26, dialect="duck"
         ),
