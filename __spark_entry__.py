@@ -1921,6 +1921,43 @@ def q_url_host_cap(spark, sf_dir):
     ).select("doc_id", "host", "url_canon")
 
 
+# Domain-blocklist generation rule: six arms cover the suffix-match
+# branch space after canonicalization — exact blocked host, one- and
+# two-level subdomains of it, a near-miss label prefix (xsite... must
+# SURVIVE), a blocked parent suffix behind a non-default port, and a
+# clean host. Blocked when source is src3/src7 (arms 0/1/3) or the
+# .example.org parent is listed (arm 4).
+BL_URL_GEN_SQL = """
+CASE CAST(doc_id % 6 AS INT)
+  WHEN 0 THEN 'https://site' || source || '.example.com/a/' || CAST(doc_id AS STRING)
+  WHEN 1 THEN 'https://cdn.site' || source || '.example.com/a/' || CAST(doc_id AS STRING)
+  WHEN 2 THEN 'https://xsite' || source || '.example.com/a/' || CAST(doc_id AS STRING)
+  WHEN 3 THEN 'https://a.b.site' || source || '.example.com/a/' || CAST(doc_id AS STRING)
+  WHEN 4 THEN 'https://site' || source || '.example.org:8443/a/' || CAST(doc_id AS STRING)
+  ELSE 'https://site' || source || '.example.net/a/' || CAST(doc_id AS STRING)
+END
+""".strip()
+BL_DOMAINS = ["sitesrc3.example.com", "sitesrc7.example.com", "example.org"]
+
+
+def q_url_blocklist(spark, sf_dir):
+    """RefinedWeb-style domain-blocklist filter (operators/urlfilter.py):
+    canonicalize -> drop every doc whose host label-suffix-matches a
+    blocked domain. The host directory (distinct hosts) pays the suffix
+    explode, never the corpus; matched hosts broadcast into a final
+    anti join, so surviving documents never shuffle."""
+    from core_spark.operators.urlfilter import filter_blocked_hosts
+    from core_spark.operators.weburl import canonicalize_url
+
+    df = _docs(spark, sf_dir, wide=False).selectExpr(
+        "doc_id", "source", f"{BL_URL_GEN_SQL} AS url"
+    )
+    bl = spark.createDataFrame([(d,) for d in BL_DOMAINS], "domain string")
+    return filter_blocked_hosts(
+        canonicalize_url(df), bl
+    ).select("doc_id", "host", "url_canon")
+
+
 PARA_TOKENS = 10
 
 
@@ -2823,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_zonal": q_s2_zonal,
         "dedup_ngram_routed": q_dedup_ngram_routed,
         "dedup_keep_best": q_dedup_keep_best,
+        "url_blocklist": q_url_blocklist,
         # -- round-4 queries without a driver row yet ------------------
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
@@ -2857,7 +2895,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_cluster": q_dedup_cluster,
         "ann_ivf": q_ann_ivf,
-        "ann_ivf_recall": q_ann_ivf_recall,
         "corpus_curation": q_corpus_curation,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -2868,6 +2905,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entry with no cap. s2_assign is additionally rows-only by
         # design (dual-impl pytest is its gate) and the in-window
         # s2_zonal exercises the same cell assignment end-to-end.
+        # ann_ivf_recall rotated below the boundary to make room for new
+        # oracled queries: it is rows-only by design (its REAL gate is
+        # the recall-bound sentinel logic itself + pytest), r4-green
+        # ("ran clean"), and similarity.py is unchanged since the r4
+        # boundary commit — the in-window ann_ivf still drives the same
+        # IVF path under the driver.
+        "ann_ivf_recall": q_ann_ivf_recall,
         "fingerprint": q_fingerprint,
         "framework_detect": q_framework_detect,
         "detect_cascade": q_detect_cascade,
@@ -2938,6 +2982,9 @@ def oracle_sql() -> dict[str, str]:
     from core_spark.operators.weburl import (
         sql_canonicalize, sql_cap_per_host, sql_gate_hosts_by_quality,
         sql_latest_snapshot,
+    )
+    from core_spark.operators.urlfilter import (
+        sql_filter_blocked_hosts,
     )
     from core_spark.operators.pip import sql_pip_parity_join
     from core_spark.operators.zorder import sql_zorder_bucket_stats
@@ -3280,6 +3327,14 @@ def oracle_sql() -> dict[str, str]:
                 " FROM documents)"
             ),
             HOST_CAP,
+            "doc_id, host, url_canon",
+        ),
+        "url_blocklist": sql_filter_blocked_hosts(
+            sql_canonicalize(
+                f"(SELECT doc_id, source, {BL_URL_GEN_SQL} AS url"
+                " FROM documents)"
+            ),
+            ", ".join(f"('{d}')" for d in BL_DOMAINS),
             "doc_id, host, url_canon",
         ),
         "url_latest": sql_latest_snapshot(
