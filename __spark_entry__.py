@@ -2314,6 +2314,102 @@ def q_link_pagerank(spark, sf_dir):
     return lg.pagerank(edges, k_out=4, iters=3)
 
 
+# Outlink generation rule: seven arms cover the href extraction spec's
+# branch space — double/single/unquoted values, uppercase tag+attr, a
+# <link> tag behind www.+default-port noise, relative/mailto rejection,
+# and a two-link document (order + multiplicity). The DuckDB twin never
+# parses HTML: it derives the EXPECTED target hosts straight from the
+# same arms (generation-rule oracle, CLAUDE.md trick), so a parser bug
+# on any arm breaks the match.
+OUTLINK_DST_SQL = "concat('h', CAST(doc_id % 23 AS STRING), '.example')"
+OUTLINK_SRC_SQL = "concat('s', CAST(doc_id % 11 AS STRING), '.example')"
+OUTLINK_HTML_SQL = """
+CASE CAST(doc_id % 7 AS INT)
+  WHEN 0 THEN '<p>plain text, no links</p>'
+  WHEN 1 THEN '<a href="https://' || _dst || '/p1">x</a>'
+  WHEN 2 THEN '<A HREF=''https://' || _dst || '/p2''>x</A>'
+  WHEN 3 THEN '<a class="c" href=https://' || _dst || '/p3>x</a>'
+  WHEN 4 THEN '<link rel="next" href="https://WWW.' || _dst || ':443/n">'
+  WHEN 5 THEN '<a href="/rel">x</a><a href="mailto:a@b.c">y</a>'
+  ELSE '<a href="https://' || _dst || '/a">x</a><div>mid</div>' ||
+       '<a href="http://other.' || _dst || '/b">y</a>'
+END
+""".strip()
+
+
+def _sql_outlink_edges(src_sql: str) -> str:
+    """DuckDB expected-edges derivation for the OUTLINK_HTML_SQL arms —
+    an independent plan that never parses HTML (the twin reads the
+    expected targets off the generation rule)."""
+    return f"""
+        SELECT src_host, dst_host, COUNT(*) AS n_links
+        FROM (
+          SELECT src_host, unnest(dsts) AS dst_host FROM (
+            SELECT {src_sql} AS src_host,
+                   CASE CAST(doc_id % 7 AS INT)
+                     WHEN 1 THEN [_dst]
+                     WHEN 2 THEN [_dst]
+                     WHEN 3 THEN [_dst]
+                     WHEN 4 THEN [_dst]
+                     WHEN 5 THEN CAST([] AS VARCHAR[])
+                     WHEN 0 THEN CAST([] AS VARCHAR[])
+                     ELSE [_dst, 'other.' || _dst]
+                   END AS dsts
+            FROM (SELECT doc_id, {OUTLINK_DST_SQL} AS _dst
+                  FROM documents)
+          )
+        )
+        GROUP BY src_host, dst_host
+    """
+
+
+def q_site_outlinks(spark, sf_dir):
+    """Real-markup outlink extraction -> host edge rollup
+    (functions/weblinks.py): JVM regexp_extract_all over <a>/<link>
+    href values (both quote styles + unquoted, case-insensitive),
+    absolute http(s) only, dst host canonicalized (lowercase, default
+    port + www stripped) — then (src_host, dst_host, n_links) with one
+    uniform-key aggregate. Payload never survives the explode."""
+    from core_spark.functions.weblinks import host_edges, with_outlinks
+
+    df = (
+        _docs(spark, sf_dir, wide=False)
+        .selectExpr("doc_id", f"{OUTLINK_DST_SQL} AS _dst")
+        .selectExpr(
+            f"{OUTLINK_SRC_SQL} AS src_host",
+            f"{OUTLINK_HTML_SQL} AS html_str",
+        )
+    )
+    return host_edges(with_outlinks(df))
+
+
+# src hosts drawn from the DST namespace (h0..h10 ⊂ h0..h22) so the
+# PageRank graph has hosts that both emit and receive links; h11..h22
+# and the other.* subdomains are dangling receivers (mass-leak arm).
+OUTLINK_PR_SRC_SQL = "concat('h', CAST(doc_id % 11 AS STRING), '.example')"
+
+
+def q_outlink_pagerank(spark, sf_dir):
+    """The real-crawl capstone: HTML -> href extraction -> host edge
+    rollup -> general weighted PageRank (variable out-degree, edge
+    multiplicities, dangling hosts) — linkgraph.pagerank_weighted,
+    bit-portable truncating-BIGINT iteration, per-round pin(loop=True).
+    The oracle composes the expected-edge derivation (never parses
+    HTML) with the unrolled 3-round twin."""
+    from core_spark.functions.weblinks import host_edges, with_outlinks
+
+    df = (
+        _docs(spark, sf_dir, wide=False)
+        .selectExpr("doc_id", f"{OUTLINK_DST_SQL} AS _dst")
+        .selectExpr(
+            f"{OUTLINK_PR_SRC_SQL} AS src_host",
+            f"{OUTLINK_HTML_SQL} AS html_str",
+        )
+    )
+    edges = host_edges(with_outlinks(df))
+    return lg.pagerank_weighted(edges, iters=3)
+
+
 # Decomposed accents + angstrom sign + a control + tab runs, appended to
 # every doc so the NFC oracle actually exercises composition (the synth
 # corpus is ASCII-ish, where NFC is the identity). Kept in one constant so
@@ -2861,6 +2957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_routed": q_dedup_ngram_routed,
         "dedup_keep_best": q_dedup_keep_best,
         "url_blocklist": q_url_blocklist,
+        "site_outlinks": q_site_outlinks,
+        "outlink_pagerank": q_outlink_pagerank,
         # -- round-4 queries without a driver row yet ------------------
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
@@ -2887,14 +2985,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "zonal_rollup": q_zonal_rollup,
         "knn": q_knn,
-        "extract_invariant": q_extract_invariant,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
         "dedup_embedding": q_dedup_embedding,
         "simhash_pairs": q_simhash_pairs,
         "dedup_cluster": q_dedup_cluster,
-        "ann_ivf": q_ann_ivf,
         "corpus_curation": q_corpus_curation,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -2905,13 +3001,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entry with no cap. s2_assign is additionally rows-only by
         # design (dual-impl pytest is its gate) and the in-window
         # s2_zonal exercises the same cell assignment end-to-end.
-        # ann_ivf_recall rotated below the boundary to make room for new
-        # oracled queries: it is rows-only by design (its REAL gate is
-        # the recall-bound sentinel logic itself + pytest), r4-green
-        # ("ran clean"), and similarity.py is unchanged since the r4
-        # boundary commit — the in-window ann_ivf still drives the same
-        # IVF path under the driver.
+        # ann_ivf + ann_ivf_recall rotated below the boundary to make
+        # room for new oracled queries: both are rows-only by design
+        # (the IVF path's REAL gates are the recall-bound sentinel logic
+        # + pytest), both r4-green ("ran clean"), and similarity.py is
+        # unchanged since the r4 boundary commit.
+        "ann_ivf": q_ann_ivf,
         "ann_ivf_recall": q_ann_ivf_recall,
+        # extract_invariant rotated below the boundary likewise: it is
+        # rows-only BY CONSTRUCTION (0 rows == the G1 byte-identity
+        # invariant holds; its real gates are the pytest suite + the
+        # driver-run r04 row "0 rows ✓"), and functions/extract.py is
+        # unchanged since the r4 boundary commit.
+        "extract_invariant": q_extract_invariant,
         "fingerprint": q_fingerprint,
         "framework_detect": q_framework_detect,
         "detect_cascade": q_detect_cascade,
@@ -3361,6 +3463,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "link_pagerank": lg.sql_host_pagerank(
             "SELECT doc_id FROM documents", n_hosts=97, k_out=4, iters=3
+        ),
+        "site_outlinks": _sql_outlink_edges(OUTLINK_SRC_SQL),
+        "outlink_pagerank": lg.sql_pagerank_weighted(
+            _sql_outlink_edges(OUTLINK_PR_SRC_SQL), iters=3
         ),
         "paragraph_dedup": sql_dedup_paragraphs("documents", PARA_TOKENS),
         "span_dedup": sql_dedup_substrings(

@@ -141,6 +141,120 @@ def pagerank(
     )
 
 
+def pagerank_weighted(
+    edges: DataFrame, iters: int = 3, r0: int = 10**12
+) -> DataFrame:
+    """(host, rank): damped PageRank over a REAL crawl edge table —
+    arbitrary per-src out-degree, edge multiplicities, dangling hosts.
+
+    ``edges`` has (src_host, dst_host, n_links) as ``weblinks.host_edges``
+    emits. Unlike :func:`pagerank` (fixed out-degree, zero-remainder
+    exact), the general iteration cannot be remainder-free: it stays in
+    pure BIGINT with truncating division, which is DETERMINISTIC and
+    bit-portable (Spark ``DIV`` == DuckDB ``//`` on non-negative
+    operands) — the property the oracle needs. Per round:
+
+        contrib(e) = (rank_src * n_links) DIV out_total_src
+        rank'      = teleport + (17 * Σ contrib_in) DIV 20
+
+    with teleport = (3 * r0) DIV 20. Truncation loses < 1 unit per
+    edge per round — at r0 = 10^12 a relative error < 10^-9, far below
+    ranking granularity. Dangling hosts (no outlinks) keep receiving
+    and simply leak their mass — the standard simplification; a real
+    redistribution pass is one extra aggregate if total-mass invariance
+    ever matters.
+
+    Node directory = every host appearing as src or dst. Per-round
+    plans: one join edges⋈ranks on src (uniform host keys), one
+    hash-agg on dst, one left join back to the directory — re-pinned
+    per round (loop=True) so plans stay flat.
+    """
+    edges = pin(edges)
+    deg = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_total"))
+    ed = pin(
+        edges.join(deg, "src_host").select(
+            "src_host", "dst_host", "n_links", "out_total"
+        )
+    )
+    nodes = pin(
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    teleport = ((_DAMP_DEN - _DAMP_NUM) * r0) // _DAMP_DEN
+    ranks = nodes.withColumn("rank", F.lit(r0).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed.src_host == ranks.host)
+            .selectExpr(
+                "dst_host",
+                "(rank * n_links) DIV out_total AS c",
+            )
+            .groupBy("dst_host")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.host == contrib.dst_host, "left")
+            .selectExpr(
+                "host",
+                f"{teleport} + ({_DAMP_NUM} * coalesce(s, 0))"
+                f" DIV {_DAMP_DEN} AS rank",
+            )
+        )
+        ranks = pin(ranks, loop=True)
+    return ranks
+
+
+def sql_pagerank_weighted(
+    edges_sql: str, iters: int = 3, r0: int = 10**12
+) -> str:
+    """DuckDB twin of :func:`pagerank_weighted` (unrolled CTE chain).
+
+    ``edges_sql`` must yield (src_host, dst_host, n_links).
+    """
+    teleport = ((_DAMP_DEN - _DAMP_NUM) * r0) // _DAMP_DEN
+    rounds = []
+    prev = "r0"
+    for t in range(1, iters + 1):
+        rounds.append(
+            f"""c{t} AS (
+              SELECT e.dst_host AS host,
+                     CAST(SUM((r.rank * e.n_links) // e.out_total)
+                          AS BIGINT) AS s
+              FROM ed e JOIN {prev} r ON r.host = e.src_host
+              GROUP BY e.dst_host
+            ), r{t} AS (
+              SELECT n.host,
+                     {teleport} + ({_DAMP_NUM} * COALESCE(c.s, 0))
+                       // {_DAMP_DEN} AS rank
+              FROM nodes n LEFT JOIN c{t} c USING (host)
+            )"""
+        )
+        prev = f"r{t}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+        WITH edges AS ({edges_sql}),
+        deg AS (
+          SELECT src_host, SUM(n_links) AS out_total
+          FROM edges GROUP BY src_host
+        ),
+        ed AS (
+          SELECT e.src_host, e.dst_host, e.n_links, d.out_total
+          FROM edges e JOIN deg d USING (src_host)
+        ),
+        nodes AS (
+          SELECT src_host AS host FROM edges
+          UNION
+          SELECT dst_host AS host FROM edges
+        ),
+        r0 AS (
+          SELECT host, CAST({r0} AS BIGINT) AS rank FROM nodes
+        ),
+        {rounds_sql}
+        SELECT host, rank FROM {prev}
+    """
+
+
 def sql_host_pagerank(
     inner_sql: str,
     n_hosts: int = 97,

@@ -104,3 +104,107 @@ def test_pagerank_identical_under_reliable_materialization(spark, monkeypatch):
     base = run()
     monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "reliable")
     assert run() == base
+
+
+# ---------------------------------------------------------------------------
+# pagerank_weighted — the general (real-crawl) variant
+# ---------------------------------------------------------------------------
+
+# (src, dst, n_links): a has out-degree 3 across two dsts (multiplicity
+# 2 toward b), b points back to a, d is a dangling receiver, e is an
+# isolated self-loop.
+W_EDGES = [
+    ("a", "b", 2),
+    ("a", "c", 1),
+    ("b", "a", 1),
+    ("c", "d", 1),
+    ("e", "e", 1),
+]
+W_R0 = 10**12
+
+
+def _model_pagerank_weighted(edges, iters=3, r0=W_R0):
+    """Truncating-integer Python model (the contract: every division is
+    floor division on non-negative ints — bit-portable)."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    out_total = {}
+    for s, _, n in edges:
+        out_total[s] = out_total.get(s, 0) + n
+    teleport = (3 * r0) // 20
+    ranks = {h: r0 for h in nodes}
+    for _ in range(iters):
+        inflow = {h: 0 for h in nodes}
+        for s, d, n in edges:
+            inflow[d] += (ranks[s] * n) // out_total[s]
+        ranks = {h: teleport + (17 * inflow[h]) // 20 for h in nodes}
+    return sorted(ranks.items())
+
+
+def _w_edges_df(spark):
+    return spark.createDataFrame(
+        W_EDGES, "src_host string, dst_host string, n_links bigint"
+    )
+
+
+@pytest.mark.spark
+def test_weighted_spark_matches_python_model(spark):
+    from core_spark.operators.linkgraph import pagerank_weighted
+
+    got = sorted(
+        (r["host"], r["rank"])
+        for r in pagerank_weighted(_w_edges_df(spark), iters=3).collect()
+    )
+    assert got == _model_pagerank_weighted(W_EDGES)
+
+
+@pytest.mark.spark
+def test_weighted_duckdb_twin_matches_spark(spark):
+    import duckdb
+
+    from core_spark.operators.linkgraph import (
+        pagerank_weighted, sql_pagerank_weighted,
+    )
+
+    got_spark = sorted(
+        (r["host"], r["rank"])
+        for r in pagerank_weighted(_w_edges_df(spark), iters=3).collect()
+    )
+    values = ", ".join(f"('{s}', '{d}', {n})" for s, d, n in W_EDGES)
+    got_duck = sorted(
+        (h, int(r))
+        for h, r in duckdb.connect().execute(
+            sql_pagerank_weighted(
+                f"SELECT * FROM (VALUES {values})"
+                " AS t(src_host, dst_host, n_links)",
+                iters=3,
+            )
+        ).fetchall()
+    )
+    assert got_spark == got_duck
+
+
+def test_weighted_model_semantics():
+    """Dangling + multiplicity sanity on the Python model itself: the
+    dangling receiver 'd' ends above teleport-only mass, b receives
+    twice c's share of a's rank, and the self-loop node keeps feeding
+    itself (rank strictly above teleport)."""
+    ranks = dict(_model_pagerank_weighted(W_EDGES))
+    teleport = (3 * W_R0) // 20
+    assert ranks["d"] > teleport          # receives from c
+    assert ranks["b"] > ranks["c"]        # 2-vs-1 multiplicity from a
+    assert ranks["e"] > teleport          # self-loop inflow
+
+
+@pytest.mark.spark
+def test_weighted_identical_under_reliable_materialization(spark, monkeypatch):
+    from core_spark.operators.linkgraph import pagerank_weighted
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in pagerank_weighted(_w_edges_df(spark), iters=3).collect()
+        )
+
+    base = run()
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "reliable")
+    assert run() == base
