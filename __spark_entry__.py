@@ -2383,6 +2383,26 @@ def q_site_outlinks(spark, sf_dir):
     return host_edges(with_outlinks(df))
 
 
+DSIR_BUCKETS, DSIR_TARGET = 512, "lang = 'en'"
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style importance reweighting (operators/dsir.py — Xie et
+    al. 2023, integer-exact variant): hashed word-bigram buckets, two
+    bounded bag-of-features models (target = English docs; raw = the
+    md5-gated half sample), per-bucket add-1 fixed-point likelihood
+    ratio, per-doc mean ratio via ONE broadcast join + per-doc re-agg.
+    Measured on the fixture: target-language docs score highest (the
+    selection signal DSIR resamples by)."""
+    from core_spark.operators.dsir import importance_weights
+
+    return importance_weights(
+        _docs(spark, sf_dir, wide=False),
+        DSIR_TARGET,
+        n_buckets=DSIR_BUCKETS,
+    )
+
+
 # src hosts drawn from the DST namespace (h0..h10 ⊂ h0..h22) so the
 # PageRank graph has hosts that both emit and receive links; h11..h22
 # and the other.* subdomains are dangling receivers (mass-leak arm).
@@ -2959,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "site_outlinks": q_site_outlinks,
         "outlink_pagerank": q_outlink_pagerank,
+        "dsir_weights": q_dsir_weights,
         # -- round-4 queries without a driver row yet ------------------
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
@@ -2983,7 +3004,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         # -- operators touched this round + geospatial core ------------
         "tile_assign": q_tile_assign,
-        "zonal_rollup": q_zonal_rollup,
         "knn": q_knn,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
@@ -3014,6 +3034,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-run r04 row "0 rows ✓"), and functions/extract.py is
         # unchanged since the r4 boundary commit.
         "extract_invariant": q_extract_invariant,
+        # zonal_rollup rotated below the boundary: oracled GREEN in
+        # CORRECTNESS_r04 and zonal.py + hexgrid.py are unchanged since
+        # the r4 boundary commit — it stays gated by selfcheck (no cap)
+        # and its r4 row, alongside its zonal_salted sibling below.
+        "zonal_rollup": q_zonal_rollup,
         "fingerprint": q_fingerprint,
         "framework_detect": q_framework_detect,
         "detect_cascade": q_detect_cascade,
@@ -3088,6 +3113,7 @@ def oracle_sql() -> dict[str, str]:
     from core_spark.operators.urlfilter import (
         sql_filter_blocked_hosts,
     )
+    from core_spark.operators.dsir import sql_importance_weights
     from core_spark.operators.pip import sql_pip_parity_join
     from core_spark.operators.zorder import sql_zorder_bucket_stats
 
@@ -3465,6 +3491,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents", n_hosts=97, k_out=4, iters=3
         ),
         "site_outlinks": _sql_outlink_edges(OUTLINK_SRC_SQL),
+        "dsir_weights": sql_importance_weights(
+            "documents", DSIR_TARGET, n_buckets=DSIR_BUCKETS
+        ),
         "outlink_pagerank": lg.sql_pagerank_weighted(
             _sql_outlink_edges(OUTLINK_PR_SRC_SQL), iters=3
         ),
