@@ -17,6 +17,8 @@ join) or run rows-only where no SQL equivalent exists.
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2901,6 +2903,76 @@ FROM documents
 """
 
 
+def q_iceberg_scan(spark, sf_dir):
+    """Iceberg v2 table-format gate (sources/iceberg.py over the repo's
+    own Avro codec, avrolite.py — no Iceberg runtime jar): the corpus is
+    committed to a REAL on-disk Iceberg table as three snapshots
+    (append; merge-on-read position deletes keyed by Spark's
+    (_metadata.file_path, row_index) coordinates; equality deletes on
+    (lang, source)), then read back through the full metadata chain —
+    version-hint → metadata.json → manifest-list avro → manifest avro →
+    snapshot-pruned parquet scan + broadcast anti-join delete layers.
+    Three arms oracle three read paths: `current` (both delete layers),
+    `snap1` (time travel by snapshot id), `asof_pos` (time travel by
+    timestamp, position deletes only). Values gated byte-for-byte via
+    md5(text). At scale the production path is the Iceberg runtime's own
+    scan (ingest.read_corpus fmt='iceberg'); this proves the engine
+    speaks the format itself and that MOR deletes stay broadcast
+    anti-joins (plan-asserted in test_iceberg.py)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from core_spark.sources.iceberg import (
+        IcebergFixtureWriter, load_table_metadata, read_iceberg,
+    )
+
+    docs = _docs(spark, sf_dir, wide=False).select(
+        "doc_id", "lang", "source", "text")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"core_spark_iceberg_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}")
+    shutil.rmtree(root, ignore_errors=True)  # always a fresh deterministic build
+    w = IcebergFixtureWriter(root, docs.schema)
+    s1 = w.append(docs, n_files=4)
+    w.delete_positions(spark, F.col("doc_id") % 7 == 3)
+    w.delete_equality(
+        docs.filter(F.col("doc_id") % 13 == 0).select("lang", "source"),
+        ["lang", "source"])
+    md = load_table_metadata(root)
+    ts2 = sorted(s["timestamp-ms"] for s in md["snapshots"])[1]
+
+    def arm(name, df):
+        return df.select(
+            F.lit(name).alias("arm"), "doc_id", "lang", "source",
+            F.md5("text").alias("text_md5"))
+
+    return (
+        arm("current", read_iceberg(spark, root))
+        .unionAll(arm("snap1", read_iceberg(spark, root, snapshot_id=s1)))
+        .unionAll(arm("asof_pos", read_iceberg(spark, root, as_of_ms=ts2)))
+    )
+
+
+_SQL_ICEBERG_SCAN = """
+WITH eq_keys AS (
+  SELECT DISTINCT lang, source FROM documents WHERE doc_id % 13 = 0
+)
+SELECT 'current' AS arm, d.doc_id, d.lang, d.source, md5(d.text) AS text_md5
+FROM documents d
+WHERE d.doc_id % 7 <> 3
+  AND NOT EXISTS (SELECT 1 FROM eq_keys k
+                  WHERE k.lang = d.lang AND k.source = d.source)
+UNION ALL
+SELECT 'snap1' AS arm, doc_id, lang, source, md5(text) AS text_md5
+FROM documents
+UNION ALL
+SELECT 'asof_pos' AS arm, doc_id, lang, source, md5(text) AS text_md5
+FROM documents WHERE doc_id % 7 <> 3
+"""
+
+
 # Zipf(2) host derivation via the ruler sequence on doc_id: h0 gets half
 # the docs, h1 a quarter, ... h5 1/64th, everything else is a singleton
 # tail host — the per-host page-count shape real heavy-hitter jobs see
@@ -2962,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/selfcheck.py, which runs every entry with no cap.
     return {
         # -- new this round -------------------------------------------
+        "iceberg_scan": q_iceberg_scan,
         "text_normalize": q_text_normalize,
         "text_fold": q_text_fold,
         "lm_fluency": q_lm_fluency,
@@ -3005,7 +3078,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- operators touched this round + geospatial core ------------
         "tile_assign": q_tile_assign,
         "knn": q_knn,
-        "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
         "dedup_embedding": q_dedup_embedding,
@@ -3013,8 +3085,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "corpus_curation": q_corpus_curation,
         "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
         # ---- driver window boundary (entry 50 above) -----------------
+        # dedup_exact + text_langid rotated below the boundary to make
+        # room for iceberg_scan: both are oracled GREEN in
+        # CORRECTNESS_r04 and their kernels are provably unchanged since
+        # the r4 boundary commit (exact dedup at dedup.py:40 sits in no
+        # r5 diff hunk; lang_id_steps likewise — r5 textstats changes
+        # were additive: BPE token count, winnowing constants). Both
+        # stay gated by scripts/selfcheck.py, which runs every entry
+        # with no cap.
+        "dedup_exact": q_dedup_exact,
+        "text_langid": q_text_langid,
         # Everything below is green in CORRECTNESS_r04 with its code
         # unchanged since (detect.py/s2.py/etc. untouched this round) —
         # still gated locally by scripts/selfcheck.py, which runs every
@@ -3478,6 +3559,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_gate": _sql_gopher_gate_oracle(),
         "pipeline_modern": _sql_pipeline_modern(),
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
+        "iceberg_scan": _SQL_ICEBERG_SCAN,
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
             "item",
