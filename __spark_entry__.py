@@ -29,6 +29,7 @@ from core_spark.operators import dedup as dd
 from core_spark.operators import heavyhitters as hh
 from core_spark.operators import linkgraph as lg
 from core_spark.operators import lmscore as lms
+from core_spark.operators import semdedup as sdd
 from core_spark.plans.materialize import pin
 
 # ---------------------------------------------------------------------------
@@ -251,6 +252,47 @@ def q_dedup_embedding(spark, sf_dir):
     dd.embedding_dup_pairs (pytest-gated); this one is bit-portable."""
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return dd.embedding_dup_pairs_int(vecs, dim=64, n_planes=8)
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (operators/semdedup.py — Abbas et al. 2023): per-cluster
+    triangular-max pruning with the paper's keep-low-centroid-similarity
+    policy, integer-exact end to end (quantized vectors, sketch-bucket
+    clusters, BIGINT centroid mean + L2 rank, cross-multiplied cosine
+    threshold). The corpus's raw vectors are random (no organic near
+    pairs), so md5-noise near-dup copies are planted exactly as in
+    dedup_embedding; flag-style output gates every member's verdict,
+    not just the survivors."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = sdd.quantize_vectors(vecs)
+    hexint = (
+        "CAST(conv(substr(md5(concat(CAST(vec_id AS STRING), '_', "
+        "CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    noise = dd._emb_noise("vec_id").replace("HEXINT", hexint)
+    elem_q = dd._emb_quant("element_at(CAST(embedding AS array<double>), i)")
+    noisy = vecs.selectExpr(
+        f"vec_id + {dd.EMB_COPY_OFFSET} AS id",
+        f"transform(sequence(1, 64), i -> {elem_q} + {noise}) AS qv",
+    )
+    return sdd.semdedup_flags(base.unionAll(noisy), dim=64, n_planes=6)
+
+
+def _sql_semdedup_oracle() -> str:
+    """DuckDB twin of q_semdedup: same planting, same policy pipeline."""
+    base_qv = f"[{dd._emb_quant('x')} for x in CAST(embedding AS DOUBLE[])]"
+    hexint = (
+        "('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '_' || "
+        "CAST(i AS VARCHAR)), 1, 15))::BIGINT"
+    )
+    noise = dd._emb_noise("vec_id").replace("HEXINT", hexint)
+    elem_q = dd._emb_quant("embedding[i]")
+    qv_cte = (
+        f"SELECT vec_id AS id, {base_qv} AS qv FROM embeddings "
+        f"UNION ALL SELECT vec_id + {dd.EMB_COPY_OFFSET} AS id, "
+        f"[{elem_q} + {noise} for i in range(1, 65)] AS qv FROM embeddings"
+    )
+    return sdd.sql_semdedup(qv_cte, dim=64, n_planes=6)
 
 
 def q_text_quality(spark, sf_dir):
@@ -3035,6 +3077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round -------------------------------------------
         "iceberg_scan": q_iceberg_scan,
+        "semdedup": q_semdedup,
         "text_normalize": q_text_normalize,
         "text_fold": q_text_fold,
         "lm_fluency": q_lm_fluency,
@@ -3560,6 +3603,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_modern": _sql_pipeline_modern(),
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "iceberg_scan": _SQL_ICEBERG_SCAN,
+        "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
             "item",
