@@ -2121,6 +2121,28 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
 
+def q_incremental_bloom(spark, sf_dir):
+    """Bloom-gated crawl admission (operators/bloomadmit.py): same
+    fixture and same oracle as incremental_dedup, but routed through
+    the shuffle-free ledger probe — per-bucket md5-Bloom bitmaps built
+    without shuffling the ledger, definite misses admitted with no
+    ledger access, maybe-hits verified by broadcast semi/anti joins.
+    No false negatives ⇒ output is PROVABLY identical to the exact
+    anti-join, so the oracle is inherited unchanged; the bloom can only
+    affect the route, never the answer (equivalence + plan-shape
+    pytests in test_bloomadmit.py)."""
+    from core_spark.operators.bloomadmit import admit_new_docs_bloom
+
+    fp = (
+        f"md5(array_join(slice(split(trim(text), ' '), 1, {FP_PREFIX_K}),"
+        " ' '))"
+    )
+    docs = _docs(spark, sf_dir).selectExpr("doc_id", f"{fp} AS fp")
+    return admit_new_docs_bloom(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    )
+
+
 def q_group_quantiles(spark, sf_dir):
     """Exact per-lang p50/p90/p99 of document length (operators/
     quantiles.py): integer-rank definition (value at ceil(n·p) in total
@@ -3078,6 +3100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round -------------------------------------------
         "iceberg_scan": q_iceberg_scan,
         "semdedup": q_semdedup,
+        "incremental_bloom": q_incremental_bloom,
         "text_normalize": q_text_normalize,
         "text_fold": q_text_fold,
         "lm_fluency": q_lm_fluency,
@@ -3119,7 +3142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "card_sketch": q_card_sketch,
         "incremental_dedup": q_incremental_dedup,
         # -- operators touched this round + geospatial core ------------
-        "tile_assign": q_tile_assign,
         "knn": q_knn,
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
@@ -3139,6 +3161,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with no cap.
         "dedup_exact": q_dedup_exact,
         "text_langid": q_text_langid,
+        # tile_assign rotated below likewise: r4-green, and the
+        # assign path (hexgrid.py + tiles.assign_tiles) sits in no r5
+        # diff hunk (only compact_cells changed); the in-window
+        # tile_parent_rollup... tile_compact still exercise hexgrid.
+        "tile_assign": q_tile_assign,
         # Everything below is green in CORRECTNESS_r04 with its code
         # unchanged since (detect.py/s2.py/etc. untouched this round) —
         # still gated locally by scripts/selfcheck.py, which runs every
@@ -3636,6 +3663,20 @@ def oracle_sql() -> dict[str, str]:
             "documents", "lang", "md5(text)"
         ),
         "incremental_dedup": f"""
+            WITH f AS (
+              SELECT doc_id,
+                     md5(array_to_string((string_split(trim(text), ' '))
+                         [1:{FP_PREFIX_K}], ' ')) AS fp
+              FROM documents
+            )
+            SELECT MIN(doc_id) AS doc_id, fp
+            FROM f WHERE doc_id % 2 = 1
+            GROUP BY fp
+            HAVING fp NOT IN (SELECT fp FROM f WHERE doc_id % 2 = 0)
+        """,
+        # identical oracle by design: the bloom is route-only (no false
+        # negatives), so the exact anti-join SQL gates both operators
+        "incremental_bloom": f"""
             WITH f AS (
               SELECT doc_id,
                      md5(array_to_string((string_split(trim(text), ' '))
