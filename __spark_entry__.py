@@ -29,6 +29,7 @@ from core_spark.operators import dedup as dd
 from core_spark.operators import heavyhitters as hh
 from core_spark.operators import linkgraph as lg
 from core_spark.operators import lmscore as lms
+from core_spark.operators.bm25 import sql_bm25_topk
 from core_spark.operators import semdedup as sdd
 from core_spark.plans.materialize import pin
 
@@ -3068,6 +3069,33 @@ def q_frequent_hosts(spark, sf_dir):
     return frequent_items(hosts, "item", num=1, den=20)
 
 
+# BM25 query workload: qa hits the corpus's one RARE token ('dup',
+# df=25 — the idf arm visibly dominates), qb/qc are all-common terms
+# where tf saturation + length normalization decide the ranking.
+BM25_QUERIES = [
+    ("qa", ["dup", "join"]),
+    ("qb", ["vector", "column", "scan"]),
+    ("qc", ["customer", "order", "merge"]),
+]
+BM25_K = 5
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25-shaped retrieval (operators/bm25.py): broadcast query terms
+    cross a map-side-prefiltered corpus (arrays_overlap gate), per-term
+    document frequency from the same pinned candidate table, integer-
+    exact rational tf-saturation x rarity idf (Spark DIV == DuckDB //),
+    top-k per query via a WindowGroupLimit-rewritten rank window. The
+    float log-idf scorer is the documented at-scale mode (pytest pins
+    set/head agreement)."""
+    from core_spark.operators.bm25 import bm25_topk
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "split(trim(text), ' ') AS toks"
+    )
+    return bm25_topk(docs, BM25_QUERIES, k=BM25_K)
+
+
 def q_lm_fluency(spark, sf_dir):
     """Char-trigram LM fluency scoring (operators/lmscore.py) — the
     CCNet-style language-model quality filter, integer-exact: fit a
@@ -3103,6 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_bloom": q_incremental_bloom,
         "text_normalize": q_text_normalize,
         "text_fold": q_text_fold,
+        "bm25_topk": q_bm25_topk,
         "lm_fluency": q_lm_fluency,
         "c4_clean": q_c4_clean,
         "gopher_gate": q_gopher_gate,
@@ -3625,6 +3654,10 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": _sql_text_normalize(),
         "text_fold": _sql_text_fold(),
         "lm_fluency": lms.sql_trigram_fluency("documents", vocab_size=256),
+        "bm25_topk": sql_bm25_topk(
+            "documents", "string_split(trim(text), ' ')",
+            BM25_QUERIES, k=BM25_K,
+        ),
         "c4_clean": _sql_c4_clean_oracle(),
         "gopher_gate": _sql_gopher_gate_oracle(),
         "pipeline_modern": _sql_pipeline_modern(),
