@@ -3069,6 +3069,91 @@ def q_frequent_hosts(spark, sf_dir):
     return frequent_items(hosts, "item", num=1, den=20)
 
 
+# Anchor generation rule: eight arms cover the anchor-extraction spec's
+# branch space — multi-word anchor with punctuation splitting, uppercase
+# tag + single quotes, unquoted href, empty anchor behind www+port
+# noise, relative/mailto rejection, the documented nested-markup drop,
+# and a two-link document (zip alignment + a second host). The DuckDB
+# twin never parses HTML: it derives the EXPECTED (dst_host, term)
+# pairs straight from the arms (generation-rule oracle).
+ANCHOR_WORD_SQL = "concat('w', CAST(doc_id % 5 AS STRING))"
+ANCHOR_HTML_SQL = """
+CASE CAST(doc_id % 8 AS INT)
+  WHEN 0 THEN '<p>no links</p>'
+  WHEN 1 THEN '<a href="https://' || _dst || '/p">Visit ' || _w || ' Site</a>'
+  WHEN 2 THEN '<A HREF=''https://' || _dst || '/''>READ-MORE!</A>'
+  WHEN 3 THEN '<a class=c href=https://' || _dst || '/x>' || _w || '</a>'
+  WHEN 4 THEN '<a href="https://WWW.' || _dst || ':443/n"></a>'
+  WHEN 5 THEN '<a href="/rel">skip</a><a href="mailto:x@y">skip</a>'
+  WHEN 6 THEN '<a href="https://' || _dst || '/a"><b>nested</b></a>'
+  ELSE '<a href="https://' || _dst || '/a">' || _w || ' again</a>' ||
+       '<a href="http://other.' || _dst || '/b">' || _w || '</a>'
+END
+""".strip()
+ANCHOR_K = 3
+
+
+def q_anchor_topk(spark, sf_dir):
+    """Anchor-text rollup (functions/weblinks.py::anchor_topk): pull
+    (href, direct anchor text) pairs off real markup with one
+    two-group regex (arrays align match-for-match), canonicalize the
+    target host, tokenize anchors, and keep the top-k terms per TARGET
+    host — the classic what-the-web-calls-this-page signal. Explode
+    emits only (dst_host, term); one uniform-key hash-agg; the per-host
+    top-k is a WindowGroupLimit rank window."""
+    from core_spark.functions.weblinks import anchor_topk, with_anchors
+
+    df = (
+        _docs(spark, sf_dir, wide=False)
+        .selectExpr(
+            "doc_id",
+            f"{OUTLINK_DST_SQL} AS _dst",
+            f"{ANCHOR_WORD_SQL} AS _w",
+        )
+        .selectExpr(f"{ANCHOR_HTML_SQL} AS html_str")
+    )
+    return anchor_topk(with_anchors(df), k=ANCHOR_K)
+
+
+def _sql_anchor_topk() -> str:
+    """Expected (dst_host, term) derivation for the ANCHOR_HTML_SQL arms
+    — an independent plan that never parses HTML."""
+    return f"""
+        WITH gen AS (
+          SELECT doc_id,
+                 'h' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS _dst,
+                 'w' || CAST(doc_id % 5 AS VARCHAR) AS _w
+          FROM documents
+        ), pairs AS (
+          SELECT unnest(ps) AS p FROM (
+            SELECT CASE CAST(doc_id % 8 AS INT)
+              WHEN 1 THEN [{{'h': _dst, 't': 'visit'}},
+                           {{'h': _dst, 't': _w}},
+                           {{'h': _dst, 't': 'site'}}]
+              WHEN 2 THEN [{{'h': _dst, 't': 'read'}},
+                           {{'h': _dst, 't': 'more'}}]
+              WHEN 3 THEN [{{'h': _dst, 't': _w}}]
+              WHEN 7 THEN [{{'h': _dst, 't': _w}},
+                           {{'h': _dst, 't': 'again'}},
+                           {{'h': 'other.' || _dst, 't': _w}}]
+              ELSE CAST([] AS STRUCT(h VARCHAR, t VARCHAR)[])
+            END AS ps FROM gen
+          )
+        ), counts AS (
+          SELECT p.h AS dst_host, p.t AS term,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM pairs GROUP BY 1, 2
+        )
+        SELECT dst_host, term, n, rank FROM (
+          SELECT dst_host, term, n,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY dst_host ORDER BY n DESC, term ASC
+                 ) AS BIGINT) AS rank
+          FROM counts
+        ) WHERE rank <= {ANCHOR_K}
+    """
+
+
 # BM25 query workload: qa hits the corpus's one RARE token ('dup',
 # df=25 — the idf arm visibly dominates), qb/qc are all-common terms
 # where tf saturation + length normalization decide the ranking.
@@ -3132,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "text_fold": q_text_fold,
         "bm25_topk": q_bm25_topk,
+        "anchor_topk": q_anchor_topk,
         "lm_fluency": q_lm_fluency,
         "c4_clean": q_c4_clean,
         "gopher_gate": q_gopher_gate,
@@ -3658,6 +3744,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", "string_split(trim(text), ' ')",
             BM25_QUERIES, k=BM25_K,
         ),
+        "anchor_topk": _sql_anchor_topk(),
         "c4_clean": _sql_c4_clean_oracle(),
         "gopher_gate": _sql_gopher_gate_oracle(),
         "pipeline_modern": _sql_pipeline_modern(),

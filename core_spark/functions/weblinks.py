@@ -69,6 +69,95 @@ def with_outlinks(df: DataFrame, html_col: str = "html_str") -> DataFrame:
     return df
 
 
+#: anchor variant: group 1 = raw href token, group 2 = the DIRECT text
+#: content of the <a> element (no nested markup — see anchor_steps).
+ANCHOR_PATTERN = (
+    r"(?i)<a\b[^>]*?\shref\s*=\s*"
+    r"(\"[^\"]*\"|'[^']*'|[^\s>\"']+)[^>]*>([^<]*)</a>"
+)
+
+
+def anchor_steps(html_col: str) -> list[tuple[str, str]]:
+    """Stepwise spec producing ``anchors``: array<struct<link,text>> of
+    (absolute http(s) href, direct anchor text) pairs in document order.
+
+    The two capture groups are pulled with two ``regexp_extract_all``
+    passes over the SAME pattern, so the arrays align match-for-match
+    and ``arrays_zip`` pairs them exactly. Anchor semantics (documented,
+    pinned in tests): only the a element's DIRECT text counts — an
+    anchor wrapping nested markup (``<a ...><b>x</b></a>``) does not
+    match (the ``[^<]*`` group cannot cross a tag) and contributes no
+    anchor statistics; an empty anchor (``<a ...></a>``) matches but
+    yields no terms. Full inner-text recovery needs an HTML tokenizer,
+    which curation-grade anchor statistics do not justify (same
+    regex-grade stance as HREF_PATTERN above).
+    """
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_PATTERN), 1)
+    texts = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_PATTERN), 2)
+    zipped = F.arrays_zip(
+        F.transform(
+            hrefs,
+            lambda x: F.regexp_replace(x, F.lit(r"^[\"']|[\"']$"), F.lit("")),
+        ).alias("link"),
+        texts.alias("text"),
+    )
+    kept = F.filter(
+        zipped,
+        lambda s: s["link"].startswith("http://")
+        | s["link"].startswith("https://"),
+    )
+    return [("anchors", kept)]
+
+
+def with_anchors(df: DataFrame, html_col: str = "html_str") -> DataFrame:
+    """Append ``anchors`` (array<struct<link,text>>); pure projection."""
+    for name, col in anchor_steps(html_col):
+        df = df.withColumn(name, col)
+    return df
+
+
+def anchor_topk(
+    df: DataFrame,
+    k: int = 3,
+    anchors_col: str = "anchors",
+) -> DataFrame:
+    """Top-k anchor terms per TARGET host — the classic web-graph signal
+    (what the rest of the web calls a page is a stronger description
+    than the page's own words; every search stack aggregates it).
+
+    Terms are the lowercased ``[a-z0-9]+`` runs of each anchor text.
+    Output (dst_host, term, n, rank), rank 1-based BIGINT by
+    (n DESC, term ASC). 100-TB shape: the explode emits only
+    (dst_host, term) pairs — payloads and full anchor structs never
+    survive the projection; one uniform-key hash-agg with map-side
+    combine; the per-host top-k is a rank window Spark rewrites into
+    per-partition group limits (InferWindowGroupLimit), so no full
+    per-host sort materializes.
+    """
+    from pyspark.sql import Window
+
+    pairs = df.select(
+        F.explode(anchors_col).alias("_a")
+    ).select(
+        link_host_expr(F.col("_a.link")).alias("dst_host"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("_a.text")), r"[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    counts = pairs.groupBy("dst_host", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("dst_host", "term", "n", "rank")
+    )
+
+
 def link_host_expr(link_col) -> "F.Column":
     """Canonical host of an absolute URL Column: lowercase authority,
     default ports and a leading ``www.`` label run stripped (the
