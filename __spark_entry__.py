@@ -30,6 +30,7 @@ from core_spark.operators import heavyhitters as hh
 from core_spark.operators import linkgraph as lg
 from core_spark.operators import lmscore as lms
 from core_spark.operators.bm25 import sql_bm25_topk
+from core_spark.operators.qsketch import sql_group_quantile_sketch
 from core_spark.operators import semdedup as sdd
 from core_spark.plans.materialize import pin
 
@@ -3069,6 +3070,23 @@ def q_frequent_hosts(spark, sf_dir):
     return frequent_items(hosts, "item", num=1, den=20)
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable log-bucket quantile sketch (operators/qsketch.py): the
+    at-scale complement to group_quantiles' exact ranks — <=256 buckets
+    per group EVER (4 sub-buckets per octave), merge = count addition
+    under any partitioning (pinned 1/7/32-way), estimates within 25%
+    relative (pytest-pinned bound), everything BIGINT so the estimate
+    is bit-identical cross-engine (unlike approx_percentile). Per-lang
+    p50/p90/p99 of the doc token count."""
+    from core_spark.operators.qsketch import group_quantile_sketch
+
+    return group_quantile_sketch(
+        _docs(spark, sf_dir, wide=False),
+        "lang",
+        "size(split(trim(text), ' '))",
+    )
+
+
 # Anchor generation rule: eight arms cover the anchor-extraction spec's
 # branch space — multi-word anchor with punctuation splitting, uppercase
 # tag + single quotes, unquoted href, empty anchor behind www+port
@@ -3218,6 +3236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fold": q_text_fold,
         "bm25_topk": q_bm25_topk,
         "anchor_topk": q_anchor_topk,
+        "quantile_sketch": q_quantile_sketch,
         "lm_fluency": q_lm_fluency,
         "c4_clean": q_c4_clean,
         "gopher_gate": q_gopher_gate,
@@ -3745,6 +3764,9 @@ def oracle_sql() -> dict[str, str]:
             BM25_QUERIES, k=BM25_K,
         ),
         "anchor_topk": _sql_anchor_topk(),
+        "quantile_sketch": sql_group_quantile_sketch(
+            "documents", "lang", "len(string_split(trim(text), ' '))"
+        ),
         "c4_clean": _sql_c4_clean_oracle(),
         "gopher_gate": _sql_gopher_gate_oracle(),
         "pipeline_modern": _sql_pipeline_modern(),
