@@ -43,6 +43,25 @@ def zonal_rollup_bucketed(spark, table: str, cell_col: str, lang_col: str = "lan
     )
 
 
+def join_bucketed(spark, left_table: str, right_table: str, key: str):
+    """Co-located equi-join of two tables bucketed on the SAME key with
+    the SAME bucket count — the canonical shuffle-free big-join layout.
+
+    Both scans report ``HashPartitioning(key, n)``, so the sort-merge
+    join's clustering requirement is already satisfied on BOTH sides and
+    Catalyst plans ZERO Exchange (pinned in tests/test_bucketed.py) —
+    at 100 TB this is the difference between re-shuffling two petabyte
+    fact tables per join and streaming co-located bucket pairs. With
+    ``sortBy`` at write time the per-bucket sort is pre-paid too.
+
+    This is fact-to-fact joining (doc table x per-doc feature table);
+    for small dimension sides, ``broadcast()`` remains the right tool —
+    bucketing earns its ingestion-time shuffle only when BOTH sides are
+    too big to broadcast and the join repeats.
+    """
+    return spark.table(left_table).join(spark.table(right_table), key)
+
+
 def has_exchange(df) -> bool:
     """Does the physical plan contain a shuffle Exchange? (test/audit aid)"""
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -7,6 +7,7 @@ import pytest
 from core_spark.data import synth
 from core_spark.sources.bucketed import (
     has_exchange,
+    join_bucketed,
     write_bucketed_docs,
     zonal_rollup_bucketed,
 )
@@ -65,3 +66,39 @@ class TestBucketed:
             assert joined.count() > 0
         finally:
             spark.sql("DROP TABLE IF EXISTS docs_j")
+
+    def test_colocated_join_both_sides_bucketed(self, spark, tmp_path):
+        """Fact x fact equi-join where BOTH sides are bucketed on the join
+        key: zero Exchange even with broadcast disabled — the co-located
+        big-join layout (sources/bucketed.py::join_bucketed)."""
+        from pyspark.sql import functions as F
+
+        pdf = synth.webpages_pandas(400)[["doc_id", "lang", "n_mentions"]]
+        docs = spark.createDataFrame(pdf)
+        feats = docs.select(
+            "doc_id", (F.col("n_mentions") % 97).alias("score")
+        )
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            write_bucketed_docs(
+                docs, "fact_a", 8, "doc_id", path=str(tmp_path / "fa")
+            )
+            write_bucketed_docs(
+                feats, "fact_b", 8, "doc_id", path=str(tmp_path / "fb")
+            )
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = join_bucketed(spark, "fact_a", "fact_b", "doc_id")
+            got = {(r.doc_id, r.score) for r in joined.collect()}
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan
+
+            want = {
+                (r.doc_id, r.score)
+                for r in docs.join(feats, "doc_id").collect()
+            }
+            assert got == want and len(got) == 400
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+            spark.sql("DROP TABLE IF EXISTS fact_a")
+            spark.sql("DROP TABLE IF EXISTS fact_b")
