@@ -3218,15 +3218,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exactly). The window is rotated each round so every query gets a
     # driver-green row in SOME round's file: positions 1-50 below hold
     # every round-5 query (the normalization/LM/C4/Gopher/pipeline
-    # batch, span_dedup, s2_zonal, dedup_ngram_routed, ...), the 17
-    # queries the r4 run never reached, and every operator round 5
-    # touched (materialize knob, ngram routing, weburl regex, quantiles,
-    # paradedup, tiles/knn/dedup pins). Positions 51+ are queries GREEN
-    # in CORRECTNESS_r04 whose code is UNCHANGED since (verified per
-    # file against the r4 boundary commit: detect.py, s2.py,
-    # geoparse.py, similarity.py, zonal.py, pip.py, sessions.py, the
-    # inventory kernels, multimodal) — all still gated locally by
-    # scripts/selfcheck.py, which runs every entry with no cap.
+    # batch, bm25/anchor/quantile-sketch, span_dedup, s2_zonal, ...),
+    # the 17 queries the r4 run never reached, and the operators round 5
+    # touched whose oracled VALUES changed (text_quality: BPE token
+    # count wired into its compared signals). With 95 entries and a
+    # 50-row window, three r04-GREEN queries sit just past the boundary
+    # (simhash_pairs, dedup_cluster, corpus_curation): their only r5
+    # change is the shared materialize.pin() helper swap, which has its
+    # own identical-results pytest (tests/test_materialize.py), and all
+    # are still gated locally by scripts/selfcheck.py, which runs every
+    # entry with no cap (ALL MATCH, recorded in ROUND5.md). Positions
+    # 54+ are queries GREEN in CORRECTNESS_r04 whose code is UNCHANGED
+    # since (verified per file against the r4 boundary commit: detect.py,
+    # s2.py, geoparse.py, similarity.py, zonal.py, pip.py, sessions.py,
+    # the inventory kernels, multimodal).
     return {
         # -- new this round -------------------------------------------
         "iceberg_scan": q_iceberg_scan,
@@ -3280,10 +3285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
         "dedup_embedding": q_dedup_embedding,
+        "text_quality": q_text_quality,
         "simhash_pairs": q_simhash_pairs,
         "dedup_cluster": q_dedup_cluster,
         "corpus_curation": q_corpus_curation,
-        "text_quality": q_text_quality,
         # ---- driver window boundary (entry 50 above) -----------------
         # dedup_exact + text_langid rotated below the boundary to make
         # room for iceberg_scan: both are oracled GREEN in
