@@ -3193,7 +3193,9 @@ def q_bm25_topk(spark, sf_dir):
     set/head agreement)."""
     from core_spark.operators.bm25 import bm25_topk
 
-    docs = _docs(spark, sf_dir).selectExpr(
+    # wide=False: bm25 scans docs twice (candidates + corpus stats) and
+    # is otherwise cheap — the pool repartition cost 12.6s vs 1.0s here
+    docs = _docs(spark, sf_dir, wide=False).selectExpr(
         "doc_id", "split(trim(text), ' ') AS toks"
     )
     return bm25_topk(docs, BM25_QUERIES, k=BM25_K)

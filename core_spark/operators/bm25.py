@@ -108,11 +108,31 @@ def bm25_topk(
         raise ValueError(f"scoring must be 'int' or 'float', got {scoring!r}")
     spark = docs.sparkSession
     all_terms = sorted({t for _, terms in queries for t in terms})
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, terms in queries for t in set(terms)],
-        "query_id string, term string",
+    # literal tables built JVM-side (range + explode of a struct-array
+    # literal): createDataFrame would route them through the Python-RDD
+    # path (applySchemaToPythonRDD), spinning a Python worker stage into
+    # an otherwise all-JVM plan — measured seconds of per-pass overhead
+    qterms = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(qid).alias("query_id"), F.lit(t).alias("term")
+                        )
+                        for qid, terms in queries
+                        for t in sorted(set(terms))
+                    ]
+                )
+            ).alias("_s")
+        )
+        .select("_s.query_id", "_s.term")
     )
-    terms_df = spark.createDataFrame([(t,) for t in all_terms], "term string")
+    terms_df = (
+        spark.range(1)
+        .select(F.explode(F.array(*[F.lit(t) for t in all_terms])).alias("term"))
+    )
 
     # map-side pre-filter: docs with no query term never leave the scan
     base = docs.select(
