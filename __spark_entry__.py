@@ -30,6 +30,7 @@ from core_spark.operators import heavyhitters as hh
 from core_spark.operators import linkgraph as lg
 from core_spark.operators import lmscore as lms
 from core_spark.operators.bm25 import sql_bm25_topk
+from core_spark.operators.history import sql_scd2_intervals
 from core_spark.operators.qsketch import sql_group_quantile_sketch
 from core_spark.operators import semdedup as sdd
 from core_spark.plans.materialize import pin
@@ -3070,6 +3071,44 @@ def q_frequent_hosts(spark, sf_dir):
     return frequent_items(hosts, "item", num=1, den=20)
 
 
+# SCD2 snapshot generation rule: 120 urls, ~4 snapshots each at sf0.01,
+# ts = doc_id (unique). Three fp arms so every interval semantic fires:
+# url%3=0 alternates (A,B,A,B -> REAPPEARANCE opens new versions),
+# url%3=1 changes once mid-history (consecutive-dup COLLAPSE),
+# url%3=2 never changes (single open-ended interval).
+SCD2_URLS = 120
+SCD2_FP_SQL = (
+    f"concat('f', CAST(CASE CAST((doc_id % {SCD2_URLS}) % 3 AS INT)"
+    f" WHEN 0 THEN (doc_id DIV {SCD2_URLS}) % 2"
+    f" WHEN 1 THEN doc_id DIV (2 * {SCD2_URLS})"
+    f" ELSE 0 END AS STRING))"
+)
+SCD2_FP_DUCK = (
+    f"'f' || CAST(CASE CAST((doc_id % {SCD2_URLS}) % 3 AS INT)"
+    f" WHEN 0 THEN (doc_id // {SCD2_URLS}) % 2"
+    f" WHEN 1 THEN doc_id // (2 * {SCD2_URLS})"
+    f" ELSE 0 END AS VARCHAR)"
+)
+
+
+def q_url_history(spark, sf_dir):
+    """SCD2 crawl-history intervals (operators/history.py): recrawl
+    snapshots -> one row per (url, content version) with
+    [valid_from, valid_to) and a 1-based version ordinal. Consecutive
+    same-fp recrawls collapse, reappearing fps open NEW versions
+    (linear history), last version open-ended. All four per-url steps
+    share hash(url) clustering: ONE Exchange, plan-asserted."""
+    from core_spark.operators.history import scd2_intervals
+
+    snaps = _docs(spark, sf_dir, wide=False).selectExpr(
+        f"concat('https://s', CAST(doc_id % {SCD2_URLS} AS STRING), "
+        f"'.example/p') AS url",
+        "doc_id AS warc_ts",
+        f"{SCD2_FP_SQL} AS fp",
+    )
+    return scd2_intervals(snaps)
+
+
 def q_quantile_sketch(spark, sf_dir):
     """Mergeable log-bucket quantile sketch (operators/qsketch.py): the
     at-scale complement to group_quantiles' exact ranks — <=256 buckets
@@ -3244,6 +3283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "anchor_topk": q_anchor_topk,
         "quantile_sketch": q_quantile_sketch,
+        "url_history": q_url_history,
         "lm_fluency": q_lm_fluency,
         "c4_clean": q_c4_clean,
         "gopher_gate": q_gopher_gate,
@@ -3773,6 +3813,13 @@ def oracle_sql() -> dict[str, str]:
         "anchor_topk": _sql_anchor_topk(),
         "quantile_sketch": sql_group_quantile_sketch(
             "documents", "lang", "len(string_split(trim(text), ' '))"
+        ),
+        "url_history": sql_scd2_intervals(
+            f"""(SELECT 'https://s' || CAST(doc_id % {SCD2_URLS} AS VARCHAR)
+                        || '.example/p' AS url,
+                        doc_id AS warc_ts,
+                        {SCD2_FP_DUCK} AS fp
+                 FROM documents)"""
         ),
         "c4_clean": _sql_c4_clean_oracle(),
         "gopher_gate": _sql_gopher_gate_oracle(),

@@ -1,0 +1,111 @@
+"""SCD2 crawl-history intervals: per-url validity ranges from snapshots.
+
+A crawl corpus is a stream of (url, warc_ts, content) observations;
+downstream consumers (freshness scoring, change-rate features, "as the
+page looked at time T" training slices) want the WAREHOUSE shape instead:
+one row per (url, content version) with a validity interval
+``[valid_from, valid_to)`` and ``valid_to IS NULL`` for the current
+version — the classic slowly-changing-dimension type 2 build, over
+content fingerprints instead of dimension attributes.
+
+Semantics (pinned by pytest + the generation-rule oracle):
+
+  - snapshots are ordered per url by (warc_ts, fp) — the fp tie-break
+    makes equal-timestamp observations deterministic;
+  - CONSECUTIVE observations with the same fingerprint collapse into one
+    interval (a recrawl that saw the same bytes extends the version, it
+    does not open a new one);
+  - a fingerprint that REAPPEARS after an intervening change opens a NEW
+    version (A -> B -> A is three intervals, not two — history is linear);
+  - ``valid_from`` = first observation ts of the run, ``valid_to`` = the
+    ts of the next run's first observation (NULL for the last run),
+    ``version`` = 1-based BIGINT run ordinal per url.
+
+100-TB shape: everything happens inside ONE per-url partitioning — the
+change-detection lag, the run-ordinal sum, the per-run min, and the lead
+all share ``hash(url)`` clustering, so Catalyst plans a single Exchange
+(plan-asserted in tests). Url keys are uniform (the host-cap operator
+upstream removes mega-host skew at the DOCUMENT level; here each url's
+row count is its recrawl count, bounded by crawl policy). No window
+carries state beyond a url's own snapshots.
+
+The at-scale alternative for append-only ingestion is the streaming
+ledger (streaming/incremental.py) + periodic interval rebuild of touched
+urls only; this operator is the batch/backfill path.
+
+No reference counterpart (specvital/core has no temporal subsystem);
+SCD2 semantics follow Kimball's published dimensional-modeling
+definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def scd2_intervals(
+    snapshots: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """(key, fp, valid_from, valid_to, version) — see module docstring."""
+    order = [F.col(ts_col).asc(), F.col(fp_col).asc()]
+    w = Window.partitionBy(key).orderBy(*order)
+
+    # run boundary: first row per key, or fingerprint changed vs previous
+    runs = snapshots.select(key, ts_col, fp_col).withColumn(
+        "_chg",
+        F.when(
+            F.lag(fp_col).over(w).isNull()
+            | (F.lag(fp_col).over(w) != F.col(fp_col)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("version", F.sum("_chg").over(w).cast("long"))
+
+    per_run = runs.groupBy(key, "version").agg(
+        F.first(fp_col).alias(fp_col),  # constant within a run
+        F.min(ts_col).alias("valid_from"),
+    )
+    wv = Window.partitionBy(key).orderBy("version")
+    return per_run.withColumn(
+        "valid_to", F.lead("valid_from").over(wv)
+    ).select(key, fp_col, "valid_from", "valid_to", "version")
+
+
+def sql_scd2_intervals(
+    table_sql: str,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    fp_col: str = "fp",
+) -> str:
+    """DuckDB twin — same semantics, independent composition (conditional
+    change flag via COALESCE-compare instead of the null-or-changed CASE,
+    and the run fingerprint via ANY_VALUE over the grouped run)."""
+    return f"""
+        WITH snap AS (
+          SELECT {key}, {ts_col}, {fp_col} FROM {table_sql}
+        ), flagged AS (
+          SELECT {key}, {ts_col}, {fp_col},
+                 CASE WHEN {fp_col} IS DISTINCT FROM
+                           lag({fp_col}) OVER (PARTITION BY {key}
+                                               ORDER BY {ts_col}, {fp_col})
+                      THEN 1 ELSE 0 END AS _chg
+          FROM snap
+        ), runs AS (
+          SELECT {key}, {ts_col}, {fp_col},
+                 CAST(SUM(_chg) OVER (PARTITION BY {key}
+                                      ORDER BY {ts_col}, {fp_col}) AS BIGINT)
+                   AS version
+          FROM flagged
+        ), per_run AS (
+          SELECT {key}, version, ANY_VALUE({fp_col}) AS {fp_col},
+                 MIN({ts_col}) AS valid_from
+          FROM runs GROUP BY {key}, version
+        )
+        SELECT {key}, {fp_col}, valid_from,
+               lead(valid_from) OVER (PARTITION BY {key}
+                                      ORDER BY version) AS valid_to,
+               version
+        FROM per_run
+    """
