@@ -3071,6 +3071,84 @@ def q_frequent_hosts(spark, sf_dir):
     return frequent_items(hosts, "item", num=1, den=20)
 
 
+# Robots generation rule: hosts h1..h9 each get a robots.txt arm that
+# exercises one grammar/decision branch (h0 has NO robots -> default
+# allow); url paths cycle 8 arms so every rule measurably fires under
+# agent=testbot. The DuckDB twin never parses robots text: expected
+# decisions come straight off the (host arm x path arm) table.
+ROBOTS_ARMS = {
+    1: "User-agent: *\nDisallow: /private/",
+    2: "User-agent: *\nDisallow: /\nAllow: /public/",
+    3: "User-agent: testbot\nDisallow: /\n\nUser-agent: *\nAllow: /",
+    4: "User-agent: *\nDisallow: /*.pdf$",
+    5: "User-agent: *\nDisallow:",
+    6: "# banner\nUSER-AGENT: *  # inline\n  DISALLOW : /x\nCrawl-delay: 5",
+    7: "Disallow: /\nUser-agent: *\nDisallow: /y",
+    8: "User-agent: testbot\nUser-agent: otherbot\nDisallow: /y",
+    9: "User-agent: *\nAllow: /t\nDisallow: /t",
+}
+ROBOTS_PATH_SQL = """
+CASE CAST(doc_id % 8 AS INT)
+  WHEN 0 THEN concat('/r', doc_id)
+  WHEN 1 THEN concat('/private/a', doc_id)
+  WHEN 2 THEN concat('/public/b', doc_id)
+  WHEN 3 THEN concat('/x', doc_id)
+  WHEN 4 THEN concat('/d', doc_id, '.pdf')
+  WHEN 5 THEN concat('/pdfx', doc_id)
+  WHEN 6 THEN concat('/y', doc_id)
+  ELSE concat('/t', doc_id)
+END
+""".strip()
+
+
+def q_robots_gate(spark, sf_dir):
+    """robots.txt crawl gate (operators/robots.py, RFC 9309): parse the
+    per-host robots directory into a rules table (group formation via
+    one window over the DIRECTORY, pattern->regex translated once,
+    rules-side), then decide every url under agent=testbot — one
+    host-key equi-join + one (url)-keyed max(struct(len, allow))
+    hash-agg; longest match wins, ties to allow, absent host/no match
+    allowed. All JVM (plan-asserted no-Python)."""
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.robots import parse_robots, robots_decide
+
+    txt = F.lit(None).cast("string")
+    for arm, body in reversed(ROBOTS_ARMS.items()):
+        txt = F.when(F.col("id") == arm, F.lit(body)).otherwise(txt)
+    robots = spark.range(1, 10).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example")).alias("host"),
+        txt.alias("robots_txt"),
+    )
+    urls = _docs(spark, sf_dir, wide=False).selectExpr(
+        "concat('https://h', CAST(doc_id % 10 AS STRING), '.example', "
+        f"{ROBOTS_PATH_SQL}) AS url"
+    )
+    return robots_decide(urls, parse_robots(robots), "testbot")
+
+
+def _sql_robots_gate() -> str:
+    """Expected decisions for the robots arms — derived from the
+    generation rule, never from parsing."""
+    return f"""
+        SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example'
+                 || {ROBOTS_PATH_SQL} AS url,
+               CASE CAST(doc_id % 10 AS INT)
+                 WHEN 0 THEN TRUE
+                 WHEN 1 THEN doc_id % 8 <> 1
+                 WHEN 2 THEN doc_id % 8 = 2
+                 WHEN 3 THEN FALSE
+                 WHEN 4 THEN doc_id % 8 <> 4
+                 WHEN 5 THEN TRUE
+                 WHEN 6 THEN doc_id % 8 <> 3
+                 WHEN 7 THEN doc_id % 8 <> 6
+                 WHEN 8 THEN doc_id % 8 <> 6
+                 ELSE TRUE
+               END AS allowed
+        FROM documents
+    """
+
+
 # SCD2 snapshot generation rule: 120 urls, ~4 snapshots each at sf0.01,
 # ts = doc_id (unique). Three fp arms so every interval semantic fires:
 # url%3=0 alternates (A,B,A,B -> REAPPEARANCE opens new versions),
@@ -3284,6 +3362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_topk": q_anchor_topk,
         "quantile_sketch": q_quantile_sketch,
         "url_history": q_url_history,
+        "robots_gate": q_robots_gate,
         "lm_fluency": q_lm_fluency,
         "c4_clean": q_c4_clean,
         "gopher_gate": q_gopher_gate,
@@ -3814,6 +3893,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch": sql_group_quantile_sketch(
             "documents", "lang", "len(string_split(trim(text), ' '))"
         ),
+        "robots_gate": _sql_robots_gate(),
         "url_history": sql_scd2_intervals(
             f"""(SELECT 'https://s' || CAST(doc_id % {SCD2_URLS} AS VARCHAR)
                         || '.example/p' AS url,
