@@ -3071,6 +3071,63 @@ def q_frequent_hosts(spark, sf_dir):
     return frequent_items(hosts, "item", num=1, den=20)
 
 
+# Containment generation rule: families of 5 consecutive doc_ids share
+# a BASE text (arm 0 = the full base); arms 1/2 are prefix slices of
+# 15/30 tokens, arm 3 a mid slice (tokens 10..30), arm 4 the doc's own
+# unrelated text. Slices' k-grams are subsets of the base's, so the
+# fixture plants directed containment (1->0, 1->2, 2->0, 3->0, 3->2)
+# that Jaccard at the same threshold would miss. The oracle is the
+# INDEPENDENT brute-force all-pairs plan over the same generated table.
+CONT_K, CONT_T = 3, 0.8
+
+
+def q_containment_join(spark, sf_dir):
+    """Asymmetric containment join (operators/containment.py): directed
+    pairs with |A∩B|/|A| >= t over hashed word-k-grams — AllPairs
+    prefix probe against a FULL posting index (no upper size bound:
+    the quote/inclusion shape), positional + size filters, exact
+    array_intersect verify. Postings pinned once for both join sides."""
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.containment import containment_pairs
+
+    # wide=True: the shingle+md5 pass is the cost center (the CLAUDE.md
+    # asymmetry — narrow ran it on one task: 43s; wide: ~6s at sf0.1)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    b = d.selectExpr("doc_id AS _bid", "text AS _btext")
+    fam = d.withColumn("_bid", F.expr("doc_id - doc_id % 5")).join(
+        F.broadcast(b), "_bid"
+    )
+    gen = fam.selectExpr(
+        "doc_id",
+        """CASE CAST(doc_id % 5 AS INT)
+             WHEN 0 THEN text
+             WHEN 1 THEN array_join(slice(split(trim(_btext), ' '), 1, 15), ' ')
+             WHEN 2 THEN array_join(slice(split(trim(_btext), ' '), 1, 30), ' ')
+             WHEN 3 THEN array_join(slice(split(trim(_btext), ' '), 10, 21), ' ')
+             ELSE text
+           END AS text""",
+    )
+    return containment_pairs(gen, k=CONT_K, threshold=CONT_T)
+
+
+def _sql_containment_join() -> str:
+    from core_spark.operators.containment import sql_containment_pairs
+
+    gen = """(
+        SELECT d.doc_id AS doc_id,
+               CASE CAST(d.doc_id % 5 AS INT)
+                 WHEN 0 THEN d.text
+                 WHEN 1 THEN array_to_string(string_split(trim(b.text), ' ')[1:15], ' ')
+                 WHEN 2 THEN array_to_string(string_split(trim(b.text), ' ')[1:30], ' ')
+                 WHEN 3 THEN array_to_string(string_split(trim(b.text), ' ')[10:30], ' ')
+                 ELSE d.text
+               END AS text
+        FROM documents d JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 5
+    )"""
+    return sql_containment_pairs(gen, k=CONT_K, threshold=CONT_T)
+
+
 # Robots generation rule: hosts h1..h9 each get a robots.txt arm that
 # exercises one grammar/decision branch (h0 has NO robots -> default
 # allow); url paths cycle 8 arms so every rule measurably fires under
@@ -3363,6 +3420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "url_history": q_url_history,
         "robots_gate": q_robots_gate,
+        "containment_join": q_containment_join,
         "lm_fluency": q_lm_fluency,
         "c4_clean": q_c4_clean,
         "gopher_gate": q_gopher_gate,
@@ -3894,6 +3952,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", "lang", "len(string_split(trim(text), ' '))"
         ),
         "robots_gate": _sql_robots_gate(),
+        "containment_join": _sql_containment_join(),
         "url_history": sql_scd2_intervals(
             f"""(SELECT 'https://s' || CAST(doc_id % {SCD2_URLS} AS VARCHAR)
                         || '.example/p' AS url,
