@@ -3397,15 +3397,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # batch, bm25/anchor/quantile-sketch, span_dedup, s2_zonal, ...),
     # the 17 queries the r4 run never reached, and the operators round 5
     # touched whose oracled VALUES changed (text_quality: BPE token
-    # count wired into its compared signals). With 95 entries and a
-    # 50-row window, three r04-GREEN queries sit just past the boundary
-    # (simhash_pairs, dedup_cluster, corpus_curation): their only r5
+    # count wired into its compared signals). With 98 entries and a
+    # 50-row window, six r04-GREEN queries sit just past the boundary
+    # (dedup_minhash, dedup_embedding, simhash_pairs, dedup_cluster,
+    # corpus_curation + the untouched dedup_exact): their only r5
     # change is the shared materialize.pin() helper swap, which has its
     # own identical-results pytest (tests/test_materialize.py), and all
     # are still gated locally by scripts/selfcheck.py, which runs every
-    # entry with no cap (ALL MATCH, recorded in ROUND5.md). Positions
-    # 54+ are queries GREEN in CORRECTNESS_r04 whose code is UNCHANGED
-    # since (verified per file against the r4 boundary commit: detect.py,
+    # entry with no cap (ALL MATCH, recorded in ROUND5.md). The window
+    # keeps knn + dedup_ngram as the in-driver representatives of the
+    # pin-migrated knn.py/dedup.py code paths. Later positions are
+    # queries GREEN in CORRECTNESS_r04 whose code is UNCHANGED since
+    # (verified per file against the r4 boundary commit: detect.py,
     # s2.py, geoparse.py, similarity.py, zonal.py, pip.py, sessions.py,
     # the inventory kernels, multimodal).
     return {
@@ -3462,9 +3465,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- operators touched this round + geospatial core ------------
         "knn": q_knn,
         "dedup_ngram": q_dedup_ngram,
+        "text_quality": q_text_quality,
         "dedup_minhash": q_dedup_minhash,
         "dedup_embedding": q_dedup_embedding,
-        "text_quality": q_text_quality,
         "simhash_pairs": q_simhash_pairs,
         "dedup_cluster": q_dedup_cluster,
         "corpus_curation": q_corpus_curation,
