@@ -3405,8 +3405,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # own identical-results pytest (tests/test_materialize.py), and all
     # are still gated locally by scripts/selfcheck.py, which runs every
     # entry with no cap (ALL MATCH, recorded in ROUND5.md). The window
-    # keeps knn + dedup_ngram as the in-driver representatives of the
-    # pin-migrated knn.py/dedup.py code paths. Later positions are
+    # keeps text_quality (compared VALUES changed this round) and knn
+    # (in-driver representative of the pin-migrated knn.py path);
+    # dedup_ngram sits at 51 — its oracle pins mode=exact whose values
+    # are unchanged since its r4-green row, and the NEW routing code is
+    # in-window via dedup_ngram_routed. Later positions are
     # queries GREEN in CORRECTNESS_r04 whose code is UNCHANGED since
     # (verified per file against the r4 boundary commit: detect.py,
     # s2.py, geoparse.py, similarity.py, zonal.py, pip.py, sessions.py,
@@ -3463,9 +3466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "card_sketch": q_card_sketch,
         "incremental_dedup": q_incremental_dedup,
         # -- operators touched this round + geospatial core ------------
+        "text_quality": q_text_quality,
         "knn": q_knn,
         "dedup_ngram": q_dedup_ngram,
-        "text_quality": q_text_quality,
         "dedup_minhash": q_dedup_minhash,
         "dedup_embedding": q_dedup_embedding,
         "simhash_pairs": q_simhash_pairs,
