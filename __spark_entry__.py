@@ -30,6 +30,7 @@ from core_spark.operators import heavyhitters as hh
 from core_spark.operators import linkgraph as lg
 from core_spark.operators import lmscore as lms
 from core_spark.operators.bm25 import sql_bm25_topk
+from core_spark.operators.bpe import sql_bpe_train
 from core_spark.operators.history import sql_scd2_intervals
 from core_spark.operators.qsketch import sql_group_quantile_sketch
 from core_spark.operators import semdedup as sdd
@@ -3071,6 +3072,27 @@ def q_frequent_hosts(spark, sf_dir):
     return frequent_items(hosts, "item", num=1, den=20)
 
 
+BPE_MERGES = 4
+
+
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer training (operators/bpe.py, Sennrich et al. 2016):
+    N merge rounds as UNROLLED declarative plans — within-row adjacent-
+    pair explode + uniform-key hash-agg, order-free 1-row argmax joined
+    back as a broadcast (no collect anywhere), corpus-wide merge as a
+    leftmost-first left fold (aggregate HOF; the string-replace trick
+    is WRONG — shared delimiters — see the module docstring), one
+    pin(loop=True) per round. Output = the learned merge table."""
+    from core_spark.operators.bpe import bpe_train
+
+    # wide=False: no md5/Python stage anywhere — per-round cost is job
+    # latency, and narrow 1-task rounds beat 32-task pool rounds here
+    docs = _docs(spark, sf_dir, wide=False).selectExpr(
+        "filter(split(trim(text), ' '), x -> x != '') AS toks"
+    )
+    return bpe_train(docs, BPE_MERGES)
+
+
 # Containment generation rule: families of 5 consecutive doc_ids share
 # a BASE text (arm 0 = the full base); arms 1/2 are prefix slices of
 # 15/30 tokens, arm 3 a mid slice (tokens 10..30), arm 4 the doc's own
@@ -3427,6 +3449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_history": q_url_history,
         "robots_gate": q_robots_gate,
         "containment_join": q_containment_join,
+        "bpe_train": q_bpe_train,
         "lm_fluency": q_lm_fluency,
         "c4_clean": q_c4_clean,
         "gopher_gate": q_gopher_gate,
@@ -3959,6 +3982,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "robots_gate": _sql_robots_gate(),
         "containment_join": _sql_containment_join(),
+        "bpe_train": sql_bpe_train(
+            "documents",
+            "list_filter(string_split(trim(text), ' '), x -> x != '')",
+            BPE_MERGES,
+        ),
         "url_history": sql_scd2_intervals(
             f"""(SELECT 'https://s' || CAST(doc_id % {SCD2_URLS} AS VARCHAR)
                         || '.example/p' AS url,
