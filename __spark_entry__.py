@@ -3426,12 +3426,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # change is the shared materialize.pin() helper swap, which has its
     # own identical-results pytest (tests/test_materialize.py), and all
     # are still gated locally by scripts/selfcheck.py, which runs every
-    # entry with no cap (ALL MATCH, recorded in ROUND5.md). The window
-    # keeps text_quality (compared VALUES changed this round) and knn
-    # (in-driver representative of the pin-migrated knn.py path);
-    # dedup_ngram sits at 51 — its oracle pins mode=exact whose values
-    # are unchanged since its r4-green row, and the NEW routing code is
-    # in-window via dedup_ngram_routed. Later positions are
+    # entry with no cap (ALL MATCH, recorded in ROUND5.md). With 99
+    # entries, positions 1-50 hold EXACTLY the queries with no prior
+    # driver row (every round-5 query + the 17 the r4 run never
+    # reached) plus text_quality (compared VALUES changed this round);
+    # knn and dedup_ngram sit at 51-52 — both r4-GREEN with oracle
+    # values unchanged since (knn: pin-swap only, parity-pytested;
+    # dedup_ngram: oracle pins mode=exact, and the NEW routing code is
+    # in-window via dedup_ngram_routed). Later positions are
     # queries GREEN in CORRECTNESS_r04 whose code is UNCHANGED since
     # (verified per file against the r4 boundary commit: detect.py,
     # s2.py, geoparse.py, similarity.py, zonal.py, pip.py, sessions.py,
