@@ -30,7 +30,7 @@ from core_spark.operators import heavyhitters as hh
 from core_spark.operators import linkgraph as lg
 from core_spark.operators import lmscore as lms
 from core_spark.operators.bm25 import sql_bm25_topk
-from core_spark.operators.bpe import sql_bpe_train
+from core_spark.operators.bpe import sql_bpe_encode, sql_bpe_train
 from core_spark.operators.history import sql_scd2_intervals
 from core_spark.operators.qsketch import sql_group_quantile_sketch
 from core_spark.operators import semdedup as sdd
@@ -3073,6 +3073,35 @@ def q_frequent_hosts(spark, sf_dir):
 
 
 BPE_MERGES = 4
+# encode-side artifact: a fixed merge table (as a real tokenizer file
+# would be). The third rule consumes the FIRST rule's output token, so
+# table-order application is actually exercised; the oracle compares
+# per-doc token count + md5 of the re-joined sequence.
+BPE_ENCODE_MERGES = [
+    ("a", "the"),
+    ("hash", "join"),
+    ("athe", "row"),
+    ("scan", "scan"),
+]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE encode side (operators/bpe.py::bpe_encode): a learned merge
+    table applied in order, one leftmost-first fold per rule, the whole
+    chain ONE nested-fold projection — zero joins, zero shuffles. The
+    third fixture rule consumes the first rule's output token (order
+    dependence), the fourth is a self-pair (no-remerge semantics)."""
+    from core_spark.operators.bpe import bpe_encode
+
+    docs = _docs(spark, sf_dir, wide=False).selectExpr(
+        "doc_id", "filter(split(trim(text), ' '), x -> x != '') AS toks"
+    )
+    enc = bpe_encode(docs, BPE_ENCODE_MERGES)
+    return enc.selectExpr(
+        "doc_id",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "md5(array_join(toks, ' ')) AS fp",
+    )
 
 
 def q_bpe_train(spark, sf_dir):
@@ -3452,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "containment_join": q_containment_join,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "lm_fluency": q_lm_fluency,
         "c4_clean": q_c4_clean,
         "gopher_gate": q_gopher_gate,
@@ -3988,6 +4018,17 @@ def oracle_sql() -> dict[str, str]:
             "documents",
             "list_filter(string_split(trim(text), ' '), x -> x != '')",
             BPE_MERGES,
+        ),
+        "bpe_encode": (
+            "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+            "md5(array_to_string(toks, ' ')) AS fp FROM ("
+            + sql_bpe_encode(
+                "documents",
+                "list_filter(string_split(trim(text), ' '), x -> x != '')",
+                BPE_ENCODE_MERGES,
+                extra_cols="doc_id, ",
+            )
+            + ")"
         ),
         "url_history": sql_scd2_intervals(
             f"""(SELECT 'https://s' || CAST(doc_id % {SCD2_URLS} AS VARCHAR)

@@ -152,6 +152,55 @@ def bpe_train(
     return out
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    toks_col: str = "toks",
+    out_col: str = "toks",
+) -> DataFrame:
+    """Apply a LEARNED merge table to a token-array column — the
+    tokenizer's encode side. Merges apply in table order, one
+    leftmost-first pass each (exactly how training applied them, so
+    ``bpe_encode(corpus, bpe_train(corpus))`` reproduces the training
+    corpus's final state — pinned in tests). The merge table is a
+    tokenizer ARTIFACT (tiny, driver-side literal), so the whole chain
+    compiles into one nested-fold projection: zero joins, zero
+    shuffles, whole-stage codegen."""
+    expr = toks_col
+    for left, right in merges:
+        l, r = left.replace("'", "\\'"), right.replace("'", "\\'")
+        expr = (
+            f"aggregate({expr}, CAST(array() AS ARRAY<STRING>), "
+            f"(acc, x) -> CASE WHEN size(acc) > 0 "
+            f"AND element_at(acc, -1) = '{l}' AND x = '{r}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{l}{r}')) "
+            f"ELSE concat(acc, array(x)) END)"
+        )
+    other = [c for c in df.columns if c != toks_col]
+    return df.selectExpr(*other, f"{expr} AS {out_col}")
+
+
+def sql_bpe_encode(
+    table: str, toks_sql: str, merges: list[tuple[str, str]],
+    extra_cols: str = "",
+) -> str:
+    """DuckDB twin of ``bpe_encode``: the same nested list_reduce folds
+    over a space-joined accumulator. ``extra_cols`` is a leading
+    projection like ``"doc_id, "``."""
+    expr = toks_sql
+    for left, right in merges:
+        l, r = left.replace("'", "''"), right.replace("'", "''")
+        expr = (
+            f"(CASE WHEN len({expr}) = 0 THEN {expr} ELSE "
+            f"string_split(list_reduce({expr}, (acc, x) -> "
+            f"CASE WHEN regexp_extract(acc, '([^ ]*)$', 1) = '{l}' "
+            f"AND x = '{r}' "
+            f"THEN regexp_replace(acc, '[^ ]*$', '') || '{l}{r}' "
+            f"ELSE acc || ' ' || x END), ' ') END)"
+        )
+    return f"SELECT {extra_cols}{expr} AS toks FROM {table}"
+
+
 def sql_bpe_train(
     table: str, toks_sql: str, n_merges: int
 ) -> str:

@@ -99,3 +99,70 @@ class TestBPE:
         want = _model(docs, 4)
         assert self._spark(spark, docs, 4) == want
         assert self._duck(docs, 4) == want
+
+
+@pytest.mark.spark
+class TestBPEEncode:
+    def test_encode_reproduces_training_state(self, spark):
+        """bpe_encode(corpus, bpe_train(corpus)) == the corpus state
+        training left behind (merges applied in learned order)."""
+        from core_spark.operators.bpe import bpe_encode
+
+        df = spark.createDataFrame(
+            [(d,) for d in DOCS], "text string"
+        ).selectExpr("filter(split(text, ' '), x -> x != '') AS toks")
+        merges = [
+            (r.left, r.right)
+            for r in sorted(bpe_train(df, 3).collect(), key=lambda r: r.round)
+        ]
+        got = sorted(
+            tuple(r.toks) for r in bpe_encode(df, merges).collect()
+        )
+
+        # python model: replay training application
+        corpus = [[t for t in d.split(" ") if t] for d in DOCS]
+        for l, r in merges:
+            new = []
+            for toks in corpus:
+                acc = []
+                for x in toks:
+                    if acc and acc[-1] == l and x == r:
+                        acc[-1] = l + r
+                    else:
+                        acc.append(x)
+                new.append(acc)
+            corpus = new
+        assert got == sorted(tuple(t) for t in corpus)
+
+    def test_order_dependence_and_duck_twin(self, spark):
+        """A later rule consuming an earlier rule's output token only
+        fires if merges apply in table order; both engines agree."""
+        from core_spark.operators.bpe import bpe_encode, sql_bpe_encode
+
+        merges = [("a", "b"), ("ab", "c")]
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "b a b c")], "doc_id long, text string"
+        ).selectExpr("doc_id", "split(text, ' ') AS toks")
+        got = {
+            r.doc_id: tuple(r.toks)
+            for r in bpe_encode(df, merges).collect()
+        }
+        assert got == {1: ("abc", "d"), 2: ("b", "abc")}
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE d AS SELECT * FROM (VALUES "
+            "(1, 'a b c d'), (2, 'b a b c')) _(doc_id, text)"
+        )
+        sql = sql_bpe_encode(
+            "d", "string_split(text, ' ')", merges, extra_cols="doc_id, "
+        )
+        dgot = {r[0]: tuple(r[1]) for r in con.execute(sql).fetchall()}
+        assert dgot == got
+
+    def test_quote_in_token_escaped(self, spark):
+        from core_spark.operators.bpe import bpe_encode
+
+        df = spark.createDataFrame([(["it's", "x"],)], "toks array<string>")
+        [row] = bpe_encode(df, [("it's", "x")]).collect()
+        assert list(row.toks) == ["it'sx"]
