@@ -3455,11 +3455,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # change is the shared materialize.pin() helper swap, which has its
     # own identical-results pytest (tests/test_materialize.py), and all
     # are still gated locally by scripts/selfcheck.py, which runs every
-    # entry with no cap (ALL MATCH, recorded in ROUND5.md). With 99
-    # entries, positions 1-50 hold EXACTLY the queries with no prior
-    # driver row (every round-5 query + the 17 the r4 run never
-    # reached) plus text_quality (compared VALUES changed this round);
-    # knn and dedup_ngram sit at 51-52 — both r4-GREEN with oracle
+    # entry with no cap (ALL MATCH, recorded in ROUND5.md). With 100
+    # entries, positions 1-50 hold EXACTLY the 50 queries with no prior
+    # driver row (the 33 round-5 queries + the 17 the r4 run never
+    # reached) — verified programmatically against CORRECTNESS_r04's
+    # key set: zero r04-green entries occupy window slots and zero
+    # never-checked entries sit past 50. text_quality (position 51) is
+    # r4-GREEN and its r5 value change (BPE token count added to the
+    # compared signals) is gated by selfcheck + the unicode-parity
+    # pytest; knn and dedup_ngram follow — both r4-GREEN with oracle
     # values unchanged since (knn: pin-swap only, parity-pytested;
     # dedup_ngram: oracle pins mode=exact, and the NEW routing code is
     # in-window via dedup_ngram_routed). Later positions are
