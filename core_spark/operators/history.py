@@ -53,14 +53,21 @@ def scd2_intervals(
     order = [F.col(ts_col).asc(), F.col(fp_col).asc()]
     w = Window.partitionBy(key).orderBy(*order)
 
-    # run boundary: first row per key, or fingerprint changed vs previous
+    # run boundary: first row per key, or fingerprint changed vs previous.
+    # eqNullSafe == IS NOT DISTINCT FROM: a NULL fp (fetch failed, no
+    # content hash) is a real state — NULL-after-A opens a new version
+    # and NULL-after-NULL extends it, matching the DuckDB twin's
+    # IS DISTINCT FROM exactly (a plain != would silently swallow NULL
+    # transitions on the Spark side only).
+    # first-row detection is explicit (lag of a literal): an url whose
+    # FIRST snapshot has a NULL fp must still open version 1 — a
+    # NULL-vs-NULL eqNullSafe would read it as "no change" and number
+    # that run 0.
     runs = snapshots.select(key, ts_col, fp_col).withColumn(
         "_chg",
-        F.when(
-            F.lag(fp_col).over(w).isNull()
-            | (F.lag(fp_col).over(w) != F.col(fp_col)),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
+        F.when(F.lag(F.lit(1)).over(w).isNull(), F.lit(1))
+        .when(~F.col(fp_col).eqNullSafe(F.lag(fp_col).over(w)), F.lit(1))
+        .otherwise(F.lit(0)),
     ).withColumn("version", F.sum("_chg").over(w).cast("long"))
 
     per_run = runs.groupBy(key, "version").agg(
@@ -79,23 +86,27 @@ def sql_scd2_intervals(
     ts_col: str = "warc_ts",
     fp_col: str = "fp",
 ) -> str:
-    """DuckDB twin — same semantics, independent composition (conditional
-    change flag via COALESCE-compare instead of the null-or-changed CASE,
-    and the run fingerprint via ANY_VALUE over the grouped run)."""
+    """DuckDB twin — same semantics: explicit first-row arm (lag of a
+    literal), IS DISTINCT FROM for the change flag (NULL fps are real
+    states), fp NULLS FIRST in every window order (Spark's asc default;
+    DuckDB defaults NULLS LAST), run fingerprint via ANY_VALUE."""
     return f"""
         WITH snap AS (
           SELECT {key}, {ts_col}, {fp_col} FROM {table_sql}
         ), flagged AS (
           SELECT {key}, {ts_col}, {fp_col},
-                 CASE WHEN {fp_col} IS DISTINCT FROM
+                 CASE WHEN lag(1) OVER (PARTITION BY {key}
+                                        ORDER BY {ts_col}, {fp_col} NULLS FIRST) IS NULL
+                      THEN 1
+                      WHEN {fp_col} IS DISTINCT FROM
                            lag({fp_col}) OVER (PARTITION BY {key}
-                                               ORDER BY {ts_col}, {fp_col})
+                                               ORDER BY {ts_col}, {fp_col} NULLS FIRST)
                       THEN 1 ELSE 0 END AS _chg
           FROM snap
         ), runs AS (
           SELECT {key}, {ts_col}, {fp_col},
                  CAST(SUM(_chg) OVER (PARTITION BY {key}
-                                      ORDER BY {ts_col}, {fp_col}) AS BIGINT)
+                                      ORDER BY {ts_col}, {fp_col} NULLS FIRST) AS BIGINT)
                    AS version
           FROM flagged
         ), per_run AS (

@@ -78,3 +78,37 @@ class TestSCD2:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_null_fp_is_a_real_state(self, spark):
+        """A NULL fingerprint (failed fetch) opens/extends versions like
+        any other value — including as the FIRST snapshot — and both
+        engines agree (eqNullSafe == IS DISTINCT FROM; fp NULLS FIRST)."""
+        rows = [
+            ("u", 1, None),   # leading NULL run -> version 1
+            ("u", 2, None),   # extends it
+            ("u", 3, "A"),    # change -> version 2
+            ("u", 4, None),   # NULL reappears -> version 3
+            ("v", 7, "P"),
+            ("v", 7, None),   # ts tie: NULL orders FIRST on both engines
+        ]
+        want = {
+            ("u", None, 1, 3, 1),
+            ("u", "A", 3, 4, 2),
+            ("u", None, 4, None, 3),
+            ("v", None, 7, 7, 1),
+            ("v", "P", 7, None, 2),
+        }
+        assert self._spark(spark, rows) == want
+
+        con = duckdb.connect()
+        vals = ", ".join(
+            f"('{u}', {t}, {'NULL' if f is None else repr(f)})"
+            for u, t, f in rows
+        )
+        con.execute(
+            f"CREATE TABLE sn AS SELECT * FROM (VALUES {vals}) _(url, warc_ts, fp)"
+        )
+        got = {
+            tuple(r) for r in con.execute(sql_scd2_intervals("sn")).fetchall()
+        }
+        assert got == want
