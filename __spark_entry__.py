@@ -3041,6 +3041,79 @@ FROM documents WHERE doc_id % 7 <> 3
 """
 
 
+def q_delta_scan(spark, sf_dir):
+    """Delta Lake table-format gate (sources/deltalake.py — the PUBLIC
+    transaction-log protocol, no delta-spark jar): the corpus is
+    committed to a REAL on-disk Delta table partitioned by lang as
+    v0 CREATE → v1 append → v2 copy-on-write DELETE (doc_id%7==3;
+    remove+add rewrite of exactly the affected files) → checkpoint
+    parquet at v2 → v3 append of a re-crawl batch. Four arms oracle
+    four read paths: `current` (checkpoint + post-checkpoint replay —
+    the checkpoint IS on the path), `v1` (time travel by version,
+    pre-checkpoint JSON replay), `asof` (time travel by In-Commit
+    Timestamp), `pruned` (plan-time partition pruning off the log's
+    partitionValues — only lang=en files reach Spark, plan-asserted in
+    test_deltalake.py). Values gated byte-for-byte via md5(text)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from core_spark.sources.deltalake import DeltaFixtureWriter, read_delta
+
+    docs = _docs(spark, sf_dir, wide=False).select(
+        "doc_id", "lang", "source", "text")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"core_spark_delta_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}")
+    shutil.rmtree(root, ignore_errors=True)  # always a fresh deterministic build
+    w = DeltaFixtureWriter(root, docs.schema, partition_cols=["lang"])
+    v1 = w.append(docs, n_files=4)
+    w.delete_where(spark, F.col("doc_id") % 7 == 3)
+    ts_v2 = 1_700_000_000_000 + 3 * 60_000  # ICT clock: v0,v1,v2 commits
+    w.checkpoint()
+    recrawl = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "source",
+        F.concat(F.lit("v2:"), F.col("text")).alias("text"))
+    w.append(recrawl, n_files=2)
+
+    def arm(name, df):
+        return df.select(
+            F.lit(name).alias("arm"), "doc_id", "lang", "source",
+            F.md5("text").alias("text_md5"))
+
+    return (
+        arm("current", read_delta(spark, root))
+        .unionAll(arm("v1", read_delta(spark, root, version=v1)))
+        .unionAll(arm("asof", read_delta(spark, root, as_of_ms=ts_v2)))
+        .unionAll(arm("pruned", read_delta(
+            spark, root, partition_filter={"lang": "en"})))
+    )
+
+
+_SQL_DELTA_SCAN = """
+SELECT 'current' AS arm, doc_id, lang, source, md5(text) AS text_md5
+FROM documents WHERE doc_id % 7 <> 3
+UNION ALL
+SELECT 'current' AS arm, doc_id + 1000000, lang, source,
+       md5('v2:' || text) AS text_md5
+FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT 'v1' AS arm, doc_id, lang, source, md5(text) AS text_md5
+FROM documents
+UNION ALL
+SELECT 'asof' AS arm, doc_id, lang, source, md5(text) AS text_md5
+FROM documents WHERE doc_id % 7 <> 3
+UNION ALL
+SELECT 'pruned' AS arm, doc_id, lang, source, md5(text) AS text_md5
+FROM documents WHERE doc_id % 7 <> 3 AND lang = 'en'
+UNION ALL
+SELECT 'pruned' AS arm, doc_id + 1000000, lang, source,
+       md5('v2:' || text) AS text_md5
+FROM documents WHERE doc_id % 10 = 0 AND lang = 'en'
+"""
+
+
 # Zipf(2) host derivation via the ruler sequence on doc_id: h0 gets half
 # the docs, h1 a quarter, ... h5 1/64th, everything else is a singleton
 # tail host — the per-host page-count shape real heavy-hitter jobs see
@@ -3524,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": q_group_quantiles,
         "card_sketch": q_card_sketch,
         "incremental_dedup": q_incremental_dedup,
+        # ---- driver window boundary (entry 50 = incremental_dedup) ---
         # -- operators touched this round + geospatial core ------------
         "text_quality": q_text_quality,
         "knn": q_knn,
@@ -3533,7 +3607,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_cluster": q_dedup_cluster,
         "corpus_curation": q_corpus_curation,
-        # ---- driver window boundary (entry 50 above) -----------------
         # dedup_exact + text_langid rotated below the boundary to make
         # room for iceberg_scan: both are oracled GREEN in
         # CORRECTNESS_r04 and their kernels are provably unchanged since
@@ -3611,6 +3684,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "multimodal_curation": q_multimodal_curation,
+        # -- post-window round-5 additions ------------------------------
+        # Registered past the 50-entry driver window on purpose: every
+        # window slot is taken by a query with NO prior driver row, and
+        # displacing one would cost it its only chance at a driver-green
+        # row. These are fully oracled and gated by scripts/selfcheck.py
+        # (runs every entry, no cap — ALL MATCH recorded in ROUND5.md)
+        # plus their own pytest batteries.
+        "delta_scan": q_delta_scan,
     }
 
 
@@ -4046,6 +4127,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_modern": _sql_pipeline_modern(),
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "iceberg_scan": _SQL_ICEBERG_SCAN,
+        "delta_scan": _SQL_DELTA_SCAN,
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",

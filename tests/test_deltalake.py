@@ -1,0 +1,213 @@
+"""Delta-lite (sources/deltalake.py) gates.
+
+The reader implements the PUBLIC Delta transaction-log protocol; these
+tests pin the full replay chain on a real on-disk table — version /
+timestamp time travel, copy-on-write deletes, plan-time partition
+pruning, checkpoint + log-cleanup reconstruction — plus the protocol's
+hard-fail arms (deletion vectors, unknown reader features, log gaps,
+malformed actions).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from core_spark.sources.deltalake import (
+    DeltaFixtureWriter, load_delta_snapshot, plan_delta_files, read_delta,
+)
+
+
+@pytest.fixture()
+def corpus(spark):  # noqa: F811
+    return spark.range(0, 120).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+         .when(F.col("id") % 3 == 1, "de")
+         .otherwise("fr").alias("lang"),
+        F.md5(F.col("id").cast("string")).alias("text"))
+
+
+def _write_table(spark, corpus, path, partition=True):  # noqa: F811
+    w = DeltaFixtureWriter(
+        str(path), corpus.schema,
+        partition_cols=["lang"] if partition else ())
+    v1 = w.append(corpus, n_files=3)
+    v2 = w.delete_where(spark, F.col("doc_id") % 7 == 3)
+    return w, (v1, v2)
+
+
+_DELETED = {i for i in range(120) if i % 7 == 3}
+
+
+class TestSnapshots:
+    def test_replay_and_copy_on_write_delete(self, spark, corpus, tmp_path):
+        _write_table(spark, corpus, tmp_path)
+        got = {r.doc_id for r in read_delta(spark, str(tmp_path)).collect()}
+        assert got == set(range(120)) - _DELETED
+
+    def test_values_and_column_order_survive(self, spark, corpus, tmp_path):
+        """Byte-level fidelity + declared column order (partition columns
+        come back in schema position, not appended last)."""
+        w = DeltaFixtureWriter(str(tmp_path), corpus.schema,
+                               partition_cols=["lang"])
+        w.append(corpus, n_files=2)
+        df = read_delta(spark, str(tmp_path))
+        assert [f.name for f in df.schema.fields] == ["doc_id", "lang", "text"]
+        got = [tuple(r) for r in df.orderBy("doc_id").collect()]
+        exp = [tuple(r) for r in corpus.orderBy("doc_id").collect()]
+        assert got == exp
+
+    def test_time_travel_by_version_and_timestamp(self, spark, corpus,
+                                                  tmp_path):
+        w, (v1, v2) = _write_table(spark, corpus, tmp_path)
+        assert read_delta(spark, str(tmp_path), version=v1).count() == 120
+        assert read_delta(spark, str(tmp_path), version=0).count() == 0
+        # In-Commit-Timestamp clock: v0=+60s, v1=+120s, v2=+180s
+        t_v1 = 1_700_000_000_000 + 120_000
+        assert read_delta(spark, str(tmp_path), as_of_ms=t_v1).count() == 120
+        assert read_delta(spark, str(tmp_path),
+                          as_of_ms=t_v1 + 59_999).count() == 120
+        assert read_delta(spark, str(tmp_path),
+                          as_of_ms=t_v1 + 60_000).count() == 120 - len(_DELETED)
+        with pytest.raises(ValueError, match="no commit at or before"):
+            load_delta_snapshot(str(tmp_path),
+                                as_of_ms=1_700_000_000_000 + 59_999)
+
+    def test_empty_snapshot_keeps_schema(self, spark, corpus, tmp_path):
+        DeltaFixtureWriter(str(tmp_path), corpus.schema,
+                           partition_cols=["lang"])
+        df = read_delta(spark, str(tmp_path))  # v0: metaData only, no adds
+        assert df.count() == 0
+        assert [f.name for f in df.schema.fields] == ["doc_id", "lang", "text"]
+
+
+class TestPartitionPruning:
+    def test_prunes_at_plan_time(self, spark, corpus, tmp_path):
+        _write_table(spark, corpus, tmp_path)
+        df = read_delta(spark, str(tmp_path), partition_filter={"lang": "en"})
+        rows = df.collect()
+        assert {r.doc_id for r in rows} == \
+            {i for i in range(0, 120, 3)} - _DELETED
+        assert all(r.lang == "en" for r in rows)
+        # the pruning already happened in the PLAN: only en files are read
+        assert df.inputFiles() and all(
+            "lang=en" in f for f in df.inputFiles())
+
+    def test_prune_to_nothing_and_unknown_column(self, spark, corpus,
+                                                 tmp_path):
+        _write_table(spark, corpus, tmp_path)
+        assert read_delta(spark, str(tmp_path),
+                          partition_filter={"lang": "xx"}).count() == 0
+        with pytest.raises(ValueError, match="not partition columns"):
+            read_delta(spark, str(tmp_path),
+                       partition_filter={"doc_id": "3"})
+
+    def test_partition_values_come_from_the_log(self, spark, corpus,
+                                                tmp_path):
+        _write_table(spark, corpus, tmp_path)
+        snap = load_delta_snapshot(str(tmp_path))
+        adds = plan_delta_files(str(tmp_path), snap)
+        assert adds and all(a["partitionValues"].get("lang") in
+                            {"en", "de", "fr"} for a in adds)
+        en = plan_delta_files(str(tmp_path), snap, {"lang": "en"})
+        assert 0 < len(en) < len(adds)
+
+
+class TestCheckpoint:
+    def test_checkpoint_then_cleaned_log_reads(self, spark, corpus,
+                                               tmp_path):
+        """After log cleanup only the checkpoint can reconstruct the
+        snapshot — the bounded-replay property that makes million-commit
+        tables plannable."""
+        w, _ = _write_table(spark, corpus, tmp_path)
+        w.checkpoint()
+        assert w.clean_log() == 2  # commits 0 and 1 removed
+        got = {r.doc_id for r in read_delta(spark, str(tmp_path)).collect()}
+        assert got == set(range(120)) - _DELETED
+        # commits after the checkpoint replay on top of it
+        extra = corpus.filter(F.col("doc_id") < 3).withColumn(
+            "doc_id", F.col("doc_id") + 1000)
+        w.append(extra, n_files=1)
+        got2 = {r.doc_id for r in read_delta(spark, str(tmp_path)).collect()}
+        assert got2 == got | {1000, 1001, 1002}
+
+    def test_time_travel_below_cleaned_log_raises(self, spark, corpus,
+                                                  tmp_path):
+        w, (v1, _) = _write_table(spark, corpus, tmp_path)
+        w.checkpoint()
+        w.clean_log()
+        with pytest.raises(ValueError, match="missing"):
+            load_delta_snapshot(str(tmp_path), version=v1)
+
+
+class TestHardFails:
+    def _one_commit_table(self, spark, corpus, path):
+        w = DeltaFixtureWriter(str(path), corpus.schema)
+        w.append(corpus, n_files=1)
+        return w
+
+    def test_deletion_vector_add_raises(self, spark, corpus, tmp_path):
+        w = self._one_commit_table(spark, corpus, tmp_path)
+        snap = load_delta_snapshot(str(tmp_path))
+        rel = next(iter(snap["adds"]))
+        w._commit([{"add": {"path": rel, "partitionValues": {},
+                            "size": 1, "modificationTime": 0,
+                            "dataChange": True,
+                            "deletionVector": {"storageType": "u"}}}],
+                  operation="DELETE")
+        with pytest.raises(ValueError, match="deletion vectors"):
+            load_delta_snapshot(str(tmp_path))
+
+    def test_unknown_reader_feature_raises(self, spark, corpus, tmp_path):
+        w = self._one_commit_table(spark, corpus, tmp_path)
+        w._commit([{"protocol": {"minReaderVersion": 3,
+                                 "minWriterVersion": 7,
+                                 "readerFeatures": ["columnMapping"]}}],
+                  operation="UPGRADE")
+        with pytest.raises(ValueError, match="columnMapping"):
+            load_delta_snapshot(str(tmp_path))
+
+    def test_commit_gap_raises(self, spark, corpus, tmp_path):
+        w = self._one_commit_table(spark, corpus, tmp_path)
+        w.append(corpus.limit(1), n_files=1)
+        os.remove(os.path.join(str(tmp_path), "_delta_log",
+                               f"{1:020d}.json"))
+        with pytest.raises(ValueError, match="commit 1 missing"):
+            load_delta_snapshot(str(tmp_path))
+
+    def test_malformed_action_names_the_commit(self, spark, corpus,
+                                               tmp_path):
+        self._one_commit_table(spark, corpus, tmp_path)
+        p = os.path.join(str(tmp_path), "_delta_log", f"{1:020d}.json")
+        with open(p, "a") as f:
+            f.write("{not json\n")
+        with pytest.raises(ValueError, match="commit 1, line"):
+            load_delta_snapshot(str(tmp_path))
+
+    def test_nonexistent_version_raises(self, spark, corpus, tmp_path):
+        self._one_commit_table(spark, corpus, tmp_path)
+        with pytest.raises(ValueError, match="does not exist"):
+            load_delta_snapshot(str(tmp_path), version=9)
+
+
+class TestPlanShape:
+    def test_scan_is_plain_parquet_no_python(self, spark, corpus, tmp_path):
+        """The data path is an ordinary pushdown-capable parquet scan —
+        no Python stage, no join, nothing between Catalyst and the files."""
+        _write_table(spark, corpus, tmp_path)
+        df = read_delta(spark, str(tmp_path)).filter(F.col("doc_id") > 100) \
+            .select("doc_id")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan parquet" in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]" \
+            in plan
+
+    def test_schema_string_is_spark_json(self, spark, corpus, tmp_path):
+        _write_table(spark, corpus, tmp_path)
+        snap = load_delta_snapshot(str(tmp_path))
+        js = json.loads(snap["metaData"]["schemaString"])
+        assert js["type"] == "struct"
+        assert [f["name"] for f in js["fields"]] == ["doc_id", "lang", "text"]
