@@ -3114,6 +3114,41 @@ FROM documents WHERE doc_id % 10 = 0 AND lang = 'en'
 """
 
 
+RAG_CHUNK_SIZE, RAG_CHUNK_OVERLAP = 16, 4
+
+
+def q_rag_chunks(spark, sf_dir):
+    """RAG / embedding-window chunking (operators/chunking.py): the
+    standard sliding token window (size 16, overlap 4) over every doc,
+    with 0-based end-EXCLUSIVE token provenance spans (the repo-wide
+    location convention, composing with span_dedup/decontaminate_spans
+    coordinates). ONE codegen'd projection + within-row explode — no
+    shuffle, no Python, no window (plan-asserted in test_chunking.py);
+    at scale this is a map-only stage whose output partitioning is the
+    consumer's choice. Chunk text gated byte-for-byte via md5."""
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.chunking import chunk_documents
+
+    docs = _docs(spark, sf_dir, wide=False).select("doc_id", "text")
+    chunks = chunk_documents(docs, RAG_CHUNK_SIZE, RAG_CHUNK_OVERLAP)
+    return chunks.select(
+        "doc_id", "chunk_ix", "tok_start", "tok_end", "n_tokens",
+        F.md5("chunk_text").alias("fp"))
+
+
+def _sql_rag_chunks() -> str:
+    from core_spark.operators.chunking import sql_chunk_documents
+
+    inner = sql_chunk_documents(
+        "documents", RAG_CHUNK_SIZE, RAG_CHUNK_OVERLAP)
+    return f"""
+        SELECT doc_id, chunk_ix, tok_start, tok_end, n_tokens,
+               md5(chunk_text) AS fp
+        FROM ({inner})
+    """
+
+
 # Zipf(2) host derivation via the ruler sequence on doc_id: h0 gets half
 # the docs, h1 a quarter, ... h5 1/64th, everything else is a singleton
 # tail host — the per-host page-count shape real heavy-hitter jobs see
@@ -3692,6 +3727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (runs every entry, no cap — ALL MATCH recorded in ROUND5.md)
         # plus their own pytest batteries.
         "delta_scan": q_delta_scan,
+        "rag_chunks": q_rag_chunks,
     }
 
 
@@ -4128,6 +4164,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "iceberg_scan": _SQL_ICEBERG_SCAN,
         "delta_scan": _SQL_DELTA_SCAN,
+        "rag_chunks": _sql_rag_chunks(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
