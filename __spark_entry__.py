@@ -2102,6 +2102,24 @@ def q_card_sketch(spark, sf_dir):
     )
 
 
+def q_hll_sketch(spark, sf_dir):
+    """HyperLogLog per lang (operators/cardsketch.py::hll_sketch) — the
+    cardinality sketch that does NOT saturate where linear counting does
+    (fixed m=256 registers serve any cardinality at ~6.5% error). The
+    entire register state is oracled exactly: register fingerprint
+    (sorted bucket:reg, md5), registers-hit count, and the harmonic
+    denominator pre-scaled to a BIGINT (2^(W+1-reg) per register) so no
+    float crosses engines; the 1/x + ln estimate stays driver-side
+    (hll_estimate, accuracy pytested to the 1.04/sqrt(m) bound at 100
+    to 200k distinct). ONE uniform-(lang,bucket) hash-agg with map-side
+    MAX combine, then a per-lang re-agg of ≤256 rows; registers merge
+    across shards/days by MAX (pytested shard-union + 1/7/32-way
+    partition invariance)."""
+    from core_spark.operators.cardsketch import hll_sketch
+
+    return hll_sketch(_docs(spark, sf_dir, wide=False), "lang", "md5(text)")
+
+
 FP_PREFIX_K = 2
 
 
@@ -3149,6 +3167,12 @@ def _sql_rag_chunks() -> str:
     """
 
 
+def _sql_hll_sketch_q() -> str:
+    from core_spark.operators.cardsketch import sql_hll_sketch
+
+    return sql_hll_sketch("documents", "lang", "md5(text)")
+
+
 # Zipf(2) host derivation via the ruler sequence on doc_id: h0 gets half
 # the docs, h1 a quarter, ... h5 1/64th, everything else is a singleton
 # tail host — the per-host page-count shape real heavy-hitter jobs see
@@ -3728,6 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plus their own pytest batteries.
         "delta_scan": q_delta_scan,
         "rag_chunks": q_rag_chunks,
+        "hll_sketch": q_hll_sketch,
     }
 
 
@@ -4165,6 +4190,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_scan": _SQL_ICEBERG_SCAN,
         "delta_scan": _SQL_DELTA_SCAN,
         "rag_chunks": _sql_rag_chunks(),
+        "hll_sketch": _sql_hll_sketch_q(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
