@@ -3173,6 +3173,51 @@ def _sql_hll_sketch_q() -> str:
     return sql_hll_sketch("documents", "lang", "md5(text)")
 
 
+FRONTIER_WORKERS, FRONTIER_DELAY = 8, 5
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier scheduling (operators/frontier.py): canonicalize →
+    admit each URL once (min-doc winner, max-n_chars priority) →
+    politeness-correct fetch plan. worker = md5(host) % 8 gives host
+    affinity (per-host politeness needs zero cross-worker coordination);
+    fetch_slot = per-host rank × 5s with rank ordered (priority DESC,
+    md5(url), url) — deterministic and partition-invariant (pytested).
+    ONE window shuffle on the host key; a mega-host's deep partition IS
+    the crawl's inherent politeness lower bound, surfaced per worker by
+    frontier_stats.makespan_s and mitigated upstream by cap_per_host."""
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.frontier import schedule_frontier
+    from core_spark.operators.weburl import canonicalize_url
+
+    df = _docs(spark, sf_dir, wide=False).selectExpr(
+        "doc_id", "source", "n_chars", f"{URL_GEN_SQL} AS url")
+    cand = canonicalize_url(df).groupBy("host", "url_canon").agg(
+        F.min("doc_id").alias("doc_id"), F.max("n_chars").alias("prio"))
+    sched = schedule_frontier(
+        cand, FRONTIER_WORKERS, FRONTIER_DELAY,
+        url_col="url_canon", priority_sql="prio")
+    return sched.select("doc_id", "host", "url_canon", "worker",
+                        "fetch_ix", "fetch_slot")
+
+
+def _sql_crawl_frontier() -> str:
+    from core_spark.operators.frontier import sql_schedule_frontier
+    from core_spark.operators.weburl import sql_canonicalize
+
+    canon = sql_canonicalize(
+        f"(SELECT doc_id, source, n_chars, {URL_GEN_SQL} AS url"
+        " FROM documents)")
+    cand = (
+        "(SELECT host, url_canon, MIN(doc_id) AS doc_id,"
+        f" MAX(n_chars) AS prio FROM ({canon}) GROUP BY host, url_canon)")
+    return sql_schedule_frontier(
+        cand, FRONTIER_WORKERS, FRONTIER_DELAY,
+        url_col="url_canon", priority_sql="prio",
+        cols="doc_id, host, url_canon")
+
+
 # Zipf(2) host derivation via the ruler sequence on doc_id: h0 gets half
 # the docs, h1 a quarter, ... h5 1/64th, everything else is a singleton
 # tail host — the per-host page-count shape real heavy-hitter jobs see
@@ -3753,6 +3798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_scan": q_delta_scan,
         "rag_chunks": q_rag_chunks,
         "hll_sketch": q_hll_sketch,
+        "crawl_frontier": q_crawl_frontier,
     }
 
 
@@ -4191,6 +4237,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_scan": _SQL_DELTA_SCAN,
         "rag_chunks": _sql_rag_chunks(),
         "hll_sketch": _sql_hll_sketch_q(),
+        "crawl_frontier": _sql_crawl_frontier(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
