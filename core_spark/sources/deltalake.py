@@ -397,6 +397,51 @@ class DeltaFixtureWriter:
         return self._commit(removes + self._add_actions(new),
                             operation="DELETE")
 
+    def optimize(self, spark) -> int:
+        """OPTIMIZE-style small-file compaction: per partition, rewrite
+        every multi-file partition into ONE file and commit
+        remove(old) + add(new) with ``dataChange: false`` — the snapshot
+        is row-identical (the protocol's signal that incremental
+        consumers may skip the commit). The lakehouse small-file
+        problem is operational, not hypothetical: a crawl appending
+        every hour leaves thousands of KB-files per partition, and scan
+        task count tracks file count; compaction restores ~one task per
+        target size. Returns the new version."""
+        snap = load_delta_snapshot(self.path)
+        by_part: dict[tuple, list[dict]] = {}
+        for a in snap["adds"].values():
+            key = tuple(sorted((a.get("partitionValues") or {}).items()))
+            by_part.setdefault(key, []).append(a)
+        removes, victims = [], []
+        for _key, adds in sorted(by_part.items()):
+            if len(adds) < 2:
+                continue
+            victims.extend(os.path.join(self.path, a["path"]) for a in adds)
+            removes.extend(
+                {"remove": {"path": a["path"], "dataChange": False,
+                            "deletionTimestamp": self._ts}}
+                for a in sorted(adds, key=lambda a: a["path"]))
+        if not victims:
+            return self._commit([], operation="OPTIMIZE")
+        reader = spark.read.schema(self.schema)
+        if self.partition_cols:
+            reader = reader.option("basePath", self.path)
+        packed = reader.parquet(*victims)
+        before = self._data_files()
+        if self.partition_cols:
+            # one file per hive dir: cluster rows by the partition columns
+            # so each dir gets exactly one writer task
+            (packed.repartition(*self.partition_cols)
+             .write.mode("append")
+             .partitionBy(*self.partition_cols).parquet(self.path))
+        else:
+            packed.coalesce(1).write.mode("append").parquet(self.path)
+        new = self._data_files() - before
+        adds = self._add_actions(new)
+        for a in adds:
+            a["add"]["dataChange"] = False
+        return self._commit(removes + adds, operation="OPTIMIZE")
+
     def checkpoint(self) -> str:
         """Write the full snapshot state as %020d.checkpoint.parquet and
         point _last_checkpoint at it."""

@@ -211,3 +211,54 @@ class TestPlanShape:
         js = json.loads(snap["metaData"]["schemaString"])
         assert js["type"] == "struct"
         assert [f["name"] for f in js["fields"]] == ["doc_id", "lang", "text"]
+
+
+class TestOptimize:
+    def test_compaction_is_row_identical_and_one_file_per_partition(
+            self, spark, corpus, tmp_path):
+        w = DeltaFixtureWriter(str(tmp_path), corpus.schema,
+                               partition_cols=["lang"])
+        w.append(corpus, n_files=3)
+        w.append(corpus.withColumn("doc_id", F.col("doc_id") + 1000),
+                 n_files=3)
+        pre = read_delta(spark, str(tmp_path))
+        pre_rows = sorted(tuple(r) for r in pre.collect())
+        pre_files = len(pre.inputFiles())
+        v = w.optimize(spark)
+        post = read_delta(spark, str(tmp_path))
+        assert sorted(tuple(r) for r in post.collect()) == pre_rows
+        # one live file per lang partition now
+        snap = load_delta_snapshot(str(tmp_path))
+        parts = {}
+        for a in snap["adds"].values():
+            parts.setdefault(a["partitionValues"]["lang"], []).append(a)
+        assert set(parts) == {"en", "de", "fr"}
+        assert all(len(v) == 1 for v in parts.values())
+        assert len(post.inputFiles()) < pre_files
+        # dataChange: false on every action of the OPTIMIZE commit
+        import json as _json
+        log = os.path.join(str(tmp_path), "_delta_log", f"{v:020d}.json")
+        acts = [_json.loads(l) for l in open(log) if l.strip()]
+        flags = [a[k]["dataChange"] for a in acts for k in ("add", "remove")
+                 if k in a]
+        assert flags and not any(flags)
+        # time travel to pre-optimize still reads the old layout
+        assert read_delta(spark, str(tmp_path), version=v - 1).count() == \
+            post.count()
+
+    def test_optimize_noop_on_compact_table(self, spark, corpus, tmp_path):
+        w = DeltaFixtureWriter(str(tmp_path), corpus.schema)
+        w.append(corpus, n_files=1)
+        before = set(load_delta_snapshot(str(tmp_path))["adds"])
+        w.optimize(spark)
+        assert set(load_delta_snapshot(str(tmp_path))["adds"]) == before
+
+    def test_optimize_then_checkpoint_reads(self, spark, corpus, tmp_path):
+        w = DeltaFixtureWriter(str(tmp_path), corpus.schema,
+                               partition_cols=["lang"])
+        w.append(corpus, n_files=4)
+        w.optimize(spark)
+        w.checkpoint()
+        w.clean_log()
+        got = {r.doc_id for r in read_delta(spark, str(tmp_path)).collect()}
+        assert got == set(range(120))
