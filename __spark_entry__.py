@@ -3173,6 +3173,40 @@ def _sql_hll_sketch_q() -> str:
     return sql_hll_sketch("documents", "lang", "md5(text)")
 
 
+HITS_ITERS, HITS_HOSTS, HITS_KOUT = 2, 97, 4
+
+
+def q_link_hits(spark, sf_dir):
+    """HITS hubs & authorities (operators/linkgraph.py::hits) over the
+    same derived host graph as link_pagerank — the axis PageRank can't
+    express: authorities (hosts worth linking TO) vs hubs (directories
+    worth crawling FROM), the distinction seed selection and crawl
+    prioritization actually use. Exact BIGINT: Kleinberg's per-round L2
+    normalization only bounds floats, rankings are scale-invariant, so
+    the integer variant skips it (hits_bound() states the worst-case
+    magnitude). Per round: one edges⋈scores join per direction on
+    uniform host keys + hash-agg + directory left-join, pinned per
+    round; the DuckDB twin unrolls both rounds bit-for-bit."""
+    from core_spark.operators.linkgraph import derive_host_edges, hits
+
+    edges = derive_host_edges(
+        _docs(spark, sf_dir, wide=False),
+        n_hosts=HITS_HOSTS, k_out=HITS_KOUT)
+    return hits(edges, iters=HITS_ITERS)
+
+
+def _sql_link_hits() -> str:
+    from core_spark.operators.linkgraph import (
+        sql_derived_host_edges, sql_hits,
+    )
+
+    return sql_hits(
+        sql_derived_host_edges(
+            "SELECT doc_id FROM documents",
+            n_hosts=HITS_HOSTS, k_out=HITS_KOUT),
+        iters=HITS_ITERS)
+
+
 FRONTIER_WORKERS, FRONTIER_DELAY = 8, 5
 
 
@@ -3799,6 +3833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_chunks": q_rag_chunks,
         "hll_sketch": q_hll_sketch,
         "crawl_frontier": q_crawl_frontier,
+        "link_hits": q_link_hits,
     }
 
 
@@ -4238,6 +4273,7 @@ def oracle_sql() -> dict[str, str]:
         "rag_chunks": _sql_rag_chunks(),
         "hll_sketch": _sql_hll_sketch_q(),
         "crawl_frontier": _sql_crawl_frontier(),
+        "link_hits": _sql_link_hits(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",

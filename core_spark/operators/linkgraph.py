@@ -311,3 +311,136 @@ def sql_host_pagerank(
                r.rank AS rank
         FROM {prev} r LEFT JOIN indeg i USING (host)
     """
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities)
+# ---------------------------------------------------------------------------
+
+def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """(host, authority, hub): exact-BIGINT HITS after ``iters`` rounds.
+
+    PageRank ranks by global endorsement flow; HITS (Kleinberg 1999)
+    separates AUTHORITIES (pages good to link TO — content hosts) from
+    HUBS (pages good to link FROM — directories, link farms), which is
+    the distinction a crawl-prioritization or seed-selection pass
+    actually wants. Kleinberg's L2 normalization each round exists only
+    to keep floats bounded; rankings are invariant under positive
+    scaling, so this variant skips it and stays in exact BIGINT — hub₀
+    = 1, then per round a ← Σ_in hub, h ← Σ_out a (growth per full
+    round ≤ max_in_deg × max_out_deg; at any realistic degree bound a
+    handful of rounds sits far inside BIGINT — hits_bound() states the
+    worst case so callers can check before raising ``iters``).
+    Normalize driver-side if unit scores are wanted.
+
+    Per-round plans mirror pagerank(): edges⋈scores on one uniform host
+    key, hash-agg on the other, left join back to the node directory,
+    re-pinned per round (loop=True) to keep plans flat. Nodes with no
+    in-links hold authority 0 (respectively hub 0) — kept, not dropped.
+    """
+    edges = pin(edges)
+    nodes = pin(
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    hub = nodes.withColumn("hub", F.lit(1).cast("long"))
+    auth = nodes.withColumn("authority", F.lit(0).cast("long"))
+    for _ in range(iters):
+        a_in = (
+            edges.join(hub, edges.src == hub.host)
+            .groupBy("dst").agg(F.sum("hub").alias("s"))
+        )
+        auth = pin(
+            nodes.join(a_in, nodes.host == a_in.dst, "left")
+            .selectExpr("host", "CAST(coalesce(s, 0) AS BIGINT) AS authority"),
+            loop=True,
+        )
+        h_out = (
+            edges.join(auth, edges.dst == auth.host)
+            .groupBy("src").agg(F.sum("authority").alias("s"))
+        )
+        hub = pin(
+            nodes.join(h_out, nodes.host == h_out.src, "left")
+            .selectExpr("host", "CAST(coalesce(s, 0) AS BIGINT) AS hub"),
+            loop=True,
+        )
+    return auth.join(hub, "host")
+
+
+def hits_bound(max_in_deg: int, max_out_deg: int, iters: int) -> int:
+    """Worst-case score magnitude after ``iters`` rounds (hub₀ = 1)."""
+    a = h = 1
+    for _ in range(iters):
+        a = max_in_deg * h
+        h = max_out_deg * a
+    return max(a, h)
+
+
+def sql_hits(edges_sql: str, iters: int = 2) -> str:
+    """DuckDB twin of :func:`hits` (unrolled CTE chain).
+
+    ``edges_sql`` must yield (src, dst)."""
+    rounds = []
+    prev_h = "h0"
+    prev_a = None
+    for t in range(1, iters + 1):
+        rounds.append(
+            f"""a{t} AS (
+              SELECT n.host, CAST(COALESCE(c.s, 0) AS BIGINT) AS authority
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS host, SUM(h.hub) AS s
+                FROM edges e JOIN {prev_h} h ON h.host = e.src
+                GROUP BY e.dst
+              ) c USING (host)
+            ), h{t} AS (
+              SELECT n.host, CAST(COALESCE(c.s, 0) AS BIGINT) AS hub
+              FROM nodes n LEFT JOIN (
+                SELECT e.src AS host, SUM(a.authority) AS s
+                FROM edges e JOIN a{t} a ON a.host = e.dst
+                GROUP BY e.src
+              ) c USING (host)
+            )"""
+        )
+        prev_h, prev_a = f"h{t}", f"a{t}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+        WITH edges AS ({edges_sql}),
+        nodes AS (
+          SELECT src AS host FROM edges
+          UNION
+          SELECT dst AS host FROM edges
+        ),
+        h0 AS (SELECT host, CAST(1 AS BIGINT) AS hub FROM nodes),
+        {rounds_sql}
+        SELECT a.host AS host, a.authority, h.hub
+        FROM {prev_a} a JOIN {prev_h} h USING (host)
+    """
+
+
+def sql_derived_host_edges(
+    inner_sql: str, n_hosts: int = 97, k_out: int = 4,
+    id_col: str = "doc_id",
+) -> str:
+    """The derive_host_edges generation rule as standalone SQL yielding
+    (src, dst) — same derivation sql_host_pagerank inlines."""
+    jj = ", ".join(f"({j})" for j in range(k_out))
+    return f"""
+        WITH nodes_ AS (
+          SELECT DISTINCT ({id_col} % {n_hosts}) AS host FROM ({inner_sql})
+        ), idx AS (
+          SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS i
+          FROM nodes_
+        ), cnt AS (
+          SELECT COUNT(*) AS n FROM nodes_
+        ), slots AS (
+          SELECT host AS src, j
+          FROM idx CROSS JOIN (VALUES {jj}) AS jj(j)
+        )
+        SELECT s.src AS src, t.host AS dst
+        FROM slots s CROSS JOIN cnt c
+        JOIN idx t ON t.i = (
+          ('0x' || substr(md5('lg_' || CAST(s.src AS VARCHAR) || '_' ||
+                               CAST(s.j AS VARCHAR)), 1, 15))::BIGINT
+        ) % c.n
+    """

@@ -208,3 +208,63 @@ def test_weighted_identical_under_reliable_materialization(spark, monkeypatch):
     base = run()
     monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "reliable")
     assert run() == base
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+import duckdb  # noqa: E402
+
+from core_spark.operators.linkgraph import (  # noqa: E402
+    hits, hits_bound, sql_hits,
+)
+
+# hand-checkable mutual-reinforcement graph: d0 is a hub pointing at the
+# two authorities a1/a2; d3 points at a1 only; a1 points back at d0.
+_HITS_EDGES = [("d0", "a1"), ("d0", "a2"), ("d3", "a1"), ("a1", "d0")]
+
+
+def _hits_model(edges, iters):
+    nodes = sorted({u for e in edges for u in e})
+    hub = {n: 1 for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(iters):
+        auth = {n: sum(hub[s] for s, d in edges if d == n) for n in nodes}
+        hub = {n: sum(auth[d] for s, d in edges if s == n) for n in nodes}
+    return auth, hub
+
+
+@pytest.mark.spark
+def test_hits_vs_model_and_duckdb(spark):
+    df = spark.createDataFrame(_HITS_EDGES, "src string, dst string")
+    for iters in (1, 2, 3):
+        got = {r.host: (r.authority, r.hub)
+               for r in hits(df, iters=iters).collect()}
+        auth, hub = _hits_model(_HITS_EDGES, iters)
+        assert got == {n: (auth[n], hub[n]) for n in auth}
+
+        con = duckdb.connect()
+        vals = ", ".join(f"('{s}', '{d}')" for s, d in _HITS_EDGES)
+        duck = {r[0]: (r[1], r[2]) for r in con.execute(sql_hits(
+            f"SELECT * FROM (VALUES {vals}) _(src, dst)",
+            iters=iters)).fetchall()}
+        assert duck == got
+
+
+@pytest.mark.spark
+def test_hits_separates_hubs_from_authorities(spark):
+    """The property PageRank can't express: d0 is the best HUB but a1 is
+    the best AUTHORITY, and HITS says so on both axes."""
+    df = spark.createDataFrame(_HITS_EDGES, "src string, dst string")
+    got = {r.host: r for r in hits(df, iters=2).collect()}
+    assert max(got.values(), key=lambda r: r.authority).host == "a1"
+    assert max(got.values(), key=lambda r: r.hub).host == "d0"
+    # no-in-link nodes hold authority 0 and are kept
+    assert got["d3"].authority == 0 and got["d3"].hub > 0
+
+
+def test_hits_bound_states_the_worst_case():
+    assert hits_bound(2, 2, 2) == 16
+    # realistic crawl bound: 3 rounds at degree 1024 stays inside BIGINT
+    assert hits_bound(1024, 1024, 3) < 2 ** 63
