@@ -169,21 +169,17 @@ def merge_hll_registers(*register_dfs: DataFrame) -> DataFrame:
     return out.groupBy(group_col, "bucket").agg(F.max("reg").alias("reg"))
 
 
-def hll_sketch(
+def hll_partials(
     df: DataFrame, group_col: str, key_sql: str, b: int = 8
 ) -> DataFrame:
-    """(group, n_rows, hll_regs_hit, hll_sum_scaled, hll_reg_fp) — the
-    sketch state as exact integers + a deterministic fingerprint.
-
-    ``hll_sum_scaled`` = sum over ALL m registers of 2^(W+1 - reg)
-    (empty registers contribute 2^(W+1)) — the HLL harmonic denominator
-    pre-scaled to a BIGINT so the oracle compares it exactly; at b=8 it
-    is bounded by 2^61. ``hll_reg_fp`` pins the registers themselves
-    (sorted "bucket:reg" string, md5'd; empties implied).
-    """
-    m, w_bits = 1 << b, _HLL_BITS - b
+    """(group, _b, _reg, _n): registers + row counts — the mergeable
+    partial a shard/day/micro-batch contributes. Merging = MAX(_reg) +
+    SUM(_n) per (group, _b), which is exactly what a re-application of
+    the same hash-agg over unioned partials computes — so the reduction
+    is a CONTRACTION in the streaming-ledger sense (batch-local
+    application never loses information the global fold needs)."""
     bucket, rank = _hll_exprs(key_sql, b, "spark")
-    regs = (
+    return (
         df.select(
             F.col(group_col),
             F.expr(bucket).alias("_b"),
@@ -192,7 +188,23 @@ def hll_sketch(
         .groupBy(group_col, "_b")
         .agg(F.max("_rank").alias("_reg"), F.count("*").alias("_n"))
     )
-    return regs.groupBy(group_col).agg(
+
+
+def merge_hll_partials(partials: DataFrame, group_col: str) -> DataFrame:
+    """Fold unioned shard partials back into one register table."""
+    return partials.groupBy(group_col, "_b").agg(
+        F.max("_reg").alias("_reg"), F.sum("_n").alias("_n"))
+
+
+def hll_sketch_from_partials(
+    partials: DataFrame, group_col: str, b: int = 8
+) -> DataFrame:
+    """Final rollup of a (group, _b, _reg, _n) register table into the
+    oracled sketch row — see :func:`hll_sketch` for the column
+    contract. Input registers must already be merged (one row per
+    (group, _b))."""
+    m, w_bits = 1 << b, _HLL_BITS - b
+    return partials.groupBy(group_col).agg(
         F.sum("_n").alias("n_rows"),
         F.count("*").alias("hll_regs_hit"),
         (
@@ -208,6 +220,25 @@ def hll_sketch(
             )
         ).alias("hll_reg_fp"),
     )
+
+
+def hll_sketch(
+    df: DataFrame, group_col: str, key_sql: str, b: int = 8
+) -> DataFrame:
+    """(group, n_rows, hll_regs_hit, hll_sum_scaled, hll_reg_fp) — the
+    sketch state as exact integers + a deterministic fingerprint.
+
+    ``hll_sum_scaled`` = sum over ALL m registers of 2^(W+1 - reg)
+    (empty registers contribute 2^(W+1)) — the HLL harmonic denominator
+    pre-scaled to a BIGINT so the oracle compares it exactly; at b=8 it
+    is bounded by 2^61. ``hll_reg_fp`` pins the registers themselves
+    (sorted "bucket:reg" string, md5'd; empties implied). Composition:
+    :func:`hll_partials` → :func:`hll_sketch_from_partials`, so the
+    same rollup serves batch, shard-merge, and the streaming ledger
+    twin identically.
+    """
+    return hll_sketch_from_partials(
+        hll_partials(df, group_col, key_sql, b), group_col, b)
 
 
 def sql_hll_sketch(

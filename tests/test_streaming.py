@@ -427,3 +427,53 @@ class TestStreamCleaningRules:
         )
         assert len(got) == len(pages)
         assert got == want
+
+
+class TestStreamHLL:
+    def test_stream_hll_sketch_matches_batch(self, spark, tmp_path):
+        """HLL via the generic ledger: the batch_reducer emits register
+        PARTIALS (per-(group,bucket) MAX + count — a genuine contraction:
+        re-applying the same hash-agg over unioned partials IS the merge),
+        so each micro-batch ships at most m rows per group instead of its
+        raw keys; the resolver folds partials and rolls up the sketch.
+        Stream output == one-shot batch sketch, column for column."""
+        from core_spark.operators.cardsketch import (
+            hll_partials, hll_sketch, hll_sketch_from_partials,
+            merge_hll_partials,
+        )
+        from core_spark.streaming.incremental import (
+            resolve_ledger, stream_accumulate,
+        )
+
+        input_dir = str(tmp_path / "in")
+        rows = [(d, f"g{d % 2}", f"key{d % 371}") for d in range(900)]
+        for part in range(3):
+            chunk = [r for r in rows if r[0] % 3 == part]
+            spark.createDataFrame(
+                chunk, "doc_id long, lang string, k string"
+            ).coalesce(1).write.mode("append").parquet(input_dir)
+
+        q = stream_accumulate(
+            spark,
+            input_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            output_dir=str(tmp_path / "ledger"),
+            schema="doc_id long, lang string, k string",
+            batch_reducer=lambda df: hll_partials(df, "lang", "k"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+        got = sorted(
+            tuple(r) for r in resolve_ledger(
+                spark, str(tmp_path / "ledger"),
+                lambda df: hll_sketch_from_partials(
+                    merge_hll_partials(df, "lang"), "lang"),
+            ).collect()
+        )
+        want = sorted(
+            tuple(r) for r in hll_sketch(
+                spark.read.parquet(input_dir), "lang", "k"
+            ).collect()
+        )
+        assert got == want and len(got) == 2
