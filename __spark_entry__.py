@@ -3139,8 +3139,9 @@ def q_rag_chunks(spark, sf_dir):
     """RAG / embedding-window chunking (operators/chunking.py): the
     standard sliding token window (size 16, overlap 4) over every doc,
     with 0-based end-EXCLUSIVE token provenance spans (the repo-wide
-    location convention, composing with span_dedup/decontaminate_spans
-    coordinates). ONE codegen'd projection + within-row explode — no
+    location convention; same SHAPE as span_dedup/decontaminate_spans
+    coordinates — index-for-index composition needs the same tokenizer,
+    see the module docstring). ONE codegen'd projection + within-row explode — no
     shuffle, no Python, no window (plan-asserted in test_chunking.py);
     at scale this is a map-only stage whose output partitioning is the
     consumer's choice. Chunk text gated byte-for-byte via md5."""

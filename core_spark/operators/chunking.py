@@ -14,8 +14,15 @@ i.e. every token is covered, consecutive chunks share exactly
 ``overlap`` tokens, and the final chunk is the only one allowed to be
 short (it absorbs the tail instead of emitting a fully-redundant
 window). Offsets follow the repo-wide location convention: 0-based
-token positions, end EXCLUSIVE — so a chunk's provenance composes
-directly with span_dedup / decontaminate_spans coordinates.
+token positions, end EXCLUSIVE — the same SHAPE as span_dedup /
+decontaminate_spans coordinates. Note the tokenizers differ, though:
+this operator splits on whitespace RUNS (the textstats convention —
+``split(trim(text), '\\s+')``), while span_dedup splits on single
+spaces and keeps empty tokens; chunk offsets and span offsets only
+align index-for-index on text whose tokens are single-space separated
+(e.g. post-``text_normalize``, which collapses runs). To join the two
+coordinate systems on raw text, re-chunk with the span tokenizer or
+normalize first.
 
 Plan shape: ONE codegen'd projection + one within-row explode — no
 shuffle, no Python, no window. At 100 TB chunking is a map-only stage

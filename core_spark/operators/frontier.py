@@ -78,14 +78,12 @@ def schedule_frontier(
         F.col(url_col).asc(),
     )
     return (
-        df.withColumn("_prio", F.expr(f"CAST(({priority_sql}) AS BIGINT)"))
-        .withColumn("worker",
-                    F.expr(_worker(host_col, n_workers, "spark")))
+        df.withColumn("worker",
+                      F.expr(_worker(host_col, n_workers, "spark")))
         .withColumn("fetch_ix",
                     (F.row_number().over(w) - 1).cast("long"))
         .withColumn("fetch_slot",
                     F.expr(f"CAST(fetch_ix * ({delay}) AS BIGINT)"))
-        .drop("_prio")
     )
 
 

@@ -338,6 +338,8 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
     re-pinned per round (loop=True) to keep plans flat. Nodes with no
     in-links hold authority 0 (respectively hub 0) — kept, not dropped.
     """
+    if iters < 1:
+        raise ValueError(f"hits: iters must be >= 1, got {iters}")
     edges = pin(edges)
     nodes = pin(
         edges.select(F.col("src").alias("host"))
@@ -381,6 +383,8 @@ def sql_hits(edges_sql: str, iters: int = 2) -> str:
     """DuckDB twin of :func:`hits` (unrolled CTE chain).
 
     ``edges_sql`` must yield (src, dst)."""
+    if iters < 1:
+        raise ValueError(f"hits: iters must be >= 1, got {iters}")
     rounds = []
     prev_h = "h0"
     prev_a = None

@@ -204,7 +204,14 @@ def load_delta_snapshot(table_path: str, version: int | None = None,
         _apply(state, _read_commit(commits[v], v), v)
 
     proto = state["protocol"] or {}
-    if proto.get("minReaderVersion", 1) > 1:
+    mrv = proto.get("minReaderVersion", 1)
+    if mrv == 2:
+        # reader v2 == column mapping required: physical parquet columns
+        # are renamed 'col-<uuid>', so reading with the logical schema
+        # would return all-NULL columns — hard-fail, never silently wrong
+        raise ValueError(
+            "delta: minReaderVersion 2 (column mapping) is not supported")
+    if mrv > 2:
         extra = set(proto.get("readerFeatures") or []) - \
             _SUPPORTED_READER_FEATURES
         if extra:
@@ -213,6 +220,11 @@ def load_delta_snapshot(table_path: str, version: int | None = None,
                 f"{sorted(extra)}")
     if state["metaData"] is None:
         raise ValueError("delta: snapshot has no metaData action")
+    cm = (state["metaData"].get("configuration") or {}).get(
+        "delta.columnMapping.mode")
+    if cm not in (None, "none"):
+        raise ValueError(
+            f"delta: column mapping mode {cm!r} is not supported")
     return state
 
 
@@ -389,7 +401,10 @@ class DeltaFixtureWriter:
         reader = spark.read.schema(self.schema)
         if self.partition_cols:
             reader = reader.option("basePath", self.path)
-        keep = reader.parquet(*abs_affected).filter(~predicate)
+        # DELETE semantics keep rows where the predicate is false OR NULL;
+        # a bare ~predicate is NULL (dropped) on NULL inputs — data loss
+        keep = reader.parquet(*abs_affected).filter(
+            ~F.coalesce(predicate, F.lit(False)))
         new = self._write_files(keep, n_files=max(1, len(affected) // 2))
         removes = [{"remove": {"path": p, "dataChange": True,
                                "deletionTimestamp": self._ts}}
@@ -451,8 +466,15 @@ class DeltaFixtureWriter:
         snap = load_delta_snapshot(self.path)
         smap = pa.map_(pa.string(), pa.string())
         schema = pa.schema([
-            ("protocol", pa.struct([("minReaderVersion", pa.int32()),
-                                    ("minWriterVersion", pa.int32())])),
+            # readerFeatures/writerFeatures must survive the checkpoint:
+            # pyarrow silently drops dict keys absent from the struct
+            # schema, and losing them would let a cleaned log bypass the
+            # unsupported-feature hard-fail on replay
+            ("protocol", pa.struct([
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string()))])),
             ("metaData", pa.struct([
                 ("id", pa.string()),
                 ("format", pa.struct([("provider", pa.string()),

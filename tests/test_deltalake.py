@@ -262,3 +262,62 @@ class TestOptimize:
         w.clean_log()
         got = {r.doc_id for r in read_delta(spark, str(tmp_path)).collect()}
         assert got == set(range(120))
+
+
+class TestReviewRegressions:
+    """Pins for the closing review findings: NULL-predicate DELETE
+    semantics, the column-mapping hard-fail, and readerFeatures
+    surviving the checkpoint round-trip."""
+
+    def test_delete_where_keeps_null_predicate_rows(self, spark, tmp_path):
+        rows = spark.createDataFrame(
+            [(1, 7), (2, None), (3, 2)], "doc_id long, x long")
+        w = DeltaFixtureWriter(str(tmp_path), rows.schema)
+        w.append(rows, n_files=1)
+        w.delete_where(spark, F.col("x") > 5)
+        got = {(r.doc_id, r.x)
+               for r in read_delta(spark, str(tmp_path)).collect()}
+        # DELETE WHERE x > 5 removes only doc 1; the NULL row survives
+        # (false-or-NULL rows are kept, matching SQL DELETE semantics)
+        assert got == {(2, None), (3, 2)}
+
+    def test_column_mapping_hard_fails_both_signals(self, spark, corpus,
+                                                    tmp_path):
+        w = DeltaFixtureWriter(str(tmp_path), corpus.schema)
+        w.append(corpus, n_files=1)
+        # signal 1: reader version 2 (column mapping required pre-features)
+        w._commit([{"protocol": {"minReaderVersion": 2,
+                                 "minWriterVersion": 5}}], operation="UP")
+        with pytest.raises(ValueError, match="column mapping"):
+            load_delta_snapshot(str(tmp_path))
+
+    def test_column_mapping_mode_in_configuration_raises(self, spark,
+                                                         corpus, tmp_path):
+        w = DeltaFixtureWriter(str(tmp_path), corpus.schema)
+        w.append(corpus, n_files=1)
+        md = json.loads(json.dumps({
+            "id": "t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": corpus.schema.json(),
+            "partitionColumns": [], "createdTime": 0,
+            "configuration": {"delta.columnMapping.mode": "name"}}))
+        w._commit([{"metaData": md}], operation="UP")
+        with pytest.raises(ValueError, match="column mapping mode"):
+            load_delta_snapshot(str(tmp_path))
+
+    def test_reader_features_survive_checkpoint(self, spark, corpus,
+                                                tmp_path):
+        """pyarrow drops struct keys absent from the schema — a checkpoint
+        losing readerFeatures would let a cleaned log bypass the
+        unsupported-feature gate on replay."""
+        w = DeltaFixtureWriter(str(tmp_path), corpus.schema)
+        w.append(corpus, n_files=1)
+        w._commit([{"protocol": {"minReaderVersion": 3,
+                                 "minWriterVersion": 7,
+                                 "readerFeatures": ["timestampNtz"],
+                                 "writerFeatures": ["appendOnly"]}}],
+                  operation="UPGRADE")
+        w.checkpoint()
+        w.clean_log()
+        snap = load_delta_snapshot(str(tmp_path))
+        assert snap["protocol"]["readerFeatures"] == ["timestampNtz"]
+        assert snap["protocol"]["writerFeatures"] == ["appendOnly"]

@@ -268,3 +268,11 @@ def test_hits_bound_states_the_worst_case():
     assert hits_bound(2, 2, 2) == 16
     # realistic crawl bound: 3 rounds at degree 1024 stays inside BIGINT
     assert hits_bound(1024, 1024, 3) < 2 ** 63
+
+
+def test_hits_zero_iters_raises_on_both_twins(spark):
+    df = spark.createDataFrame(_HITS_EDGES, "src string, dst string")
+    with pytest.raises(ValueError, match="iters must be >= 1"):
+        hits(df, iters=0)
+    with pytest.raises(ValueError, match="iters must be >= 1"):
+        sql_hits("edges", iters=0)
