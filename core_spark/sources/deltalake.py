@@ -457,6 +457,36 @@ class DeltaFixtureWriter:
             a["add"]["dataChange"] = False
         return self._commit(removes + adds, operation="OPTIMIZE")
 
+    def vacuum(self, retain_versions: int = 1) -> int:
+        """Delete data files no RETAINED snapshot references (VACUUM).
+
+        Copy-on-write deletes and OPTIMIZE leave tombstoned files on
+        disk so time travel keeps working; at crawl scale that is the
+        storage bill growing monotonically. Retention here is counted
+        in VERSIONS (the newest ``retain_versions`` snapshots stay
+        readable — the fixture's logical clock has no wall time to age
+        against; real Delta retains by deletionTimestamp age, same
+        reconciliation). Files referenced by NO retained snapshot are
+        unlinked; time travel below the retention horizon then fails
+        with the reader's normal missing-file error instead of reading
+        partial state. Returns how many files were deleted."""
+        if retain_versions < 1:
+            raise ValueError("delta: retain_versions must be >= 1")
+        commits, ckpts = _list_log(self.path)
+        newest = max([*commits, *ckpts])
+        retained = range(max(0, newest - retain_versions + 1), newest + 1)
+        keep: set[str] = set()
+        for v in retained:
+            try:
+                snap = load_delta_snapshot(self.path, version=v)
+            except ValueError:
+                continue  # below a cleaned log's checkpoint horizon
+            keep.update(snap["adds"])
+        victims = sorted(self._data_files() - keep)
+        for rel in victims:
+            os.remove(os.path.join(self.path, rel))
+        return len(victims)
+
     def checkpoint(self) -> str:
         """Write the full snapshot state as %020d.checkpoint.parquet and
         point _last_checkpoint at it."""

@@ -321,3 +321,111 @@ class TestReviewRegressions:
         snap = load_delta_snapshot(str(tmp_path))
         assert snap["protocol"]["readerFeatures"] == ["timestampNtz"]
         assert snap["protocol"]["writerFeatures"] == ["appendOnly"]
+
+
+class TestVacuumAndEvolution:
+    def test_vacuum_unlinks_only_unreferenced_files(self, spark, corpus,
+                                                    tmp_path):
+        w, (v1, v2) = _write_table(spark, corpus, tmp_path)
+        # v2 rewrote the files containing doc_id%7==3; their v1 originals
+        # are tombstoned on disk until vacuum
+        all_before = w._data_files()
+        live = set(load_delta_snapshot(str(tmp_path))["adds"])
+        assert live < all_before
+        n = w.vacuum(retain_versions=1)
+        assert n == len(all_before - live)
+        assert w._data_files() == live
+        # the retained (current) snapshot still reads perfectly
+        got = {r.doc_id for r in read_delta(spark, str(tmp_path)).collect()}
+        assert got == set(range(120)) - _DELETED
+        # time travel below the retention horizon fails loudly, not wrong
+        with pytest.raises(Exception):
+            read_delta(spark, str(tmp_path), version=v1).collect()
+
+    def test_vacuum_respects_retention_window(self, spark, corpus,
+                                              tmp_path):
+        w, (v1, _) = _write_table(spark, corpus, tmp_path)
+        n = w.vacuum(retain_versions=3)  # v0..v2 all retained
+        assert n == 0
+        assert read_delta(spark, str(tmp_path), version=v1).count() == 120
+        with pytest.raises(ValueError, match="retain_versions"):
+            w.vacuum(retain_versions=0)
+
+    def test_schema_evolution_add_column(self, spark, corpus, tmp_path):
+        """Old files lack the new column; the snapshot schema wins and
+        Spark fills NULL — per-version schemas stay readable."""
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+        w = DeltaFixtureWriter(str(tmp_path), corpus.schema)
+        w.append(corpus, n_files=1)
+        evolved = StructType([*corpus.schema.fields,
+                              StructField("score", LongType(), True)])
+        md = {
+            "id": "t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": evolved.json(), "partitionColumns": [],
+            "configuration": {}, "createdTime": 0,
+        }
+        w._commit([{"metaData": md}], operation="ADD COLUMN")
+        w.schema = evolved
+        w.append(corpus.limit(5).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "lang", "text",
+            F.lit(9).cast("long").alias("score")), n_files=1)
+        df = read_delta(spark, str(tmp_path))
+        assert [f.name for f in df.schema.fields] == \
+            ["doc_id", "lang", "text", "score"]
+        rows = {r.doc_id: r.score for r in df.collect()}
+        assert len(rows) == 125
+        assert rows[0] is None and rows[1000] == 9
+        # the pre-evolution snapshot still reads with the OLD schema
+        old = read_delta(spark, str(tmp_path), version=1)
+        assert [f.name for f in old.schema.fields] == \
+            ["doc_id", "lang", "text"]
+
+
+class TestLifecycleFuzz:
+    def test_random_op_sequences_match_row_model(self, spark, tmp_path):
+        """Model-based check of the whole table lifecycle: random
+        interleavings of append / copy-on-write delete / optimize /
+        checkpoint / log-cleanup / vacuum, with the CURRENT snapshot
+        compared to a pure-Python live-row model after every op. The
+        maintenance ops (optimize/checkpoint/clean/vacuum) must be
+        row-invisible no matter where they land in the sequence."""
+        import random
+
+        rng = random.Random(42)
+        schema = "doc_id long, grp long"
+        for seq in range(4):
+            root = str(tmp_path / f"t{seq}")
+            w = None
+            model = set()
+            next_id = 0
+            ops = []
+            for step in range(7):
+                op = rng.choice(
+                    ["append", "append", "delete", "optimize",
+                     "checkpoint_clean", "vacuum"])
+                ops.append(op)
+                if w is None or op == "append":
+                    batch = [(next_id + i, (next_id + i) % 5)
+                             for i in range(30)]
+                    df = spark.createDataFrame(batch, schema)
+                    if w is None:
+                        w = DeltaFixtureWriter(root, df.schema)
+                    w.append(df, n_files=rng.choice([1, 2, 3]))
+                    model |= {i for i, _ in batch}
+                    next_id += 30
+                elif op == "delete":
+                    r = rng.randrange(5)
+                    w.delete_where(spark, F.col("grp") == r)
+                    model -= {i for i in model if i % 5 == r}
+                elif op == "optimize":
+                    w.optimize(spark)
+                elif op == "checkpoint_clean":
+                    w.checkpoint()
+                    w.clean_log()
+                elif op == "vacuum":
+                    w.vacuum(retain_versions=1)
+                got = {r.doc_id
+                       for r in read_delta(spark, root).collect()}
+                assert got == model, (seq, step, ops)
