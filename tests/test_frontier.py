@@ -5,6 +5,7 @@ import hashlib
 
 import duckdb
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from core_spark.operators.frontier import (
@@ -120,3 +121,38 @@ class TestParityAndStats:
             ._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9),      # host id
+                  st.integers(0, 999),    # url id
+                  st.integers(0, 3)),     # priority
+        min_size=1, max_size=40, unique_by=lambda t: (t[0], t[1])),
+    st.integers(1, 5),                    # n_workers
+    st.integers(1, 9),                    # delay
+)
+def test_fuzz_duckdb_twin_politeness_invariants(rows, n_workers, delay):
+    """Twin-level fuzz (no Spark in the loop): for random frontiers the
+    DuckDB emission must satisfy every scheduling invariant the Spark
+    side pins — affinity, dense politeness slots, priority order."""
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"('h{h}.x', 'https://h{h}.x/p{u}', {p})" for h, u, p in rows)
+    con.execute(f"CREATE TABLE f AS SELECT * FROM (VALUES {vals}) "
+                f"_(host, url, prio)")
+    got = con.execute(sql_schedule_frontier(
+        "f", n_workers, delay, priority_sql="prio",
+        cols="host, url, prio")).fetchall()
+    assert len(got) == len(rows)
+    by_host = {}
+    for host, url, prio, worker, ix, slot in got:
+        by_host.setdefault(host, []).append((ix, slot, prio, worker))
+    for host, hr in by_host.items():
+        hr.sort()
+        assert len({w for _, _, _, w in hr}) == 1          # affinity
+        assert [i for i, _, _, _ in hr] == list(range(len(hr)))  # dense
+        assert all(s == i * delay for i, s, _, _ in hr)    # politeness
+        prios = [p for _, _, p, _ in hr]
+        assert prios == sorted(prios, reverse=True)        # priority
