@@ -376,13 +376,19 @@ class IcebergFixtureWriter:
                 }})
         return out
 
-    def _commit(self, entries: list[dict], content: int, operation: str) -> int:
+    def _commit(self, entries: list[dict], content: int, operation: str,
+                replace: bool = False) -> int:
         self.seq += 1
         snap_id = 7_000_000_000_000 + self.seq
         mpath = os.path.join(self.mdir, f"m{self.seq}.avro")
         with open(mpath, "wb") as f:
             f.write(write_avro_file(MANIFEST_ENTRY_SCHEMA, entries))
         rows = sum(e["data_file"]["record_count"] for e in entries)
+        if replace:
+            # replacement commit (rewrite_data_files): the new snapshot's
+            # manifest list references ONLY the new manifest — prior data
+            # and delete manifests stop being part of snapshots from here
+            self.manifests = []
         self.manifests.append({
             "manifest_path": mpath,
             "manifest_length": os.path.getsize(mpath),
@@ -461,6 +467,61 @@ class IcebergFixtureWriter:
         entries = self._file_entries(
             self._parquet_files(d), _POSITION_DELETES)
         return self._commit(entries, content=1, operation="delete")
+
+    def rewrite_data_files(self, spark, n_files: int = 2) -> int:
+        """Table maintenance: materialize the CURRENT live rows (all
+        merge-on-read delete layers applied) into fresh data files and
+        commit a REPLACE snapshot whose manifest list carries only the
+        new data manifest. This is Iceberg's rewrite_data_files action —
+        the documented answer to MOR compaction debt (PLANS §43: a
+        growing delete side eventually outgrows the broadcast; the fix
+        is rewriting data files, which belongs to the writer). After it,
+        the current snapshot plans ZERO delete files; history still
+        time-travels to the MOR layout until expire_snapshots."""
+        live = read_iceberg(spark, self.path)
+        d = os.path.join(self.ddir, f"s{self.seq + 1}-rewrite")
+        live.repartition(n_files).write.mode("overwrite").parquet(d)
+        entries = self._file_entries(self._parquet_files(d), _DATA)
+        return self._commit(entries, content=0, operation="replace",
+                            replace=True)
+
+    def expire_snapshots(self, retain_last: int = 1) -> int:
+        """Drop all but the newest ``retain_last`` snapshots from the
+        metadata and unlink every data/delete file no retained snapshot
+        references (plus the expired snapshots' manifest lists) — the
+        storage-reclaim half of maintenance. Time travel to an expired
+        snapshot id then raises the reader's normal 'not found', never
+        a partial read. Returns how many files were unlinked."""
+        if retain_last < 1:
+            raise ValueError("iceberg: retain_last must be >= 1")
+        retained = self.snapshots[-retain_last:]
+        expired = self.snapshots[:-retain_last]
+        if not expired:
+            return 0
+        keep: set[str] = set()
+        md = load_table_metadata(self.path)
+        for s in retained:
+            plan = plan_files(self.path, s)
+            keep.update(f["file_path"] for f in plan["data"])
+            keep.update(f["file_path"] for f in plan["position_deletes"])
+            keep.update(r["file_path"] for r, _ in plan["equality_deletes"])
+            keep.add(_resolve_path(s["manifest-list"], self.path))
+        victims = []
+        for s in expired:
+            ml = _resolve_path(s["manifest-list"], self.path)
+            if ml not in keep and os.path.exists(ml):
+                victims.append(ml)
+        for root, _dirs, files in os.walk(self.ddir):
+            for name in files:
+                p = os.path.join(root, name)
+                if name.endswith(".parquet") and not name.startswith(".") \
+                        and p not in keep:
+                    victims.append(p)
+        for p in victims:
+            os.remove(p)
+        self.snapshots = retained
+        self._write_metadata(retained[-1]["snapshot-id"])
+        return len(victims)
 
     def delete_equality(self, key_df, key_cols: list[str]) -> int:
         """Commit equality deletes: rows whose key_cols match key_df."""

@@ -216,3 +216,61 @@ def test_iceberg_version_hint_vs_scan(spark, corpus, tmp_path):  # noqa: F811
     assert read_iceberg(spark, str(tmp_path)).count() == 120
     os.remove(hint)  # fall back to the newest metadata file
     assert read_iceberg(spark, str(tmp_path)).count() == 60
+
+
+# ---------------------------------------------------------------------------
+# table maintenance: rewrite_data_files + expire_snapshots
+# ---------------------------------------------------------------------------
+
+def test_rewrite_data_files_clears_mor_debt(spark, corpus, tmp_path):  # noqa: F811
+    """Compaction answers the documented MOR caveat: after the rewrite
+    the current snapshot plans ZERO delete files, rows are identical,
+    and the pre-rewrite snapshot still time-travels to the MOR layout."""
+    w, (s1, s2, s3) = _write_table(spark, corpus, tmp_path)
+    pre = {r.doc_id for r in read_iceberg(spark, str(tmp_path)).collect()}
+    s4 = w.rewrite_data_files(spark, n_files=2)
+    md = load_table_metadata(str(tmp_path))
+    plan = plan_files(str(tmp_path), select_snapshot(md))
+    assert plan["position_deletes"] == [] and plan["equality_deletes"] == []
+    assert len(plan["data"]) == 2
+    got = {r.doc_id for r in read_iceberg(spark, str(tmp_path)).collect()}
+    assert got == pre
+    # history intact: the MOR snapshot still reads through its deletes
+    got3 = {r.doc_id
+            for r in read_iceberg(spark, str(tmp_path),
+                                  snapshot_id=s3).collect()}
+    assert got3 == pre
+
+
+def test_expire_snapshots_reclaims_and_fails_loudly(spark, corpus,  # noqa: F811
+                                                    tmp_path):
+    w, (s1, s2, s3) = _write_table(spark, corpus, tmp_path)
+    w.rewrite_data_files(spark, n_files=2)
+    pre = {r.doc_id for r in read_iceberg(spark, str(tmp_path)).collect()}
+    n = w.expire_snapshots(retain_last=1)
+    assert n > 0  # old data files + delete files + manifest lists gone
+    # current snapshot reads perfectly off the compacted files
+    got = {r.doc_id for r in read_iceberg(spark, str(tmp_path)).collect()}
+    assert got == pre
+    md = load_table_metadata(str(tmp_path))
+    assert len(md["snapshots"]) == 1
+    # expired ids are gone from metadata -> loud 'not found'
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg(spark, str(tmp_path), snapshot_id=s1)
+    with pytest.raises(ValueError, match="retain_last"):
+        w.expire_snapshots(retain_last=0)
+
+
+def test_expire_without_rewrite_keeps_referenced_files(spark, corpus,  # noqa: F811
+                                                       tmp_path):
+    """Expiring history on an append-only table must keep every data
+    file the retained snapshot references (accumulating manifests) —
+    expire reclaims only what nothing retained points at."""
+    w = IcebergFixtureWriter(str(tmp_path), corpus.schema)
+    w.append(corpus, n_files=2)
+    w.append(corpus.limit(10).selectExpr(
+        "doc_id + 1000 AS doc_id", "url", "text"), n_files=1)
+    n = w.expire_snapshots(retain_last=1)
+    got = {r.doc_id for r in read_iceberg(spark, str(tmp_path)).collect()}
+    assert got == set(range(120)) | {1000 + i for i in range(10)}
+    assert n == 1  # only the first snapshot's manifest list was unlinked
