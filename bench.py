@@ -160,11 +160,44 @@ def main() -> None:
             timings[name] = round(time.monotonic() - t0, 3)
             _isolate(spark)
 
+    # Same-window hardware ceiling: the fused kernel over the same corpus
+    # via plain multiprocessing (no Spark), in a fresh subprocess. The
+    # sandbox hypervisor's delivered CPU swings ±50% between windows
+    # (BENCH_SCALING.md), so absolute docs/sec is only comparable across
+    # rounds through hw_ratio = docs_per_sec / ceiling_docs_per_sec
+    # (quiet-window reference ≈ 0.58). Skip with SPARK_GRAFT_SKIP_CEILING.
+    # Best-of-3: a single sample in a bursty window can land on a CPU
+    # steal spike (measured one ceiling sample at half the flagship's
+    # own rate seconds apart); the max of three is the window's honest
+    # capability. Ratios > 1 remain possible under extreme bursts — the
+    # ratio is still far more cross-window comparable than raw docs/sec.
+    ceiling = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_CEILING"):
+        import subprocess
+
+        samples = []
+        for _ in range(3):
+            try:
+                r = subprocess.run(
+                    [sys.executable,
+                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "scripts", "scaling_bench.py"),
+                     "--ceiling", corpus, str(cpus)],
+                    capture_output=True, text=True, timeout=900,
+                )
+                samples.append(float(r.stdout.strip().splitlines()[-1]))
+            except Exception:
+                pass
+        ceiling = round(max(samples), 1) if samples else None
+
     out = {
         "metric": "flagship_pipeline_sec",
         "value": round(pipeline_sec, 3),
         "unit": "sec",
         "docs_per_sec": round(n_docs / pipeline_sec, 1),
+        "ceiling_docs_per_sec": ceiling,
+        "hw_ratio": (round(n_docs / pipeline_sec / ceiling, 3)
+                     if ceiling else None),
         "n_docs": n_docs,
         "queries": timings,
         "sf": sf_dir,
