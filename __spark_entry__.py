@@ -3401,7 +3401,10 @@ ROBOTS_ARMS = {
     2: "User-agent: *\nDisallow: /\nAllow: /public/",
     3: "User-agent: testbot\nDisallow: /\n\nUser-agent: *\nAllow: /",
     4: "User-agent: *\nDisallow: /*.pdf$",
-    5: "User-agent: *\nDisallow:",
+    # 5: empty-pattern rule is a no-op AND the empty testbot group still
+    # EXCLUDES the * group (RFC 9309 §2.2.1) -> testbot allowed everywhere
+    # despite *'s total ban. Oracle value TRUE catches both bug classes.
+    5: "User-agent: testbot\nDisallow:\n\nUser-agent: *\nDisallow: /",
     6: "# banner\nUSER-AGENT: *  # inline\n  DISALLOW : /x\nCrawl-delay: 5",
     7: "Disallow: /\nUser-agent: *\nDisallow: /y",
     8: "User-agent: testbot\nUser-agent: otherbot\nDisallow: /y",

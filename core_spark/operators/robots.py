@@ -16,7 +16,12 @@ oracle):
     after rules starts a NEW group). Rules before any user-agent line
     belong to no group and are dropped;
   - an empty-pattern rule (``Disallow:``) imposes no restriction and is
-    dropped (the RFC's "empty pattern matches nothing" reading);
+    dropped (the RFC's "empty pattern matches nothing" reading) — but
+    the GROUP it belongs to survives as a NULL-pattern row, because
+    group selection must still see it: a crawler whose specific group
+    contains only empty rules is excluded from the ``*`` groups and
+    allowed everywhere (RFC 9309 §2.2.1 — a matching specific group,
+    even an empty one, takes the place of the ``*`` group);
   - patterns: ``*`` matches any run, a TRAILING ``$`` anchors the end,
     everything else is literal — translated ONCE, rules-side, into an
     anchored regex (``^`` + escaped body with ``.*`` for stars).
@@ -54,6 +59,11 @@ def parse_robots(
 ) -> DataFrame:
     """robots.txt directory -> rules table
     (host, group_id, agents array<string>, pattern, allow, regex, plen).
+
+    Groups with no effective rules (only empty patterns, or none at
+    all) yield ONE row with NULL pattern/allow/regex/plen: it never
+    matches a path, but it keeps the group visible to agent selection
+    in ``robots_decide`` (an empty specific group excludes ``*``).
     """
     lines = robots.select(
         F.col(host_col).alias("host"),
@@ -110,7 +120,7 @@ def parse_robots(
     regex = F.concat(
         F.lit("^"), starred, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
     )
-    return rules.join(agents, ["host", "group_id"]).select(
+    return agents.join(rules, ["host", "group_id"], "left").select(
         "host",
         "group_id",
         "agents",

@@ -81,8 +81,11 @@ class TestRobots:
         }
         assert ("anchor.example", "/*.pdf$", False, r"^/.*\.pdf$", 7) in rules
         assert ("messy.example", "/x", False, "^/x", 2) in rules
-        # empty pattern dropped, orphan rule dropped
-        assert not [r for r in rules if r[0] == "empty.example"]
+        # empty pattern dropped -> the GROUP survives as one NULL row
+        # (group selection must still see it), orphan rule dropped
+        assert [r for r in rules if r[0] == "empty.example"] == [
+            ("empty.example", None, None, None, None)
+        ]
         assert [r for r in rules if r[0] == "orphan.example"] == [
             ("orphan.example", "/y", False, "^/y", 2)
         ]
@@ -110,6 +113,41 @@ class TestRobots:
             "https://m.example/a1": False,
             "https://m.example/b1": False,
             "https://m.example/c1": True,
+        }
+
+    def test_empty_specific_group_excludes_star(self, spark):
+        """RFC 9309 §2.2.1: a specific group whose rules are all
+        empty-pattern (or absent) still EXCLUDES the * group for that
+        agent — testbot is allowed everywhere even though * says
+        Disallow: /. Other agents get the * group's total ban."""
+        robots = spark.createDataFrame(
+            [(
+                "eg.example",
+                "User-agent: testbot\nDisallow:\n\n"
+                "User-agent: *\nDisallow: /",
+            )],
+            "host string, robots_txt string",
+        )
+        urls = spark.createDataFrame(
+            [("https://eg.example/a",), ("https://eg.example/b/c",)],
+            "url string",
+        )
+        rules = parse_robots(robots)
+        mine = {
+            r.url: r.allowed
+            for r in robots_decide(urls, rules, "testbot").collect()
+        }
+        assert mine == {
+            "https://eg.example/a": True,
+            "https://eg.example/b/c": True,
+        }
+        other = {
+            r.url: r.allowed
+            for r in robots_decide(urls, rules, "strangerbot").collect()
+        }
+        assert other == {
+            "https://eg.example/a": False,
+            "https://eg.example/b/c": False,
         }
 
     def test_plan_no_python_no_cartesian(self, spark):
