@@ -28,7 +28,10 @@ and then hands the DATA path straight to Spark's parquet scan:
     anti-join when the delete set is small (the common case: deletes
     are a trickle vs the data).
   * equality deletes (content=2) -> anti-join on the equality columns
-    (field ids resolved to names through the table schema).
+    (field ids resolved to names through the table schema), scoped by
+    data sequence number: a delete at sequence S removes rows only from
+    data files sequenced STRICTLY below S, so rows (re)appended after
+    the delete stay live (spec §"Scan Planning"/delete application).
 
 100-TB shape: manifest avro files are metadata (KBs–MBs per manifest
 even on petabyte tables); reading them on the driver is exactly what
@@ -180,8 +183,11 @@ def plan_files(table_path: str, snapshot: dict,
 
     Returns {"data": [file...], "position_deletes": [...],
     "equality_deletes": [(path, [field_id...])...]} where each file dict has
-    file_path/record_count. ``manifest_bytes`` (path -> bytes) lets a
-    caller pre-fetch manifests (e.g. distributed) — default reads local.
+    file_path/record_count/sequence_number (the entry's data sequence
+    number, inherited from the manifest when the entry carries NULL —
+    spec §"Sequence Number Inheritance"). ``manifest_bytes`` (path ->
+    bytes) lets a caller pre-fetch manifests (e.g. distributed) —
+    default reads local.
     """
     ml_path = _resolve_path(snapshot["manifest-list"], table_path)
     with open(ml_path, "rb") as f:
@@ -200,9 +206,13 @@ def plan_files(table_path: str, snapshot: dict,
                 continue  # removed from this snapshot
             df = e["data_file"]
             path = _resolve_path(df["file_path"], table_path)
+            seq = e.get("sequence_number")
+            if seq is None:  # inheritance: ADDED entries take the manifest's
+                seq = m["sequence_number"]
             rec = {"file_path": path,
                    "record_count": df["record_count"],
-                   "file_size_in_bytes": df.get("file_size_in_bytes", 0)}
+                   "file_size_in_bytes": df.get("file_size_in_bytes", 0),
+                   "sequence_number": seq}
             if df["content"] == _DATA:
                 plan["data"].append(rec)
             elif df["content"] == _POSITION_DELETES:
@@ -282,10 +292,42 @@ def read_iceberg(spark, table_path: str, snapshot_id: int | None = None,
             & (F.col("_pos") == F.col("_del_pos")),
             "left_anti").drop("_fp", "_pos")
 
-    for rec, field_ids in plan["equality_deletes"]:
-        cols = _schema_field_names(md, field_ids)
-        dels = spark.read.parquet(rec["file_path"]).select(*cols).distinct()
-        df = df.join(F.broadcast(dels), on=cols, how="left_anti")
+    if plan["equality_deletes"]:
+        # spec scoping: an equality delete with data sequence number S
+        # applies only to data files with sequence number STRICTLY below
+        # S — rows (re)added after the delete are live. Map each scanned
+        # row to its file's sequence number via a broadcast literal
+        # table built JVM-side (range+explode — never createDataFrame on
+        # a query path), then carry the bound into each anti-join.
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")
+        seq_rows = [
+            F.struct(
+                F.lit(f["file_path"]).alias("_ice_fp"),
+                F.lit(int(f["sequence_number"])).alias("_ice_seq"),
+            )
+            for f in plan["data"]
+        ]
+        seq_tbl = (
+            spark.range(1)
+            .select(F.explode(F.array(*seq_rows)).alias("_s"))
+            .select("_s._ice_fp", "_s._ice_seq")
+        )
+        df = df.withColumn("_ice_row_fp", norm(F.col("_metadata.file_path")))
+        df = df.join(
+            F.broadcast(seq_tbl),
+            F.col("_ice_row_fp") == F.col("_ice_fp"),
+            "left",
+        ).drop("_ice_fp")
+        for rec, field_ids in plan["equality_deletes"]:
+            cols = _schema_field_names(md, field_ids)
+            dels = spark.read.parquet(rec["file_path"]).select(
+                *[F.col(c).alias(f"_ice_eq_{c}") for c in cols]
+            ).distinct()
+            cond = F.col("_ice_seq") < F.lit(int(rec["sequence_number"]))
+            for c in cols:
+                cond = cond & (F.col(c) == F.col(f"_ice_eq_{c}"))
+            df = df.join(F.broadcast(dels), cond, "left_anti")
+        df = df.drop("_ice_row_fp", "_ice_seq")
 
     return df
 
@@ -320,9 +362,9 @@ class IcebergFixtureWriter:
     Usage::
 
         w = IcebergFixtureWriter(path, df.schema)
-        snap1 = w.append(spark, df)                       # add data files
-        snap2 = w.delete_positions(spark, pred_col)        # MOR deletes
-        snap3 = w.delete_equality(spark, key_df, ["url"])  # eq deletes
+        snap1 = w.append(df)                          # add data files
+        snap2 = w.delete_positions(spark, pred_col)   # MOR deletes
+        snap3 = w.delete_equality(key_df, ["url"])    # eq deletes
 
     Each call commits one snapshot (new manifest list + metadata json,
     version-hint bumped). Timestamps are caller-supplied or a logical
@@ -499,18 +541,32 @@ class IcebergFixtureWriter:
         if not expired:
             return 0
         keep: set[str] = set()
-        md = load_table_metadata(self.path)
         for s in retained:
             plan = plan_files(self.path, s)
             keep.update(f["file_path"] for f in plan["data"])
             keep.update(f["file_path"] for f in plan["position_deletes"])
             keep.update(r["file_path"] for r, _ in plan["equality_deletes"])
-            keep.add(_resolve_path(s["manifest-list"], self.path))
+            ml = _resolve_path(s["manifest-list"], self.path)
+            keep.add(ml)
+            with open(ml, "rb") as f:
+                _, mans = read_avro_file(f.read())
+            keep.update(
+                _resolve_path(m["manifest_path"], self.path) for m in mans)
         victims = []
         for s in expired:
             ml = _resolve_path(s["manifest-list"], self.path)
-            if ml not in keep and os.path.exists(ml):
-                victims.append(ml)
+            if ml in keep or not os.path.exists(ml):
+                continue
+            with open(ml, "rb") as f:
+                _, mans = read_avro_file(f.read())
+            victims.append(ml)
+            keep.add(ml)  # claimed: don't unlink twice
+            # manifests only expired snapshots reference go too
+            for m in mans:
+                mp = _resolve_path(m["manifest_path"], self.path)
+                if mp not in keep and os.path.exists(mp):
+                    victims.append(mp)
+                    keep.add(mp)
         for root, _dirs, files in os.walk(self.ddir):
             for name in files:
                 p = os.path.join(root, name)

@@ -172,6 +172,48 @@ def test_iceberg_plan_prunes_to_snapshot_files(spark, corpus, tmp_path):  # noqa
     assert sum(f["record_count"] for f in p1["data"]) == 120
 
 
+def test_iceberg_equality_delete_sequence_scoping(spark, corpus, tmp_path):  # noqa: F811
+    """Spec: an equality delete at sequence S applies only to data files
+    sequenced STRICTLY below S. A row re-appended AFTER the delete must
+    be live in the current snapshot while the original stays deleted."""
+    w = IcebergFixtureWriter(str(tmp_path), corpus.schema)
+    w.append(corpus, n_files=2)  # seq 1: urls for doc_id 0..119
+    w.delete_equality(
+        corpus.filter(F.col("doc_id") < 5).select("url"), ["url"])  # seq 2
+    # seq 3: re-append doc_id 0..4 with the SAME urls, new text
+    readd = corpus.filter(F.col("doc_id") < 5).withColumn(
+        "text", F.concat(F.lit("v2:"), F.col("text")))
+    w.append(readd, n_files=1)
+    got = {(r.doc_id, r.text[:3])
+           for r in read_iceberg(spark, str(tmp_path))
+           .filter(F.col("doc_id") < 5).collect()}
+    # exactly the re-added versions: originals deleted, v2 rows live
+    assert got == {(i, "v2:") for i in range(5)}
+    assert read_iceberg(spark, str(tmp_path)).count() == 120
+    # the delete still applies in full to the pre-delete snapshot chain
+    md = load_table_metadata(str(tmp_path))
+    s2 = sorted(md["snapshots"], key=lambda s: s["sequence-number"])[1]
+    assert read_iceberg(
+        spark, str(tmp_path),
+        snapshot_id=s2["snapshot-id"]).count() == 115
+
+
+def test_expire_reclaims_expired_only_manifests(spark, corpus, tmp_path):  # noqa: F811
+    """expire_snapshots unlinks manifest .avro files referenced ONLY by
+    expired snapshots (not just manifest lists and parquet)."""
+    w, _ = _write_table(spark, corpus, tmp_path)
+    w.rewrite_data_files(spark, n_files=2)
+    mdir = os.path.join(str(tmp_path), "metadata")
+    pre_manifests = {f for f in os.listdir(mdir) if f.startswith("m")}
+    assert len(pre_manifests) == 4  # m1..m3 (MOR history) + m4 (rewrite)
+    w.expire_snapshots(retain_last=1)
+    post = {f for f in os.listdir(mdir) if f.startswith("m")}
+    assert post == {"m4.avro"}  # MOR-era manifests reclaimed
+    got = {r.doc_id for r in read_iceberg(spark, str(tmp_path)).collect()}
+    assert got == set(range(120)) - {i for i in range(120) if i % 7 == 3} \
+        - {0, 1, 2, 3, 4}
+
+
 def test_iceberg_delete_plan_stays_broadcast(spark, corpus, tmp_path):  # noqa: F811
     """MOR deletes must not restructure the scan: both delete layers
     apply as broadcast anti-joins, no sort-merge join, no Python stage."""
