@@ -73,8 +73,8 @@ def _int_contrib_sql(dialect: str) -> str:
     a, c, p, q = K1_NUM, K1_DEN, B_NUM, B_DEN
     num = f"tf * {(a + c) * q} * t_tokens * {SCALE}"
     den = f"{c * q} * t_tokens * tf + {a * (q - p)} * t_tokens + {a * p} * dl * n_docs"
-    if dialect == "spark":
-        return f"(({num}) {div} ({den})) * ((n_docs * {RARITY}) {div} df_t)"
+    # identical expression either way — only the integer-division token
+    # differs between the dialects
     return f"(({num}) {div} ({den})) * ((n_docs * {RARITY}) {div} df_t)"
 
 

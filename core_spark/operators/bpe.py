@@ -166,9 +166,17 @@ def bpe_encode(
     tokenizer ARTIFACT (tiny, driver-side literal), so the whole chain
     compiles into one nested-fold projection: zero joins, zero
     shuffles, whole-stage codegen."""
+    # Spark string literals are Hive-style: backslash escapes are live,
+    # so escape backslashes BEFORE quotes or a token ending in '\' turns
+    # the closing quote into \' (ParseException) and '\b'-like tokens
+    # silently become control characters — diverging from the DuckDB
+    # twin, whose ''-doubling needs no backslash handling.
+    def _lit(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
     expr = toks_col
     for left, right in merges:
-        l, r = left.replace("'", "\\'"), right.replace("'", "\\'")
+        l, r = _lit(left), _lit(right)
         expr = (
             f"aggregate({expr}, CAST(array() AS ARRAY<STRING>), "
             f"(acc, x) -> CASE WHEN size(acc) > 0 "

@@ -88,25 +88,27 @@ def sql_scd2_intervals(
 ) -> str:
     """DuckDB twin — same semantics: explicit first-row arm (lag of a
     literal), IS DISTINCT FROM for the change flag (NULL fps are real
-    states), fp NULLS FIRST in every window order (Spark's asc default;
-    DuckDB defaults NULLS LAST), run fingerprint via ANY_VALUE."""
+    states), NULLS FIRST on BOTH ts and fp in every window order
+    (Spark's asc default is NULLS FIRST; DuckDB defaults NULLS LAST —
+    a NULL timestamp must segment runs identically on both engines),
+    run fingerprint via ANY_VALUE."""
     return f"""
         WITH snap AS (
           SELECT {key}, {ts_col}, {fp_col} FROM {table_sql}
         ), flagged AS (
           SELECT {key}, {ts_col}, {fp_col},
                  CASE WHEN lag(1) OVER (PARTITION BY {key}
-                                        ORDER BY {ts_col}, {fp_col} NULLS FIRST) IS NULL
+                                        ORDER BY {ts_col} NULLS FIRST, {fp_col} NULLS FIRST) IS NULL
                       THEN 1
                       WHEN {fp_col} IS DISTINCT FROM
                            lag({fp_col}) OVER (PARTITION BY {key}
-                                               ORDER BY {ts_col}, {fp_col} NULLS FIRST)
+                                               ORDER BY {ts_col} NULLS FIRST, {fp_col} NULLS FIRST)
                       THEN 1 ELSE 0 END AS _chg
           FROM snap
         ), runs AS (
           SELECT {key}, {ts_col}, {fp_col},
                  CAST(SUM(_chg) OVER (PARTITION BY {key}
-                                      ORDER BY {ts_col}, {fp_col} NULLS FIRST) AS BIGINT)
+                                      ORDER BY {ts_col} NULLS FIRST, {fp_col} NULLS FIRST) AS BIGINT)
                    AS version
           FROM flagged
         ), per_run AS (

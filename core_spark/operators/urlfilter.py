@@ -97,8 +97,11 @@ def sql_filter_blocked_hosts(
     host_col: str = "host",
 ) -> str:
     """DuckDB oracle twin — an INDEPENDENT plan: no label split, the
-    suffix predicate is exact-or-dot-boundary ``LIKE`` against the raw
-    (port-stripped) host.
+    suffix predicate is exact-or-dot-boundary ``ends_with`` against the
+    raw (port-stripped) host. ``ends_with`` (not ``LIKE``) because
+    domains can legally contain ``_`` (e.g. ``_dmarc.*`` labels), which
+    LIKE would treat as a single-char wildcard — only on the oracle
+    side, masking or inventing mismatches.
 
     ``blocklist_values`` is a SQL VALUES body, e.g. ``('a.example'),
     ('b.example')``.
@@ -108,7 +111,7 @@ def sql_filter_blocked_hosts(
         WHERE NOT EXISTS (
           SELECT 1 FROM (VALUES {blocklist_values}) AS b(domain)
           WHERE regexp_replace(d.{host_col}, ':[0-9]+$', '', 'g') = b.domain
-             OR regexp_replace(d.{host_col}, ':[0-9]+$', '', 'g')
-                LIKE '%.' || b.domain
+             OR ends_with(regexp_replace(d.{host_col}, ':[0-9]+$', '', 'g'),
+                          '.' || b.domain)
         )
     """

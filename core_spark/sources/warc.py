@@ -131,10 +131,13 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             return err(f"bad version line at offset {pos}")
         hdrs = {}
         for ln in lines[1:]:
-            k, sep, v = ln.partition(b": ")
+            # the grammar allows zero whitespace after ':' — partition
+            # on the bare colon and strip, or 'Content-Length:123'
+            # (spec-legal) kills parsing for the whole archive tail
+            k, sep, v = ln.partition(b":")
             if sep:
-                hdrs[k.decode("ascii", "replace").lower()] = v.decode(
-                    "utf-8", "replace"
+                hdrs[k.decode("ascii", "replace").strip().lower()] = (
+                    v.decode("utf-8", "replace").strip()
                 )
         try:
             n = int(hdrs.get("content-length", ""))

@@ -166,3 +166,36 @@ class TestBPEEncode:
         df = spark.createDataFrame([(["it's", "x"],)], "toks array<string>")
         [row] = bpe_encode(df, [("it's", "x")]).collect()
         assert list(row.toks) == ["it'sx"]
+
+    def test_backslash_in_token_escaped(self, spark):
+        """Backslashes must escape before quotes: a token ending in a
+        backslash otherwise eats the closing quote (ParseException) and
+        a token like '\\b' becomes a control char in Spark's Hive-style
+        literal while DuckDB keeps it literal — both engines must agree
+        byte-for-byte."""
+        from core_spark.operators.bpe import bpe_encode, sql_bpe_encode
+
+        merges = [("a\\", "b"), ("\\babs\\", "c")]
+        df = spark.createDataFrame(
+            [(1, ["a\\", "b", "c"]), (2, ["x", "\\b", "a\\", "b"])],
+            "doc_id long, toks array<string>",
+        )
+        got = {
+            r.doc_id: tuple(r.toks)
+            for r in bpe_encode(df, merges).collect()
+        }
+        # doc 1: ('a\', 'b') merge -> 'a\b' (one backslash, mid-token)
+        assert got == {
+            1: ("a\\b", "c"),
+            2: ("x", "\\b", "a\\b"),
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE d AS SELECT 1 AS doc_id, 'a\\ b c' AS text "
+            "UNION ALL SELECT 2, 'x \\b a\\ b'"
+        )
+        sql = sql_bpe_encode(
+            "d", "string_split(text, ' ')", merges, extra_cols="doc_id, "
+        )
+        dgot = {r[0]: tuple(r[1]) for r in con.execute(sql).fetchall()}
+        assert dgot == got

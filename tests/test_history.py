@@ -112,3 +112,37 @@ class TestSCD2:
             tuple(r) for r in con.execute(sql_scd2_intervals("sn")).fetchall()
         }
         assert got == want
+
+    def test_null_ts_orders_first_on_both_engines(self, spark):
+        """A NULL timestamp (observation with no capture time) orders
+        FIRST under Spark's asc default; the DuckDB twin must say
+        NULLS FIRST on ts too (its default is NULLS LAST) or the run
+        segmentation — and every interval — diverges."""
+        rows = [
+            ("u", None, "A"),  # NULL ts sorts before ts=5 -> version 1
+            ("u", 5, "B"),     # -> version 2
+            ("u", 9, "A"),     # reappearance -> version 3
+            ("w", None, "X"),  # NULL-ts-only url
+        ]
+        want = {
+            ("u", "A", None, 5, 1),  # valid_from: MIN skips NULL -> NULL run
+            ("u", "B", 5, 9, 2),
+            ("u", "A", 9, None, 3),
+            ("w", "X", None, None, 1),
+        }
+        got_spark = self._spark(spark, rows)
+        assert got_spark == want
+
+        con = duckdb.connect()
+        vals = ", ".join(
+            f"('{u}', {'NULL' if t is None else t}, '{f}')"
+            for u, t, f in rows
+        )
+        con.execute(
+            f"CREATE TABLE st AS SELECT * FROM (VALUES {vals}) "
+            "_(url, warc_ts, fp)"
+        )
+        got = {
+            tuple(r) for r in con.execute(sql_scd2_intervals("st")).fetchall()
+        }
+        assert got == got_spark

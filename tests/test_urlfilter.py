@@ -17,7 +17,8 @@ from core_spark.operators.urlfilter import (
     sql_filter_blocked_hosts,
 )
 
-BLOCKLIST = ["bad.example", "ads.tracker.example", "evil.example.org"]
+BLOCKLIST = ["bad.example", "ads.tracker.example", "evil.example.org",
+             "foo_bar.example"]  # '_' is legal in hostnames (_dmarc.*)
 
 HOST_CASES = [
     # (host, survives)
@@ -34,6 +35,9 @@ HOST_CASES = [
     ("sub.ads.tracker.example", False),
     ("evil.example.org", False),
     ("example.org", True),
+    ("foo_bar.example", False),        # underscore domain: exact
+    ("sub.foo_bar.example", False),    # underscore domain: suffix
+    ("sub.fooxbar.example", True),     # '_' must NOT act as a wildcard
     ("", True),
 ]
 

@@ -47,6 +47,29 @@ def test_roundtrip(gz):
     assert _fields(parse_warc_bytes(data)) == _expected()
 
 
+def test_no_space_after_header_colon():
+    """The grammar allows zero whitespace after ':' — a hand-built
+    record with 'Content-Length:N' and 'WARC-Target-URI:u' (no space)
+    must parse, not abort the archive tail."""
+    body = b"payload!"
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type:response\r\n"
+        b"WARC-Target-URI:https://nospace.example/p\r\n"
+        b"WARC-Date:  2026-04-05T06:07:08Z \r\n"   # extra padding trims
+        b"Content-Length:" + str(len(body)).encode() + b"\r\n"
+        b"\r\n" + body + b"\r\n\r\n"
+    )
+    # followed by a normal record: the tail must survive
+    data = raw + encode_warc(RECS[:1])
+    rs = parse_warc_bytes(data)
+    assert _fields(rs)[0] == (
+        "https://nospace.example/p", "2026-04-05T06:07:08Z",
+        "response", body, None,
+    )
+    assert _fields(rs)[1] == _expected()[0]
+
+
 def test_content_length_is_authoritative():
     """The block is sliced by Content-Length, never by scanning for the
     delimiter — record 3 embeds \\r\\n\\r\\n inside its payload."""
