@@ -82,10 +82,22 @@ def clean_steps(
         )
         size = "len"
         extract = "regexp_extract_all(c4_clean, '[.!?]')"
+    # extra banned phrases: lowercase them (they compare against
+    # lower(_c4_orig) — an uppercase phrase would never match) and
+    # escape per dialect (Spark literals are Hive-style backslash,
+    # DuckDB doubles quotes)
+    def _phrase(b: str) -> str:
+        s = b.lower()
+        if dialect == "spark":
+            s = s.replace("\\", "\\\\").replace("'", "\\'")
+        else:
+            s = s.replace("'", "''")
+        return s
+
     page_bans = [
         "NOT contains(lower(_c4_orig), 'lorem ipsum')",
         "NOT contains(_c4_orig, '{')",
-    ] + [f"NOT contains(lower(_c4_orig), '{b}')" for b in banned]
+    ] + [f"NOT contains(lower(_c4_orig), '{_phrase(b)}')" for b in banned]
     return [
         # pin the original text once: the page gate reads it after the
         # projection may have shadowed/derived columns
@@ -114,10 +126,10 @@ def c4_clean(
     """Append the C4 cleaning columns (see clean_steps) to ``df``."""
     from core_spark.functions.hexgrid import apply_steps
 
-    out = apply_steps(
+    # apply_steps drops the '_'-prefixed intermediates itself
+    return apply_steps(
         df, clean_steps(text_col, "spark", min_words, min_sentences, banned)
     )
-    return out.drop("_c4_orig", "_c4lines", "_c4kept")
 
 
 def sql_c4_clean(

@@ -16,9 +16,11 @@ short (it absorbs the tail instead of emitting a fully-redundant
 window). Offsets follow the repo-wide location convention: 0-based
 token positions, end EXCLUSIVE — the same SHAPE as span_dedup /
 decontaminate_spans coordinates. Note the tokenizers differ, though:
-this operator splits on whitespace RUNS (the textstats convention —
-``split(trim(text), '\\s+')``), while span_dedup splits on single
-spaces and keeps empty tokens; chunk offsets and span offsets only
+this operator splits on whitespace RUNS with empty artifacts dropped
+(``filter(split(text, '\\s+'), w -> w != '')`` — trim() strips only
+0x20, so leading/trailing \\n or \\t would otherwise plant phantom
+empty tokens), while span_dedup splits on single spaces and keeps
+empty tokens; chunk offsets and span offsets only
 align index-for-index on text whose tokens are single-space separated
 (e.g. post-``text_normalize``, which collapses runs). To join the two
 coordinate systems on raw text, re-chunk with the span tokenizer or
@@ -69,12 +71,17 @@ def chunk_documents(
     space-rejoined window. Docs with no tokens emit no rows.
     """
     stride = _check(size, overlap)
-    toks = df.filter(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    ).select(
+    # drop empty split artifacts (leading/trailing whitespace yields ''
+    # elements — trim() strips only 0x20, not \n/\t), then gate on
+    # n > 0 so whitespace-only docs emit no rows, per the contract
+    toks = df.filter(F.col(text_col).isNotNull()).select(
         id_col,
-        F.expr(rf"split(trim({text_col}), '\\s+')").alias("_toks"),
-    ).withColumn("_n", F.size("_toks").cast("long")).withColumn(
+        F.expr(
+            rf"filter(split({text_col}, '\\s+'), w -> w != '')"
+        ).alias("_toks"),
+    ).withColumn("_n", F.size("_toks").cast("long")).filter(
+        F.col("_n") > 0
+    ).withColumn(
         "_n_chunks",
         F.expr(f"CASE WHEN _n <= {size} THEN CAST(1 AS BIGINT) "
                f"ELSE (_n - {size} + {stride} - 1) DIV {stride} + 1 END"),
@@ -112,15 +119,17 @@ def sql_chunk_documents(
     return f"""
         WITH toks AS (
           SELECT {id_col},
-                 string_split_regex(trim({text_col}), '\\s+') AS _toks
+                 list_filter(string_split_regex({text_col}, '\\s+'),
+                             w -> w <> '') AS _toks
           FROM {table_sql}
-          WHERE {text_col} IS NOT NULL AND trim({text_col}) <> ''
+          WHERE {text_col} IS NOT NULL
         ), counted AS (
           SELECT {id_col}, _toks, CAST(len(_toks) AS BIGINT) AS _n,
                  CASE WHEN len(_toks) <= {size} THEN CAST(1 AS BIGINT)
                       ELSE (len(_toks) - {size} + {stride} - 1)
                            // {stride} + 1 END AS _n_chunks
           FROM toks
+          WHERE len(_toks) > 0
         ), exploded AS (
           SELECT {id_col}, _toks, _n,
                  CAST(unnest(generate_series(0, _n_chunks - 1)) AS BIGINT)

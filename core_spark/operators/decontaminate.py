@@ -145,13 +145,15 @@ def decontaminate_spans(
 
     Output: (key, n_tokens, n_spans, n_removed, text_clean).
     """
-    from core_spark.operators.paradedup import tokens_expr
-    from core_spark.operators.spandedup import _gram_hashes, remove_spans
+    from core_spark.operators.spandedup import (
+        _gram_hashes, remove_spans, tokens_guarded,
+    )
     from core_spark.plans.materialize import pin
 
     toks = pin(
         docs.select(
-            F.col(key), F.expr(tokens_expr(text_col, "spark")).alias("_toks")
+            F.col(key),
+            F.expr(tokens_guarded(text_col, "spark")).alias("_toks"),
         )
     )
     grams = (
@@ -164,7 +166,7 @@ def decontaminate_spans(
         )
     )
     bench_hashes = (
-        bench.select(F.expr(tokens_expr(text_col, "spark")).alias("_toks"))
+        bench.select(F.expr(tokens_guarded(text_col, "spark")).alias("_toks"))
         .filter(F.size("_toks") >= k)
         .select(
             F.explode(
@@ -189,10 +191,11 @@ def sql_decontaminate_spans(
     """DuckDB twin of decontaminate_spans (benchmark = rows of ``table``
     matching ``bench_where``, as in sql_contaminated_docs); the span
     tail is the shared independent gaps-and-islands formulation."""
-    from core_spark.operators.paradedup import tokens_expr
-    from core_spark.operators.spandedup import sql_gram_cte, sql_span_tail
+    from core_spark.operators.spandedup import (
+        sql_gram_cte, sql_span_tail, tokens_guarded,
+    )
 
-    toks = tokens_expr(text_col, "duckdb")
+    toks = tokens_guarded(text_col, "duckdb")
     return f"""
 WITH toks AS (
   SELECT {key}, {toks} AS _toks FROM {table}

@@ -141,8 +141,8 @@ def gopher_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the Gopher signals + gates (see gopher_steps) to ``df``."""
     from core_spark.functions.hexgrid import apply_steps
 
-    out = apply_steps(df, gopher_steps(text_col, "spark"))
-    return out.drop("_gtoks", "_gltoks", "_glines")
+    # apply_steps drops the '_'-prefixed intermediates itself
+    return apply_steps(df, gopher_steps(text_col, "spark"))
 
 
 def sql_gopher_gate(

@@ -41,11 +41,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from core_spark.plans.materialize import pin
 
-def frequent_items(
+
+def bucketed_counts(
     df: DataFrame, col: str = "item", num: int = 1, den: int = 100
 ) -> DataFrame:
-    """(item, cnt) for every item with count*den >= num*N — exact."""
+    """Pass 1 + 2 UNPINNED: (item-or-NULL-residual, cnt) with the key
+    space bounded by the candidate set. Exposed so tests can assert the
+    broadcast-join plan shape before the pin truncates lineage."""
     import pandas as pd
 
     if not (0 < num < den):
@@ -70,11 +74,23 @@ def frequent_items(
         .withColumnRenamed("item", col)
         .withColumn("_hit", F.lit(1))
     )
-    bucketed = (
+    return (
         df.join(F.broadcast(cands), col, "left")
         .groupBy(F.when(F.col("_hit") == 1, F.col(col)).alias("item"))
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def frequent_items(
+    df: DataFrame, col: str = "item", num: int = 1, den: int = 100
+) -> DataFrame:
+    """(item, cnt) for every item with count*den >= num*N — exact."""
+    # bucketed is multi-consumer (grand total + final filter) and tiny
+    # (bounded by the candidate set + one residual bucket) — pin it so
+    # neither branch re-runs the scan + Arrow candidate stage
+    # (CLAUDE.md multi-consumer rule; the broadcast-join plan shape is
+    # asserted on the pre-pin stage in tests)
+    bucketed = pin(bucketed_counts(df, col, num, den))
     total = bucketed.agg(F.sum("cnt").alias("_n"))
     return (
         bucketed.crossJoin(F.broadcast(total))

@@ -53,10 +53,28 @@ from core_spark.operators.paradedup import tokens_expr
 from core_spark.plans.materialize import pin
 
 
+def tokens_guarded(text_col: str, dialect: str) -> str:
+    """``tokens_expr`` with NULL text coalesced to an EMPTY array, so a
+    NULL-text doc flows through span removal as an empty doc on both
+    engines (unguarded, Spark's reassembly emits NULL text while the
+    SQL tail's COALESCE emits '' — a cross-engine divergence)."""
+    t = tokens_expr(text_col, dialect)
+    if dialect == "spark":
+        return f"COALESCE({t}, CAST(array() AS array<string>))"
+    return f"COALESCE({t}, CAST([] AS VARCHAR[]))"
+
+
 def _gram_hashes(toks_col: str, k: int, dialect: str) -> str:
     """Array of positional k-gram 60-bit md5 hashes (index i = 0-based
-    token start). NOT distinct — position matters. Empty when the doc
-    has fewer than k tokens."""
+    token start). NOT distinct — position matters.
+
+    PRECONDITION (Spark dialect): the caller must pre-filter
+    ``size(toks) >= k`` — ``sequence(0, size - k)`` with ``size < k``
+    generates a DESCENDING sequence whose negative indices make
+    ``slice`` throw at runtime. Both in-repo callers
+    (``dedup_substrings``, ``decontaminate``) filter first. The DuckDB
+    branch genuinely emits an empty list for short docs (its ``range``
+    is empty), so only the Spark side carries the precondition."""
     if dialect == "spark":
         return (
             f"transform(sequence(0, size({toks_col}) - {k}), i -> "
@@ -142,7 +160,7 @@ def dedup_substrings(
     toks = pin(
         df.select(
             F.col(id_col),
-            F.expr(tokens_expr(text_col, "spark")).alias("_toks"),
+            F.expr(tokens_guarded(text_col, "spark")).alias("_toks"),
         )
     )
     grams = pin(
@@ -236,7 +254,7 @@ def sql_dedup_substrings(
     """DuckDB oracle twin — independent formulation: gaps-and-islands
     window merge instead of the fold, anti-join token reassembly instead
     of the index filter. Same semantics, different plan."""
-    toks = tokens_expr(text_col, "duckdb")
+    toks = tokens_guarded(text_col, "duckdb")
     return f"""
 WITH toks AS (
   SELECT {id_col}, {toks} AS _toks FROM {table}

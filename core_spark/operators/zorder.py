@@ -77,9 +77,10 @@ def zorder_steps(
 
     Same emission for both engines; only the integer-division token
     would differ and none is needed (shifts here are all left/multiply).
-    ``dialect`` is accepted for symmetry with the other emitters.
+    ``dialect`` is accepted for symmetry with the other emitters —
+    both 'duckdb' (the repo-wide token) and the legacy 'duck' work.
     """
-    assert dialect in ("spark", "duck")
+    assert dialect in ("spark", "duck", "duckdb")
     steps: list[tuple[str, str]] = [
         ("_zx0", _quant(lon_col, -180.0, 360.0)),
         ("_zy0", _quant(lat_col, -90.0, 180.0)),
@@ -98,10 +99,10 @@ def with_zorder_key(
     df: DataFrame, lat_col: str = "lat", lon_col: str = "lon"
 ) -> DataFrame:
     """Append ``zkey`` (BIGINT Morton key) via stepwise projections."""
-    out = df
-    for name, expr in zorder_steps(lat_col, lon_col):
-        out = out.selectExpr("*", f"{expr} AS {name}")
-    return out.drop(*[n for n, _ in zorder_steps(lat_col, lon_col)[:-1]])
+    from core_spark.functions.hexgrid import apply_steps
+
+    # all intermediates are '_z*'-prefixed, so apply_steps drops them
+    return apply_steps(df, zorder_steps(lat_col, lon_col))
 
 
 def layout_by_zorder(
@@ -137,7 +138,7 @@ def sql_zorder_bucket_stats(
     stats a scan would prune on. Identical emission both dialects bar
     the integer-division token.
     """
-    div = "//" if dialect == "duck" else "DIV"
+    div = "DIV" if dialect == "spark" else "//"
     steps = zorder_steps(lat_col, lon_col, dialect)
     cols = ", ".join(f"{expr} AS {name}" for name, expr in steps)
     return f"""

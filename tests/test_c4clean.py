@@ -109,6 +109,41 @@ def test_c4_duckdb_twin_matches_model_fixed():
     assert _duck(PAGES) == _expected()
 
 
+@pytest.mark.spark
+def test_c4_banned_phrases_casefold_and_escape(spark):
+    """Extra banned phrases must match case-insensitively (they compare
+    against lower(text), so an uppercase phrase would silently never
+    fire) and survive quotes in the phrase on BOTH engines."""
+    pages = [
+        (0, "Mixed Case Banner phrase here one.\nGood sentence two stays right here!\nGood sentence three stays right here?\nGood sentence four stays right here.\nGood sentence five stays right here."),
+        (1, "Don't Sell my data notice here.\nGood sentence two stays right here!\nGood sentence three stays right here?\nGood sentence four stays right here.\nGood sentence five stays right here."),
+        (2, "Totally clean page sentence one.\nGood sentence two stays right here!\nGood sentence three stays right here?\nGood sentence four stays right here.\nGood sentence five stays right here."),
+    ]
+    banned = ("Case BANNER", "don't sell")
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["c4_kept"]
+        for r in c4_clean(df, banned=banned)
+        .select("doc_id", "c4_kept").collect()
+    }
+    assert got == {0: False, 1: False, 2: True}
+    con = duckdb.connect()
+    con.register(
+        "pages",
+        pd.DataFrame(
+            {"doc_id": [i for i, _ in pages],
+             "text": pd.Series([t for _, t in pages], dtype="string")}
+        ),
+    )
+    dgot = {  # columns: doc_id, c4_clean, n_lines, n_kept, n_sent, c4_kept
+        r[0]: r[5]
+        for r in con.execute(
+            sql_c4_clean("SELECT * FROM pages", "doc_id", banned=banned)
+        ).fetchall()
+    }
+    assert {k: bool(v) for k, v in dgot.items()} == got
+
+
 _LINE_POOL = [
     "One two three here.",
     "no punctuation on this line",

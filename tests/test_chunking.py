@@ -31,10 +31,18 @@ def _spark_rows(spark, rows, size, overlap):
             chunk_documents(df, size, overlap).collect()}
 
 
+def _sqllit(t):
+    """DuckDB E'' literal: repr() would leave \\n as two chars."""
+    if t is None:
+        return "NULL"
+    esc = (t.replace("\\", "\\\\").replace("'", "''")
+            .replace("\n", "\\n").replace("\t", "\\t"))
+    return f"E'{esc}'"
+
+
 def _duck_rows(rows, size, overlap):
     con = duckdb.connect()
-    vals = ", ".join(
-        f"({i}, {'NULL' if t is None else repr(t)})" for i, t in rows)
+    vals = ", ".join(f"({i}, {_sqllit(t)})" for i, t in rows)
     con.execute(f"CREATE TABLE d AS SELECT * FROM (VALUES {vals}) "
                 f"_(doc_id, text)")
     return {tuple(r) for r in
@@ -49,6 +57,10 @@ _DOCS = [
     (5, ""),                              # no tokens -> no rows
     (6, None),                            # NULL -> no rows
     (7, "   padded   tokens   here   "),  # whitespace runs + trim
+    (8, "a b\n"),                         # trailing \n: trim() strips only
+                                          # 0x20 — no phantom empty token
+    (9, "\n"),                            # whitespace-only doc -> no rows
+    (10, "\t leading\ttabs\nand\nnewlines\n "),
 ]
 
 

@@ -90,16 +90,27 @@ def test_recount_shuffle_is_candidate_bounded(spark):
     """Plan shape: the exact pass groups on candidate-or-NULL, so the
     aggregate's key space is bounded by the summary, never the item
     cardinality; the candidate join is a broadcast."""
+    from core_spark.operators.heavyhitters import bucketed_counts
+
     items = _zipfish(1000)
     df = spark.createDataFrame([(i,) for i in items], "item string")
+    # the candidate join lives in the pre-pin stage (frequent_items
+    # pins its output, truncating lineage in the final plan)
     plan = (
-        frequent_items(df, "item", 1, 16)
+        bucketed_counts(df, "item", 1, 16)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    final = (
+        frequent_items(df, "item", 1, 16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in final
 
 
 @settings(max_examples=40, deadline=None)

@@ -142,6 +142,41 @@ def test_long_span_merges_exactly(spark):
 
 
 @pytest.mark.spark
+def test_null_text_is_an_empty_doc_on_both_engines(spark):
+    """NULL text flows through as an empty doc — (0, 0, 0, '') — on BOTH
+    engines (unguarded, Spark emitted NULL text_dedup while the SQL
+    tail's COALESCE emitted '': a cross-engine divergence)."""
+    import duckdb
+
+    rows = DOCS + [(9, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    [got] = dedup_substrings(df, K).filter("doc_id = 9").collect()
+    assert tuple(got) == (9, 0, 0, 0, "")
+
+    con = duckdb.connect()
+    values = ", ".join(
+        f"({d}, {'NULL' if t is None else repr(t)})" for d, t in rows
+    )
+    con.execute(
+        f"CREATE VIEW dn AS SELECT * FROM (VALUES {values}) "
+        "AS t(doc_id, text)"
+    )
+    [drow] = con.execute(
+        "SELECT doc_id, n_tokens, n_spans, n_removed, text_dedup FROM ("
+        + sql_dedup_substrings("dn", K)
+        + ") WHERE doc_id = 9"
+    ).fetchall()
+    assert tuple(drow) == (9, 0, 0, 0, "")
+    # and the non-NULL docs still match the model exactly
+    got_all = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["n_removed"],
+                      r["text_dedup"])
+        for r in dedup_substrings(df, K).collect() if r["doc_id"] != 9
+    }
+    assert got_all == _model()
+
+
+@pytest.mark.spark
 def test_repartition_stable(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     a = sorted(map(tuple, dedup_substrings(df, K).collect()))
