@@ -142,30 +142,38 @@ def hll_registers(
 ) -> DataFrame:
     """Sparse register table (group, bucket, reg) — THE mergeable state.
 
-    One uniform-key hash-agg (map-side MAX combine); at 100 TB this is
-    the only shuffle and it carries at most m rows per group per
-    partition. Absent buckets mean reg 0.
+    A renamed view of :func:`hll_partials` minus the row count (ONE
+    hash/rank/agg implementation to keep in sync, not two). One
+    uniform-key hash-agg (map-side MAX combine); at 100 TB this is the
+    only shuffle and it carries at most m rows per group per partition.
+    Absent buckets mean reg 0.
     """
-    bucket, rank = _hll_exprs(key_sql, b, "spark")
-    return (
-        df.select(
-            F.col(group_col),
-            F.expr(bucket).alias("bucket"),
-            F.expr(rank).cast("long").alias("_rank"),
-        )
-        .groupBy(group_col, "bucket")
-        .agg(F.max("_rank").alias("reg"))
+    return hll_partials(df, group_col, key_sql, b).select(
+        group_col,
+        F.col("_b").alias("bucket"),
+        F.col("_reg").alias("reg"),
     )
 
 
-def merge_hll_registers(*register_dfs: DataFrame) -> DataFrame:
-    """sketch(A ∪ B) == merge(sketch(A), sketch(B)): per-register MAX."""
+def merge_hll_registers(
+    *register_dfs: DataFrame, group_col: str | None = None
+) -> DataFrame:
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)): per-register MAX.
+
+    ``group_col`` is inferred by exclusion only when the inputs carry
+    exactly (group, bucket, reg); pass it explicitly otherwise.
+    """
     it = iter(register_dfs)
     out = next(it)
     for d in it:
         out = out.unionByName(d)
-    cols = out.columns
-    group_col, = [c for c in cols if c not in ("bucket", "reg")]
+    if group_col is None:
+        extra = [c for c in out.columns if c not in ("bucket", "reg")]
+        if len(extra) != 1:
+            raise ValueError(
+                "merge_hll_registers: cannot infer the group column from "
+                f"columns {out.columns} — pass group_col explicitly")
+        group_col, = extra
     return out.groupBy(group_col, "bucket").agg(F.max("reg").alias("reg"))
 
 

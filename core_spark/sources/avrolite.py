@@ -74,9 +74,21 @@ def _collect_names(schema, names: dict, namespace: str) -> None:
     t = schema.get("type")
     if t in ("record", "enum", "fixed"):
         ns = schema.get("namespace", namespace)
-        names[_fullname(schema["name"], ns)] = schema
-        # a bare name also resolves when referenced without namespace
-        names.setdefault(schema["name"], schema)
+        full = _fullname(schema["name"], ns)
+        names[full] = schema
+        # a bare name also resolves when referenced without namespace —
+        # but ONLY while it is unambiguous. Full Avro resolution is
+        # against the referencing context's enclosing namespace; rather
+        # than silently picking the first-seen definition (wrong field
+        # layout -> garbage values), a collision poisons the bare name
+        # so _resolve fails loudly and the caller must qualify it.
+        bare = schema["name"]
+        if bare != full:
+            prev = names.get(bare)
+            if prev is None:
+                names[bare] = schema
+            elif prev is not _AMBIGUOUS and prev != schema:
+                names[bare] = _AMBIGUOUS
         if t == "record":
             for f in schema.get("fields", ()):
                 _collect_names(f["type"], names, ns)
@@ -86,13 +98,22 @@ def _collect_names(schema, names: dict, namespace: str) -> None:
         _collect_names(schema.get("values"), names, namespace)
 
 
+#: sentinel: a bare name defined in TWO namespaces (see _collect_names)
+_AMBIGUOUS = object()
+
+
 def _resolve(schema, names):
     """Resolve a named-type reference string to its definition."""
     if isinstance(schema, str) and schema not in _PRIMITIVES:
-        try:
-            return names[schema]
-        except KeyError:
-            raise ValueError(f"avro: unknown type reference {schema!r}") from None
+        got = names.get(schema)
+        if got is _AMBIGUOUS:
+            raise ValueError(
+                f"avro: bare type reference {schema!r} is ambiguous — "
+                "it is defined in more than one namespace; qualify the "
+                "reference")
+        if got is None:
+            raise ValueError(f"avro: unknown type reference {schema!r}")
+        return got
     return schema
 
 

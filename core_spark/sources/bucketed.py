@@ -63,6 +63,14 @@ def join_bucketed(spark, left_table: str, right_table: str, key: str):
 
 
 def has_exchange(df) -> bool:
-    """Does the physical plan contain a shuffle Exchange? (test/audit aid)"""
+    """Does the physical plan contain a shuffle Exchange? (test/audit aid)
+
+    Matches EVERY shuffle flavor — hashpartitioning, rangepartitioning,
+    SinglePartition — but not BroadcastExchange (a broadcast is not a
+    shuffle). A hash-only substring check would let a rangepartitioning
+    or global-agg shuffle creep back into a pinned zero-Exchange plan.
+    """
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return "Exchange hashpartitioning" in plan
+    return bool(re.search(r"(?<!Broadcast)Exchange", plan))

@@ -58,6 +58,7 @@ from __future__ import annotations
 import json
 import os
 import re
+from urllib.parse import quote, unquote
 
 _LOG_DIR = "_delta_log"
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
@@ -71,6 +72,23 @@ _SUPPORTED_READER_FEATURES = frozenset({"timestampNtz", "inCommitTimestamp"})
 # ---------------------------------------------------------------------------
 # log listing + snapshot reconstruction (driver-side, pure)
 # ---------------------------------------------------------------------------
+
+def _decode_path(p: str) -> str:
+    """add/remove paths are RFC 2396-encoded relative URIs (PROTOCOL.md
+    'needs to be decoded') — delta-spark logs a Hive-escaped dir like
+    ``ts=2024-01-01 00%3A00%3A00`` further percent-encoded. Decode at
+    every FILESYSTEM resolution point; log-internal add/remove matching
+    stays on the raw form."""
+    return unquote(p)
+
+
+def _encode_path(p: str) -> str:
+    """Inverse for the fixture writer: log an on-disk relative path in
+    the protocol's encoded form. ``=`` stays literal (delta-spark logs
+    Hive partition dirs as ``lang=de/...``); the Hive-escaped %XX
+    sequences on disk double-encode to %25XX, as in real logs."""
+    return quote(p, safe="/=")
+
 
 def _list_log(table_path: str) -> tuple[dict[int, str], dict[int, str]]:
     """-> ({version: commit_json_path}, {version: checkpoint_parquet_path})."""
@@ -103,8 +121,8 @@ def _read_commit(path: str, version: int) -> list[dict]:
     return actions
 
 
-def _commit_timestamp(path: str, version: int) -> int | None:
-    for a in _read_commit(path, version):
+def _commit_timestamp(actions: list[dict]) -> int | None:
+    for a in actions:
         if "commitInfo" in a:
             ts = a["commitInfo"].get("inCommitTimestamp",
                                      a["commitInfo"].get("timestamp"))
@@ -173,9 +191,18 @@ def load_delta_snapshot(table_path: str, version: int | None = None,
     """
     commits, ckpts = _list_log(table_path)
     newest = max([*commits, *ckpts])
+    # each commit JSON is parsed at most ONCE per load, even when the
+    # as_of_ms scan and the replay both need it
+    _acts_cache: dict[int, list[dict]] = {}
+
+    def _acts(v: int) -> list[dict]:
+        if v not in _acts_cache:
+            _acts_cache[v] = _read_commit(commits[v], v)
+        return _acts_cache[v]
+
     if version is None and as_of_ms is not None:
-        eligible = [v for v, p in sorted(commits.items())
-                    if (ts := _commit_timestamp(p, v)) is not None
+        eligible = [v for v in sorted(commits)
+                    if (ts := _commit_timestamp(_acts(v))) is not None
                     and ts <= as_of_ms]
         if not eligible:
             raise ValueError(f"delta: no commit at or before ts {as_of_ms}")
@@ -201,7 +228,7 @@ def load_delta_snapshot(table_path: str, version: int | None = None,
             raise ValueError(
                 f"delta: commit {v} missing (log cleaned past the newest "
                 f"usable checkpoint?) — cannot reconstruct version {target}")
-        _apply(state, _read_commit(commits[v], v), v)
+        _apply(state, _acts(v), v)
 
     proto = state["protocol"] or {}
     mrv = proto.get("minReaderVersion", 1)
@@ -263,15 +290,23 @@ def read_delta(spark, table_path: str, version: int | None = None,
     the table schema from metaData.schemaString so partition columns
     (Hive-style paths, not stored in the files) come back typed.
     """
-    from pyspark.sql.types import StructType
-
     snap = load_delta_snapshot(table_path, version=version,
                                as_of_ms=as_of_ms)
+    return _scan_snapshot(spark, table_path, snap, partition_filter)
+
+
+def _scan_snapshot(spark, table_path: str, snap: dict,
+                   partition_filter: dict[str, str] | None = None):
+    """Scan an already-replayed snapshot (shared with the fixture
+    writer's internal reads, which avoid a second log replay)."""
+    from pyspark.sql.types import StructType
+
     schema = StructType.fromJson(json.loads(snap["metaData"]["schemaString"]))
     adds = plan_delta_files(table_path, snap, partition_filter)
     if not adds:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(table_path, a["path"]) for a in adds]
+    paths = [os.path.join(table_path, _decode_path(a["path"]))
+             for a in adds]
     reader = spark.read.schema(schema)
     if snap["metaData"].get("partitionColumns"):
         reader = reader.option("basePath", table_path)
@@ -356,9 +391,11 @@ class DeltaFixtureWriter:
             for seg in rel.split(os.sep)[:-1]:
                 if "=" in seg:
                     k, _, v = seg.partition("=")
-                    pv[k] = v
+                    # partitionValues hold the LOGICAL string — undo the
+                    # Hive dir escaping (%XX) Spark applied on write
+                    pv[k] = unquote(v)
             acts.append({"add": {
-                "path": rel, "partitionValues": pv,
+                "path": _encode_path(rel), "partitionValues": pv,
                 "size": os.path.getsize(os.path.join(self.path, rel)),
                 "modificationTime": self._ts, "dataChange": True,
             }})
@@ -390,7 +427,9 @@ class DeltaFixtureWriter:
         adds = plan_delta_files(self.path, snap)
         if not adds:
             return self._commit([], operation="DELETE")
-        df = read_delta(spark, self.path).withColumn(
+        # reuse the replayed snapshot — read_delta would replay the log
+        # a second time
+        df = _scan_snapshot(spark, self.path, snap).withColumn(
             "_file", F.col("_metadata.file_path"))
         affected = {os.path.relpath(_strip_file_uri(r._file), self.path)
                     for r in df.filter(predicate)
@@ -406,7 +445,7 @@ class DeltaFixtureWriter:
         keep = reader.parquet(*abs_affected).filter(
             ~F.coalesce(predicate, F.lit(False)))
         new = self._write_files(keep, n_files=max(1, len(affected) // 2))
-        removes = [{"remove": {"path": p, "dataChange": True,
+        removes = [{"remove": {"path": _encode_path(p), "dataChange": True,
                                "deletionTimestamp": self._ts}}
                    for p in sorted(affected)]
         return self._commit(removes + self._add_actions(new),
@@ -431,7 +470,9 @@ class DeltaFixtureWriter:
         for _key, adds in sorted(by_part.items()):
             if len(adds) < 2:
                 continue
-            victims.extend(os.path.join(self.path, a["path"]) for a in adds)
+            victims.extend(
+                os.path.join(self.path, _decode_path(a["path"]))
+                for a in adds)
             removes.extend(
                 {"remove": {"path": a["path"], "dataChange": False,
                             "deletionTimestamp": self._ts}}
@@ -481,7 +522,7 @@ class DeltaFixtureWriter:
                 snap = load_delta_snapshot(self.path, version=v)
             except ValueError:
                 continue  # below a cleaned log's checkpoint horizon
-            keep.update(snap["adds"])
+            keep.update(_decode_path(p) for p in snap["adds"])
         victims = sorted(self._data_files() - keep)
         for rel in victims:
             os.remove(os.path.join(self.path, rel))

@@ -13,6 +13,8 @@ Two output modes:
     micro-batch and MERGEs counts into a parquet ledger — at scale this is
     the Iceberg MERGE INTO pattern, and it keeps the batch/stream code paths
     literally the same functions (no divergence to golden-test twice).
+    Every ledger twin delegates to ONE combinator (``stream_accumulate``)
+    so the exactly-once discipline lives in exactly one place.
   * pure streaming agg: watermark on ``warc_ts`` + groupBy(cell) with
     update mode, for dashboards that tolerate late-data cutoff.
 
@@ -23,10 +25,89 @@ the next micro-batch's merge — counts stay exact without watermark loss.
 
 from __future__ import annotations
 
+import os
+
 from core_spark.functions.extract import with_extracted_text
 from core_spark.functions.geoparse import with_mentions
 from core_spark.operators.tiles import assign_tiles
 
+
+# ---------------------------------------------------------------------------
+# the one exactly-once ledger combinator + its readers
+# ---------------------------------------------------------------------------
+
+def stream_accumulate(
+    spark,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    schema: str,
+    batch_reducer=None,
+    max_files_per_trigger: int = 16,
+):
+    """Generic exactly-once ledger: the pattern behind the zonal /
+    curation / latest-snapshot twins, exposed as a combinator (and used
+    by all of them — the discipline lives here once).
+
+    Per micro-batch, optionally shrink the batch with ``batch_reducer``
+    and write an overwrite-by-batch_id segment. ``batch_reducer`` must be
+    a CONTRACTION for the resolver you intend to fold with: applying it
+    batch-locally must not drop any row the global resolution over the
+    full input would keep (max-by reductions, deterministic-hash-order
+    top/cap cuts, and per-key aggregates all qualify; arbitrary filters
+    that depend on global state do not). ``resolve_ledger`` then applies
+    the SAME deterministic operator over the accumulated segments — at
+    scale this is the MERGE INTO / compaction job, and no per-key state
+    store ever grows unboundedly.
+    """
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int):
+        out = batch_reducer(batch_df) if batch_reducer else batch_df
+        out.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _ledger_df(spark, output_dir: str):
+    """Read the accumulated batch segments, or None when the stream
+    produced ZERO batches (a legitimate steady state: availableNow over
+    an empty input dir completes without running a micro-batch, so the
+    ledger dir is never created)."""
+    if not os.path.isdir(output_dir) or not any(
+        name.startswith("batch_id=") for name in os.listdir(output_dir)
+    ):
+        return None
+    return spark.read.option("basePath", output_dir).parquet(output_dir)
+
+
+def resolve_ledger(spark, output_dir: str, resolver):
+    """Fold the accumulated ledger with the same deterministic operator.
+
+    Raises a clear error on a zero-batch ledger (the generic combinator
+    cannot know the output schema to emit an empty result; the typed
+    readers below can, and do)."""
+    df = _ledger_df(spark, output_dir)
+    if df is None:
+        raise ValueError(
+            f"ledger at {output_dir} has no batch segments yet "
+            "(the stream produced zero batches)")
+    return resolver(df.drop("batch_id"))
+
+
+# ---------------------------------------------------------------------------
+# zonal twin
+# ---------------------------------------------------------------------------
 
 def stream_zonal(
     spark,
@@ -46,40 +127,34 @@ def stream_zonal(
     """
     from pyspark.sql import functions as F
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
-
-    def process_batch(batch_df, batch_id: int):
+    def reduce_batch(batch_df):
         extracted = with_extracted_text(batch_df).filter(
             F.col("extract_error").isNull()
         )
         mentions = with_mentions(extracted, key_cols=("doc_id", "url", "lang"))
         tiled = assign_tiles(mentions, resolutions=(zonal_res,))
-        counts = tiled.groupBy(f"h3_r{zonal_res}", "lang").agg(
+        return tiled.groupBy(f"h3_r{zonal_res}", "lang").agg(
             F.count("*").alias("n")
         )
-        # idempotent per-batch ledger segment (re-run of a batch overwrites)
-        counts.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
 
-    return (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return stream_accumulate(
+        spark, input_dir, checkpoint_dir, output_dir, schema,
+        batch_reducer=reduce_batch,
+        max_files_per_trigger=max_files_per_trigger,
     )
 
 
 def read_zonal_ledger(spark, output_dir: str, zonal_res: int = 7):
-    """Fold the per-batch ledger segments into current per-cell totals."""
+    """Fold the per-batch ledger segments into current per-cell totals.
+    A zero-batch ledger folds to an EMPTY rollup (typed), not an error."""
     from pyspark.sql import functions as F
 
+    df = _ledger_df(spark, output_dir)
+    if df is None:
+        return spark.createDataFrame(
+            [], f"h3_r{zonal_res} bigint, lang string, n bigint")
     return (
-        spark.read.option("basePath", output_dir)
-        .parquet(output_dir)
-        .groupBy(f"h3_r{zonal_res}", "lang")
+        df.groupBy(f"h3_r{zonal_res}", "lang")
         .agg(F.sum("n").alias("n"))
     )
 
@@ -112,6 +187,10 @@ def stream_zonal_agg(
     )
 
 
+# ---------------------------------------------------------------------------
+# curation twin
+# ---------------------------------------------------------------------------
+
 def stream_curation(
     spark,
     input_dir: str,
@@ -129,8 +208,8 @@ def stream_curation(
     not a streaming concern — at scale this is the MERGE INTO or
     compaction job over the ledger table).
 
-    Exactly-once per micro-batch via overwrite-by-batch_id segments, same
-    discipline as stream_zonal.
+    Exactly-once per micro-batch via the shared ``stream_accumulate``
+    combinator.
     """
     from pyspark.sql import functions as F
 
@@ -141,14 +220,9 @@ def stream_curation(
         spark_quality_cols,
     )
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
     cols = spark_quality_cols("text")
 
-    def process_batch(batch_df, batch_id: int):
+    def reduce_batch(batch_df):
         gated = batch_df.selectExpr(
             "doc_id", "text",
             f"{cols['n_tokens']} AS n_tokens",
@@ -166,32 +240,36 @@ def stream_curation(
                 .filter(F.col("lang_pred") == F.lit(lang))
                 .drop("lang_pred")
             )
-        gated = gated.selectExpr(
+        return gated.selectExpr(
             "doc_id", f"{spark_fingerprint('text')} AS fp"
         )
-        gated.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
 
-    return (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return stream_accumulate(
+        spark, input_dir, checkpoint_dir, output_dir, schema,
+        batch_reducer=reduce_batch,
+        max_files_per_trigger=max_files_per_trigger,
     )
 
 
 def curation_from_ledger(spark, output_dir: str):
     """Resolve the streamed ledger into representatives: min doc_id + dup
-    count per fingerprint — identical output to the batch exact_dedup tail."""
+    count per fingerprint — identical output to the batch exact_dedup tail.
+    A zero-batch ledger resolves to an EMPTY result (typed)."""
     from pyspark.sql import functions as F
 
+    df = _ledger_df(spark, output_dir)
+    if df is None:
+        return spark.createDataFrame([], "doc_id bigint, dup_count bigint")
     return (
-        spark.read.option("basePath", output_dir)
-        .parquet(output_dir)
-        .groupBy("fp")
+        df.groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_count"))
         .select("doc_id", "dup_count")
     )
 
+
+# ---------------------------------------------------------------------------
+# latest-crawl twin
+# ---------------------------------------------------------------------------
 
 def stream_latest_snapshot(
     spark,
@@ -213,27 +291,23 @@ def stream_latest_snapshot(
     every URL ever crawled, which is what a native streaming
     dropDuplicates/flatMapGroupsWithState would accumulate. At scale the
     ledger fold is the MERGE INTO / compaction job. Exactly-once per
-    micro-batch via overwrite-by-batch_id segments (same discipline as
-    stream_zonal).
+    micro-batch via the shared ``stream_accumulate`` combinator.
+
+    PRECONDITION: ``(url, key)`` must be row-unique in the input.
+    ``latest_snapshot``'s semi-join keeps EVERY row of the winning
+    (url, key) pair; when the same pair appears at several timestamps
+    split across micro-batches, the per-batch reduction has already
+    dropped the non-max-ts copies, so stream and batch outputs diverge
+    on exactly those duplicate rows. Crawl snapshots keyed by
+    (url, fetch-id) satisfy the precondition by construction; dedupe
+    first if yours don't.
     """
     from core_spark.operators.weburl import latest_snapshot
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
-
-    def process_batch(batch_df, batch_id: int):
-        latest_snapshot(batch_df, url_col, ts_col, key).write.mode(
-            "overwrite"
-        ).parquet(f"{output_dir}/batch_id={batch_id}")
-
-    return (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return stream_accumulate(
+        spark, input_dir, checkpoint_dir, output_dir, schema,
+        batch_reducer=lambda b: latest_snapshot(b, url_col, ts_col, key),
+        max_files_per_trigger=max_files_per_trigger,
     )
 
 
@@ -246,58 +320,16 @@ def latest_from_ledger(
 ):
     """Resolve the streamed ledger: the same associative reduction once
     more — identical rows to batch ``latest_snapshot`` over the full
-    input (pytest-gated stream==batch)."""
+    input (pytest-gated stream==batch; (url, key)-unique input, see
+    ``stream_latest_snapshot``). Raises clearly on a zero-batch ledger
+    (column types are caller-defined, so no typed empty exists here)."""
     from core_spark.operators.weburl import latest_snapshot
 
-    df = spark.read.option("basePath", output_dir).parquet(output_dir)
+    df = _ledger_df(spark, output_dir)
+    if df is None:
+        raise ValueError(
+            f"ledger at {output_dir} has no batch segments yet "
+            "(the stream produced zero batches)")
     return latest_snapshot(
         df.drop("batch_id"), url_col, ts_col, key
     )
-
-
-def stream_accumulate(
-    spark,
-    input_dir: str,
-    checkpoint_dir: str,
-    output_dir: str,
-    schema: str,
-    batch_reducer=None,
-    max_files_per_trigger: int = 16,
-):
-    """Generic exactly-once ledger: the pattern behind the zonal /
-    curation / latest-snapshot twins, exposed as a combinator.
-
-    Per micro-batch, optionally shrink the batch with ``batch_reducer``
-    and write an overwrite-by-batch_id segment. ``batch_reducer`` must be
-    a CONTRACTION for the resolver you intend to fold with: applying it
-    batch-locally must not drop any row the global resolution over the
-    full input would keep (max-by reductions, deterministic-hash-order
-    top/cap cuts, and per-key aggregates all qualify; arbitrary filters
-    that depend on global state do not). ``resolve_ledger`` then applies
-    the SAME deterministic operator over the accumulated segments — at
-    scale this is the MERGE INTO / compaction job, and no per-key state
-    store ever grows unboundedly.
-    """
-
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
-
-    def process_batch(batch_df, batch_id: int):
-        out = batch_reducer(batch_df) if batch_reducer else batch_df
-        out.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
-
-    return (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-
-
-def resolve_ledger(spark, output_dir: str, resolver):
-    """Fold the accumulated ledger with the same deterministic operator."""
-    df = spark.read.option("basePath", output_dir).parquet(output_dir)
-    return resolver(df.drop("batch_id"))

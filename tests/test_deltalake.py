@@ -42,6 +42,34 @@ _DELETED = {i for i in range(120) if i % 7 == 3}
 
 
 class TestSnapshots:
+    def test_special_char_partition_values_roundtrip(self, spark, corpus,
+                                                     tmp_path):
+        """add.path is an RFC 2396-encoded URI (PROTOCOL.md): a partition
+        value with ':' is Hive-escaped on disk (%3A) and double-encoded
+        in the log (%253A) — the reader must decode it back to a real
+        file, partitionValues must carry the LOGICAL string, and a
+        pruned read on the logical value must match."""
+        df = corpus.withColumn(
+            "lang",
+            F.when(F.col("lang") == "en", F.lit("t:colon / slash"))
+             .otherwise(F.col("lang")))
+        w = DeltaFixtureWriter(str(tmp_path), df.schema,
+                               partition_cols=["lang"])
+        w.append(df, n_files=2)
+        snap = load_delta_snapshot(str(tmp_path))
+        special = [a for a in snap["adds"].values()
+                   if a["partitionValues"].get("lang") == "t:colon / slash"]
+        assert special, "logical partitionValues must be decoded"
+        assert any("%253A" in a["path"] for a in special), \
+            "log path must double-encode the Hive-escaped colon"
+        got = {r.doc_id for r in read_delta(spark, str(tmp_path)).collect()}
+        assert got == set(range(120))
+        pruned = read_delta(
+            spark, str(tmp_path),
+            partition_filter={"lang": "t:colon / slash"})
+        assert {r.doc_id for r in pruned.collect()} == \
+            {i for i in range(120) if i % 3 == 0}
+
     def test_replay_and_copy_on_write_delete(self, spark, corpus, tmp_path):
         _write_table(spark, corpus, tmp_path)
         got = {r.doc_id for r in read_delta(spark, str(tmp_path)).collect()}

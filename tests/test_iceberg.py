@@ -84,6 +84,31 @@ def test_avro_malformed_raises(mutate, msg):
         read_avro_file(mutate(data))
 
 
+def test_avro_ambiguous_bare_reference_raises():
+    """Two namespaces defining the same bare record name: a bare-name
+    reference must fail loudly, never silently resolve to the
+    first-seen definition (wrong field layout -> garbage decode)."""
+    schema = {
+        "type": "record", "name": "outer2", "fields": [
+            {"name": "a", "type": {
+                "type": "record", "name": "Foo", "namespace": "ns1",
+                "fields": [{"name": "x", "type": "long"}]}},
+            {"name": "b", "type": {
+                "type": "record", "name": "Foo", "namespace": "ns2",
+                "fields": [{"name": "y", "type": "string"},
+                           {"name": "z", "type": "string"}]}},
+            {"name": "c", "type": "Foo"},  # ambiguous bare reference
+        ]}
+    recs = [{"a": {"x": 1}, "b": {"y": "u", "z": "v"}, "c": {"x": 2}}]
+    with pytest.raises(ValueError, match="ambiguous"):
+        read_avro_file(write_avro_file(schema, recs))
+    # qualified references stay fine
+    ok = dict(schema, fields=schema["fields"][:2] + [
+        {"name": "c", "type": "ns1.Foo"}])
+    _, out = read_avro_file(write_avro_file(ok, recs))
+    assert out == recs
+
+
 def test_avro_deterministic_bytes():
     recs = [_nested(5, "same")]
     assert write_avro_file(_NESTED_SCHEMA, recs) == \

@@ -477,3 +477,39 @@ class TestStreamHLL:
             ).collect()
         )
         assert got == want and len(got) == 2
+
+    def test_zero_batch_ledger_is_a_steady_state(self, spark, tmp_path):
+        """A stream over an EMPTY input dir completes without running a
+        micro-batch, so the ledger dir never exists. Typed readers fold
+        that to an empty result; the generic resolver (whose output
+        schema is caller-defined) raises a clear error instead of an
+        opaque AnalysisException."""
+        import os
+
+        import pytest as _pytest
+
+        from core_spark.streaming.incremental import (
+            curation_from_ledger, latest_from_ledger, read_zonal_ledger,
+            resolve_ledger, stream_curation,
+        )
+
+        input_dir = str(tmp_path / "in")
+        os.makedirs(input_dir, exist_ok=True)  # zero parquet files
+        ledger = str(tmp_path / "ledger")
+        q = stream_curation(
+            spark, input_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            output_dir=ledger,
+        )
+        q.awaitTermination(120)
+
+        zonal = read_zonal_ledger(spark, ledger)
+        assert zonal.count() == 0
+        assert [f.name for f in zonal.schema.fields] == ["h3_r7", "lang", "n"]
+        cur = curation_from_ledger(spark, ledger)
+        assert cur.count() == 0
+        assert [f.name for f in cur.schema.fields] == ["doc_id", "dup_count"]
+        with _pytest.raises(ValueError, match="zero batches"):
+            latest_from_ledger(spark, ledger)
+        with _pytest.raises(ValueError, match="zero batches"):
+            resolve_ledger(spark, ledger, lambda df: df)
