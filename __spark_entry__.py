@@ -3253,6 +3253,84 @@ def _sql_crawl_frontier() -> str:
         cols="doc_id, host, url_canon")
 
 
+REDIR_ROUNDS = 4  # pointer-doubling budget = 2**4 = 16 hops
+
+
+def q_url_redirects(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.py): pointer
+    doubling over a functional redirect graph — ceil(log2(L)) rounds of
+    ONE uniform-key equi self-join each (pinned per round, the CLAUDE.md
+    self-join rule), then terminal status via one left join against the
+    distinct-src directory. The fixture graph derives per-doc chains of
+    depth doc_id % 9 from the corpus (closed-form terminals 'c<id>_0'),
+    plus planted arms the operator must REFUSE to resolve: a 3-cycle, a
+    self-redirect, and an 18-deep chain whose tail exceeds the 2**4-hop
+    budget (L17/L18 unresolved; L16 resolves exactly at the boundary).
+    The oracle is STRONGER than a twin: it emits the expected output
+    straight from the generation rule — no doubling anywhere in the
+    SQL (hops = j, terminal = suffix _0, unresolved arms literal)."""
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.redirects import resolve_redirects
+
+    chains = (
+        _docs(spark, sf_dir, wide=False)
+        .where("doc_id % 9 > 0")
+        .selectExpr(
+            "doc_id",
+            "explode(sequence(1, CAST(doc_id % 9 AS INT))) AS j",
+        )
+        .selectExpr(
+            "concat('c', CAST(doc_id AS STRING), '_',"
+            " CAST(j AS STRING)) AS src",
+            "concat('c', CAST(doc_id AS STRING), '_',"
+            " CAST(j - 1 AS STRING)) AS dst",
+        )
+    )
+    planted = [
+        ("cyc0", "cyc1"), ("cyc1", "cyc2"), ("cyc2", "cyc0"),
+        ("selfy", "selfy"),
+    ] + [(f"L{j}", f"L{j - 1}") for j in range(1, 19)]
+    # literal arms built JVM-side (range+explode; CLAUDE.md: never
+    # createDataFrame on a query path)
+    lit = (
+        spark.range(1)
+        .select(F.explode(F.array(*[
+            F.struct(F.lit(s).alias("src"), F.lit(d).alias("dst"))
+            for s, d in planted
+        ])).alias("_s"))
+        .select("_s.src", "_s.dst")
+    )
+    return resolve_redirects(
+        chains.unionByName(lit), rounds=REDIR_ROUNDS)
+
+
+def _sql_url_redirects() -> str:
+    """Closed-form expected output from the generation rule (no doubling)."""
+    return """
+        WITH chain AS (
+          SELECT doc_id,
+                 UNNEST(generate_series(1, CAST(doc_id % 9 AS INT))) AS j
+          FROM documents WHERE doc_id % 9 > 0
+        )
+        SELECT 'c' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR)
+                 AS src,
+               'c' || CAST(doc_id AS VARCHAR) || '_0' AS final_url,
+               CAST(j AS BIGINT) AS hops,
+               CAST(1 AS INT) AS resolved
+        FROM chain
+        UNION ALL
+        SELECT 'L' || CAST(j AS VARCHAR),
+               CASE WHEN j <= 16 THEN 'L0' END,
+               CAST(CASE WHEN j <= 16 THEN j END AS BIGINT),
+               CAST(CASE WHEN j <= 16 THEN 1 ELSE 0 END AS INT)
+        FROM generate_series(1, 18) t(j)
+        UNION ALL
+        SELECT v.src, NULL, NULL, CAST(0 AS INT)
+        FROM (VALUES ('cyc0'), ('cyc1'), ('cyc2'), ('selfy')) v(src)
+    """
+
+
 # Zipf(2) host derivation via the ruler sequence on doc_id: h0 gets half
 # the docs, h1 a quarter, ... h5 1/64th, everything else is a singleton
 # tail host — the per-host page-count shape real heavy-hitter jobs see
@@ -3838,6 +3916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sketch": q_hll_sketch,
         "crawl_frontier": q_crawl_frontier,
         "link_hits": q_link_hits,
+        "url_redirects": q_url_redirects,
     }
 
 
@@ -4278,6 +4357,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_sketch": _sql_hll_sketch_q(),
         "crawl_frontier": _sql_crawl_frontier(),
         "link_hits": _sql_link_hits(),
+        "url_redirects": _sql_url_redirects(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
