@@ -3344,6 +3344,79 @@ def _ruler_host_sql(dialect: str) -> str:
     return f"CASE {arms} ELSE 'tail' || CAST(doc_id AS {cast}) END"
 
 
+CMS_D, CMS_W = 4, 512
+CMS_PROBES = ["h0", "h1", "h2", "h3", "h4", "h5", "tail0", "tail64",
+              "absent"]
+
+
+def q_cms_hosts(spark, sf_dir):
+    """Count-Min sketch (operators/cmsketch.py): mergeable approximate
+    per-item frequencies from d·w BIGINT counters — the one-pass,
+    query-after-the-scan complement to frequent_hosts' exact two-pass
+    plan (which needs its threshold up front and a second corpus scan).
+    Build = within-row ×d explode + ONE hash-agg whose key space is
+    bounded by d·w cells (map-side combine crushes each partition to
+    ≤ d·w rows before the exchange); probing joins the 9-item probe
+    directory against the BROADCAST counter table and takes a per-item
+    MIN. Probes span the Zipf ruler hosts (h0 = half the corpus … h5 =
+    1/64th), two singleton tail hosts, and an absent item; exact_cnt
+    rides along at fixture scale (computed over the broadcast-semi-joined
+    probe subset only) so the sketch's one-sided accuracy — est >= exact
+    always — is VISIBLE in the gated rows. The oracle is the same
+    construction in DuckDB, gating the full sketch state's estimates."""
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.cmsketch import cms_counters, cms_estimate
+
+    hosts = _docs(spark, sf_dir).selectExpr(
+        f"{_ruler_host_sql('spark')} AS item"
+    )
+    probes = (
+        spark.range(1)
+        .select(F.explode(F.array(
+            *[F.lit(p) for p in CMS_PROBES])).alias("item"))
+    )
+    est = cms_estimate(
+        cms_counters(hosts, "item", d=CMS_D, w=CMS_W),
+        probes, d=CMS_D, w=CMS_W,
+    )
+    exact = (
+        hosts.join(F.broadcast(probes), "item", "left_semi")
+        .groupBy("item").agg(F.count("*").alias("_cnt"))
+    )
+    return (
+        est.join(exact, "item", "left")
+        .selectExpr("item", "cms_est",
+                    "CAST(coalesce(_cnt, 0) AS BIGINT) AS exact_cnt")
+    )
+
+
+def _sql_cms_hosts() -> str:
+    from core_spark.operators.cmsketch import (
+        sql_cms_counters, sql_cms_estimate,
+    )
+
+    hosts = f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents"
+    probes = "SELECT * FROM (VALUES " + ", ".join(
+        f"({p!r})" for p in CMS_PROBES
+    ) + ") v(item)"
+    counters = sql_cms_counters(f"({hosts})", "item", d=CMS_D, w=CMS_W)
+    est = sql_cms_estimate(
+        f"({counters})", f"({probes})", d=CMS_D, w=CMS_W)
+    return f"""
+        WITH est AS ({est}),
+        exact AS (
+          SELECT item, CAST(COUNT(*) AS BIGINT) AS _cnt
+          FROM ({hosts})
+          WHERE item IN (SELECT item FROM ({probes}) p)
+          GROUP BY item
+        )
+        SELECT e.item AS item, e.cms_est,
+               CAST(COALESCE(x._cnt, 0) AS BIGINT) AS exact_cnt
+        FROM est e LEFT JOIN exact x USING (item)
+    """
+
+
 def q_frequent_hosts(spark, sf_dir):
     """Guaranteed-exact frequent items (operators/heavyhitters.py —
     Misra-Gries-family two-pass): per-Arrow-batch pigeonhole candidate
@@ -3917,6 +3990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "link_hits": q_link_hits,
         "url_redirects": q_url_redirects,
+        "cms_hosts": q_cms_hosts,
     }
 
 
@@ -4358,6 +4432,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": _sql_crawl_frontier(),
         "link_hits": _sql_link_hits(),
         "url_redirects": _sql_url_redirects(),
+        "cms_hosts": _sql_cms_hosts(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
