@@ -3344,6 +3344,132 @@ def _ruler_host_sql(dialect: str) -> str:
     return f"CASE {arms} ELSE 'tail' || CAST(doc_id AS {cast}) END"
 
 
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap-protocol parsing (operators/sitemaps.py): the discovery
+    half of the crawl stack (robots_gate is the permission half). The
+    fixture directory derives 23 hosts from the corpus: urlset hosts
+    carry 1-4 <url> entries exercising every optional field plus the
+    entity arm (&amp; in <loc> must decode), every 5th host is a
+    sitemapindex whose first child IS in the directory (child_present=1)
+    and whose second is referenced-but-unfetched (child_present=0 — the
+    frontier's next fetch list), and one planted non-sitemap document
+    survives as an error-as-data row. ONE dotall regex scan over the
+    host-bounded directory + posexplode_outer + a broadcast
+    child-presence join; the page corpus is never touched. The oracle
+    derives the expected rows straight from the generation rule — no
+    XML anywhere in the SQL."""
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.sitemaps import parse_sitemaps
+    from core_spark.plans.materialize import pin
+
+    hosts = pin(
+        _docs(spark, sf_dir, wide=False)
+        .selectExpr("CAST(doc_id % 23 AS INT) AS t").distinct()
+    )
+    urlsets = hosts.where("t % 5 <> 4").selectExpr(
+        "concat('s', CAST(t AS STRING), '.example.com') AS host",
+        "concat('https://s', CAST(t AS STRING),"
+        " '.example.com/sitemap.xml') AS sitemap_url",
+        """concat(
+          '<?xml version="1.0"?>\n<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n',
+          array_join(transform(sequence(0, t % 4), j -> concat(
+            '<url><loc>https://s', CAST(t AS STRING), '.example.com/p',
+            CAST(j AS STRING),
+            CASE WHEN j = 2 THEN '?a=1&amp;b=2' ELSE '' END, '</loc>',
+            CASE WHEN j % 2 = 0 THEN concat('<lastmod>2024-01-0',
+              CAST((j % 7) + 1 AS STRING), '</lastmod>') ELSE '' END,
+            CASE WHEN j % 3 = 0 THEN concat(
+              '<changefreq>daily</changefreq><priority>0.',
+              CAST(j % 10 AS STRING), '</priority>')
+            WHEN j % 3 = 1 THEN '<changefreq>weekly</changefreq>'
+            ELSE '' END,
+            '</url>')), '\n'),
+          '\n</urlset>') AS xml""",
+    )
+    indexes = hosts.where("t % 5 = 4").selectExpr(
+        "concat('s', CAST(t AS STRING), '.example.com') AS host",
+        "concat('https://s', CAST(t AS STRING),"
+        " '.example.com/sitemap.xml') AS sitemap_url",
+        """concat(
+          '<?xml version="1.0"?>\n<sitemapindex>\n<sitemap><loc>https://s',
+          CAST(t AS STRING), '.example.com/sm_0.xml</loc>',
+          '<lastmod>2024-02-01</lastmod></sitemap>\n',
+          '<sitemap><loc>https://s', CAST(t AS STRING),
+          '.example.com/sm_1.xml</loc></sitemap>\n</sitemapindex>')
+          AS xml""",
+    )
+    children = hosts.where("t % 5 = 4").selectExpr(
+        "concat('s', CAST(t AS STRING), '.example.com') AS host",
+        "concat('https://s', CAST(t AS STRING),"
+        " '.example.com/sm_0.xml') AS sitemap_url",
+        "concat('<urlset><url><loc>https://s', CAST(t AS STRING),"
+        " '.example.com/c0</loc><lastmod>2024-03-0',"
+        " CAST((t % 9) + 1 AS STRING),"
+        " '</lastmod></url></urlset>') AS xml",
+    )
+    bad = spark.range(1).selectExpr(
+        "'bad.example.com' AS host",
+        "'https://bad.example.com/sitemap.xml' AS sitemap_url",
+        "'<html>not a sitemap</html>' AS xml",
+    )
+    directory = urlsets.unionByName(indexes).unionByName(
+        children).unionByName(bad)
+    return parse_sitemaps(directory)
+
+
+def _sql_sitemap_parse() -> str:
+    """Expected rows straight from the generation rule (no XML parsed)."""
+    return """
+        WITH hosts AS (
+          SELECT DISTINCT CAST(doc_id % 23 AS INT) AS t FROM documents
+        ),
+        uentries AS (
+          SELECT t, UNNEST(generate_series(0, t % 4)) AS j
+          FROM hosts WHERE t % 5 <> 4
+        )
+        SELECT 's' || CAST(t AS VARCHAR) || '.example.com' AS host,
+               'https://s' || CAST(t AS VARCHAR) ||
+                 '.example.com/sitemap.xml' AS sitemap_url,
+               'urlset' AS kind,
+               CAST(j AS BIGINT) AS pos,
+               'https://s' || CAST(t AS VARCHAR) || '.example.com/p' ||
+                 CAST(j AS VARCHAR) ||
+                 CASE WHEN j = 2 THEN '?a=1&b=2' ELSE '' END AS loc,
+               CASE WHEN j % 2 = 0 THEN '2024-01-0' ||
+                 CAST((j % 7) + 1 AS VARCHAR) END AS lastmod,
+               CASE WHEN j % 3 = 0 THEN 'daily'
+                    WHEN j % 3 = 1 THEN 'weekly' END AS changefreq,
+               CASE WHEN j % 3 = 0 THEN '0.' || CAST(j % 10 AS VARCHAR)
+                 END AS priority,
+               CAST(NULL AS INT) AS child_present
+        FROM uentries
+        UNION ALL
+        SELECT 's' || CAST(t AS VARCHAR) || '.example.com',
+               'https://s' || CAST(t AS VARCHAR) ||
+                 '.example.com/sitemap.xml',
+               'sitemapindex', CAST(e.pos AS BIGINT),
+               'https://s' || CAST(t AS VARCHAR) || '.example.com/sm_' ||
+                 CAST(e.pos AS VARCHAR) || '.xml',
+               CASE WHEN e.pos = 0 THEN '2024-02-01' END,
+               NULL, NULL,
+               CASE WHEN e.pos = 0 THEN 1 ELSE 0 END
+        FROM hosts CROSS JOIN (VALUES (0), (1)) e(pos)
+        WHERE t % 5 = 4
+        UNION ALL
+        SELECT 's' || CAST(t AS VARCHAR) || '.example.com',
+               'https://s' || CAST(t AS VARCHAR) || '.example.com/sm_0.xml',
+               'urlset', CAST(0 AS BIGINT),
+               'https://s' || CAST(t AS VARCHAR) || '.example.com/c0',
+               '2024-03-0' || CAST((t % 9) + 1 AS VARCHAR),
+               NULL, NULL, CAST(NULL AS INT)
+        FROM hosts WHERE t % 5 = 4
+        UNION ALL
+        SELECT 'bad.example.com', 'https://bad.example.com/sitemap.xml',
+               'error', NULL, NULL, NULL, NULL, NULL, CAST(NULL AS INT)
+    """
+
+
 CMS_D, CMS_W = 4, 512
 CMS_PROBES = ["h0", "h1", "h2", "h3", "h4", "h5", "tail0", "tail64",
               "absent"]
@@ -3991,6 +4117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": q_link_hits,
         "url_redirects": q_url_redirects,
         "cms_hosts": q_cms_hosts,
+        "sitemap_parse": q_sitemap_parse,
     }
 
 
@@ -4433,6 +4560,7 @@ def oracle_sql() -> dict[str, str]:
         "link_hits": _sql_link_hits(),
         "url_redirects": _sql_url_redirects(),
         "cms_hosts": _sql_cms_hosts(),
+        "sitemap_parse": _sql_sitemap_parse(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
