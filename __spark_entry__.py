@@ -3344,6 +3344,54 @@ def _ruler_host_sql(dialect: str) -> str:
     return f"CASE {arms} ELSE 'tail' || CAST(doc_id AS {cast}) END"
 
 
+DBSCAN_EPS, DBSCAN_MIN_PTS = 1.5, 5
+# Deterministic cluster geometry whose CLUSTER COUNT grows with the
+# corpus while per-cluster membership stays bounded (8 ids per center),
+# so the core/border/noise mix survives every scale factor (measured:
+# 450/18/32 at 500 docs, 4545/171/284 at 5000): centers on a 29x29
+# lattice spaced 6.0 apart, 2x0.4 jitter inside, every 11th doc
+# displaced +1.9 lat (too sparse to be core, near enough to be border
+# when its mates are), and the corpus-tail center holds <min_pts docs
+# (pure noise). All coordinates are exact binary fractions.
+DBSCAN_LAT = (
+    "((doc_id DIV 8) % 29) * 6.0 + ((doc_id % 8) % 3) * 0.4"
+    " + CASE WHEN doc_id % 11 = 0 THEN 1.9 ELSE 0.0 END"
+)
+DBSCAN_LON = "(((doc_id DIV 8) DIV 29) % 29) * 6.0 + ((doc_id % 8) DIV 3) * 0.4"
+
+
+def q_dbscan(spark, sf_dir):
+    """DBSCAN density clustering (operators/dbscan.py) — composed
+    entirely from audited scale primitives: eps-neighbor pairs from the
+    epsilon-grid range join (x9 replication, ONE equi shuffle, never a
+    cartesian), core points from one degree hash-agg, clusters from the
+    Kiveris large/small-star connected components (O(log n) pinned
+    rounds), border points determinized to the MIN core-neighbor
+    cluster (the parallel-DBSCAN convention; textbook first-reacher
+    assignment is scan-order-dependent). The DuckDB oracle is a
+    genuinely INDEPENDENT algorithm: brute-force O(n²) pairs + a
+    recursive-CTE min-label closure instead of star contraction."""
+    from core_spark.operators.dbscan import dbscan
+
+    pts = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"{DBSCAN_LAT} AS lat",
+        f"{DBSCAN_LON} AS lon",
+    )
+    return dbscan(pts, DBSCAN_EPS, DBSCAN_MIN_PTS)
+
+
+def _sql_dbscan_q() -> str:
+    from core_spark.operators.dbscan import sql_dbscan
+
+    lat = DBSCAN_LAT.replace(" DIV ", " // ")
+    lon = DBSCAN_LON.replace(" DIV ", " // ")
+    return sql_dbscan(
+        f"SELECT doc_id, {lat} AS lat, {lon} AS lon FROM documents",
+        DBSCAN_EPS, DBSCAN_MIN_PTS,
+    )
+
+
 def q_sitemap_parse(spark, sf_dir):
     """Sitemap-protocol parsing (operators/sitemaps.py): the discovery
     half of the crawl stack (robots_gate is the permission half). The
@@ -4118,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_redirects": q_url_redirects,
         "cms_hosts": q_cms_hosts,
         "sitemap_parse": q_sitemap_parse,
+        "dbscan": q_dbscan,
     }
 
 
@@ -4561,6 +4610,7 @@ def oracle_sql() -> dict[str, str]:
         "url_redirects": _sql_url_redirects(),
         "cms_hosts": _sql_cms_hosts(),
         "sitemap_parse": _sql_sitemap_parse(),
+        "dbscan": _sql_dbscan_q(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
