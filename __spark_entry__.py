@@ -3344,6 +3344,169 @@ def _ruler_host_sql(dialect: str) -> str:
     return f"CASE {arms} ELSE 'tail' || CAST(doc_id AS {cast}) END"
 
 
+def _gj_sq_json(cx: str, cy: str, h: float) -> str:
+    """SQL expr: JSON ring text for a square centered (cx, cy), half-size
+    h — corners in fixed CCW order with the RFC-required closure."""
+    corners = [(-1, -1), (1, -1), (1, 1), (-1, 1), (-1, -1)]
+    pts = ", ',', ".join(
+        f"'[', CAST(({cx}) + {dx * h} AS STRING), ',', "
+        f"CAST(({cy}) + {dy * h} AS STRING), ']'"
+        for dx, dy in corners
+    )
+    return f"concat('[', {pts}, ']')"
+
+
+def q_geojson_scan(spark, sf_dir):
+    """GeoJSON source (sources/geojson.py, RFC 7946): Feature documents
+    derived from the corpus — Point / Polygon-with-hole / MultiPolygon
+    arms plus four error arms (LineString unsupported, unclosed ring,
+    invalid JSON, null geometry) — parsed in ONE Arrow stage and
+    exploded to per-vertex rows so every compared value is a scalar
+    (coordinates are exact binary fractions; the driver compare never
+    sees a nested array). The oracle derives the expected vertices
+    straight from the generation rule's corner arithmetic — no JSON
+    anywhere in the SQL. Healthy features parse even when the same
+    batch holds malformed documents (error-as-data, pinned in pytest)."""
+    from pyspark.sql import functions as F
+
+    from core_spark.sources.geojson import parse_geojson
+    from core_spark.plans.materialize import pin
+
+    ts = pin(
+        _docs(spark, sf_dir, wide=False)
+        .selectExpr("CAST(doc_id % 19 AS INT) AS t").distinct()
+    )
+    feat = (
+        "concat('{\"type\": \"Feature\", \"id\": \"f', CAST(t AS STRING),"
+        " '\", \"properties\": {\"admin_id\": ', CAST(t AS STRING),"
+        " '}, \"geometry\": ', ")
+    point_geom = (
+        "concat('{\"type\": \"Point\", \"coordinates\": [',"
+        " CAST(t * 0.25 AS STRING), ',', CAST(t * 0.5 - 2.0 AS STRING),"
+        " ']}')")
+    outer = _gj_sq_json("t * 1.0", "t * 0.5", 0.5)
+    hole = _gj_sq_json("t * 1.0", "t * 0.5", 0.25)
+    poly_geom = (
+        f"concat('{{\"type\": \"Polygon\", \"coordinates\": [', {outer},"
+        f" CASE WHEN t % 8 = 5 THEN concat(',', {hole}) ELSE '' END,"
+        " ']}')")
+    mp0 = _gj_sq_json("t * 1.0", "0.0", 0.5)
+    mp1 = _gj_sq_json("t * 1.0", "3.0", 0.25)
+    mp_geom = (
+        f"concat('{{\"type\": \"MultiPolygon\", \"coordinates\": [[',"
+        f" {mp0}, '],[', {mp1}, ']]}}')")
+    line_geom = ("'{\"type\": \"LineString\","
+                 " \"coordinates\": [[0.0,0.0],[1.0,1.0]]}'")
+    unclosed = (
+        "'{\"type\": \"Polygon\", \"coordinates\":"
+        " [[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,1.0]]]}'")
+    texts = ts.selectExpr(
+        "concat('g', CAST(t AS STRING)) AS src",
+        f"""CASE
+          WHEN t = 11 THEN '{{not json'
+          WHEN t = 15 THEN concat('{{\"type\": \"Feature\", \"id\": \"f',
+            CAST(t AS STRING), '\", \"geometry\": null}}')
+          WHEN t = 3 THEN {feat}{line_geom}, '}}')
+          WHEN t = 7 THEN {feat}{unclosed}, '}}')
+          WHEN t % 4 = 0 THEN {feat}{point_geom}, '}}')
+          WHEN t % 4 = 1 THEN {feat}{poly_geom}, '}}')
+          ELSE {feat}{mp_geom}, '}}')
+        END AS geojson""",
+    )
+    parsed = parse_geojson(texts)
+    return (
+        parsed.select(
+            "src", "feature_ix", "fid", "geom_type",
+            F.expr("CAST(element_at(props, 'admin_id') AS BIGINT)")
+            .alias("admin_id"),
+            "part_ix", "lon", "lat", "error",
+            F.posexplode_outer("rings").alias("ring_ix", "_ring"),
+        )
+        .select(
+            "src", "feature_ix", "fid", "geom_type", "admin_id",
+            "part_ix", "lon", "lat", "error",
+            F.col("ring_ix").cast("long").alias("ring_ix"),
+            F.posexplode_outer("_ring").alias("vertex_ix", "_pt"),
+        )
+        .selectExpr(
+            "src", "feature_ix", "fid", "geom_type", "admin_id",
+            "part_ix", "ring_ix",
+            "CAST(vertex_ix AS BIGINT) AS vertex_ix",
+            "coalesce(_pt[0], lon) AS x",
+            "coalesce(_pt[1], lat) AS y",
+            "error",
+        )
+    )
+
+
+def _sql_geojson_scan() -> str:
+    """Expected vertex rows straight from the generation rule."""
+    return """
+        WITH ts AS (
+          SELECT DISTINCT CAST(doc_id % 19 AS INT) AS t FROM documents
+        ),
+        corners AS (
+          SELECT * FROM (VALUES
+            (0, -1, -1), (1, 1, -1), (2, 1, 1), (3, -1, 1), (4, -1, -1)
+          ) c(v, dx, dy)
+        )
+        -- Point arm (t%4=0)
+        SELECT 'g' || CAST(t AS VARCHAR) AS src,
+               CAST(0 AS BIGINT) AS feature_ix,
+               'f' || CAST(t AS VARCHAR) AS fid,
+               'Point' AS geom_type, CAST(t AS BIGINT) AS admin_id,
+               CAST(NULL AS BIGINT) AS part_ix,
+               CAST(NULL AS BIGINT) AS ring_ix,
+               CAST(NULL AS BIGINT) AS vertex_ix,
+               t * 0.25 AS x, t * 0.5 - 2.0 AS y,
+               CAST(NULL AS VARCHAR) AS error
+        FROM ts WHERE t % 4 = 0
+        UNION ALL
+        -- Polygon arm (t%4=1, t<>5/13 ring 0 only; t%8=5 adds the hole)
+        SELECT 'g' || CAST(t AS VARCHAR), 0, 'f' || CAST(t AS VARCHAR),
+               'Polygon', t, 0, r.ring_ix, c.v,
+               t * 1.0 + c.dx * (CASE WHEN r.ring_ix = 0
+                                      THEN 0.5 ELSE 0.25 END),
+               t * 0.5 + c.dy * (CASE WHEN r.ring_ix = 0
+                                      THEN 0.5 ELSE 0.25 END),
+               NULL
+        FROM ts
+        CROSS JOIN (VALUES (0), (1)) r(ring_ix)
+        CROSS JOIN corners c
+        WHERE t % 4 = 1 AND t NOT IN (3, 7, 11, 15)
+          AND (r.ring_ix = 0 OR t % 8 = 5)
+        UNION ALL
+        -- MultiPolygon arm (t%4=2): two parts, ring 0 each
+        SELECT 'g' || CAST(t AS VARCHAR), 0, 'f' || CAST(t AS VARCHAR),
+               'MultiPolygon', t, p.part_ix, 0, c.v,
+               t * 1.0 + c.dx * (CASE WHEN p.part_ix = 0
+                                      THEN 0.5 ELSE 0.25 END),
+               (CASE WHEN p.part_ix = 0 THEN 0.0 ELSE 3.0 END)
+                 + c.dy * (CASE WHEN p.part_ix = 0 THEN 0.5 ELSE 0.25 END),
+               NULL
+        FROM ts
+        CROSS JOIN (VALUES (0), (1)) p(part_ix)
+        CROSS JOIN corners c
+        WHERE t % 4 = 2
+        UNION ALL
+        -- error arms
+        SELECT 'g' || CAST(t AS VARCHAR),
+               CASE WHEN t = 11 THEN NULL ELSE 0 END,
+               CASE WHEN t = 11 THEN NULL
+                    ELSE 'f' || CAST(t AS VARCHAR) END,
+               CASE WHEN t = 3 THEN 'LineString'
+                    WHEN t = 7 THEN 'Polygon' END,
+               NULL,
+               CASE WHEN t = 7 THEN 0 END,
+               NULL, NULL, NULL, NULL,
+               CASE WHEN t = 3 THEN 'unsupported geometry type: LineString'
+                    WHEN t = 7 THEN 'ring not closed'
+                    WHEN t = 11 THEN 'invalid json'
+                    WHEN t = 15 THEN 'missing geometry' END
+        FROM ts WHERE t IN (3, 7, 11, 15)
+    """
+
+
 DBSCAN_EPS, DBSCAN_MIN_PTS = 1.5, 5
 # Deterministic cluster geometry whose CLUSTER COUNT grows with the
 # corpus while per-cluster membership stays bounded (8 ids per center),
@@ -4167,6 +4330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_hosts": q_cms_hosts,
         "sitemap_parse": q_sitemap_parse,
         "dbscan": q_dbscan,
+        "geojson_scan": q_geojson_scan,
     }
 
 
@@ -4611,6 +4775,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_hosts": _sql_cms_hosts(),
         "sitemap_parse": _sql_sitemap_parse(),
         "dbscan": _sql_dbscan_q(),
+        "geojson_scan": _sql_geojson_scan(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
