@@ -101,7 +101,9 @@ def cms_estimate(
     empty) — the overestimate direction of the CMS guarantee.
     """
     cell = _cell(item_col, w, "spark")
-    probes = items.selectExpr(
+    probes = items.where(
+        F.col(item_col).isNotNull()
+    ).selectExpr(
         item_col, f"explode(sequence(0, {d - 1})) AS r"
     ).selectExpr(item_col, "r", f"{cell} AS c")
     return (

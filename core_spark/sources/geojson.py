@@ -53,6 +53,18 @@ _ERR_JSON = "invalid json"
 _ERR_NO_GEOM = "missing geometry"
 _ERR_UNCLOSED = "ring not closed"
 _ERR_SHORT = "ring too short"
+_ERR_POSITION = "invalid position"
+
+
+def _is_pos(p) -> bool:
+    return (
+        isinstance(p, list)
+        and len(p) >= 2
+        and all(
+            isinstance(c, (int, float)) and not isinstance(c, bool)
+            for c in p[:2]
+        )
+    )
 
 
 def _props(feature: dict) -> dict | None:
@@ -73,7 +85,12 @@ def _props(feature: dict) -> dict | None:
 def _check_ring(ring) -> str | None:
     if not isinstance(ring, list) or len(ring) < 4:
         return _ERR_SHORT
-    if ring[0] != ring[-1]:
+    # every position must be a [num, num, ...] BEFORE the closure compare:
+    # a ring like [1, 2, 3, 1] "closes" but would crash the float pull —
+    # error-as-data means malformed content never throws in an executor
+    if not all(_is_pos(p) for p in ring):
+        return _ERR_POSITION
+    if ring[0][:2] != ring[-1][:2]:
         return _ERR_UNCLOSED
     return None
 
@@ -100,11 +117,8 @@ def _feature_rows(src: str, ix: int, feature: dict):
     props = _props(feature)
     coords = geom.get("coordinates")
     if gtype == "Point":
-        if (
-            not isinstance(coords, list) or len(coords) < 2
-            or not all(isinstance(c, (int, float)) for c in coords[:2])
-        ):
-            yield {**base, "geom_type": gtype, "error": _ERR_NO_GEOM}
+        if not _is_pos(coords):
+            yield {**base, "geom_type": gtype, "error": _ERR_POSITION}
             return
         yield {
             **base, "geom_type": gtype, "props": props,

@@ -116,6 +116,57 @@ def test_bare_feature_and_bare_geometry(rows):
     assert (_by(rows, "geom")[0]["lon"], _by(rows, "geom")[0]["lat"]) == (3.0, 4.0)
 
 
+def test_invalid_positions_are_errors_not_crashes():
+    """[1, 2, 3, 1] 'closes' but is not a ring of positions — must be an
+    error row (executor code must never throw on malformed content)."""
+    from core_spark.sources.geojson import _text_rows
+
+    bad_ring = json.dumps(
+        {"type": "Polygon", "coordinates": [[1, 2, 3, 1]]}
+    )
+    rows = list(_text_rows("s", bad_ring))
+    assert rows[0]["error"] == "invalid position"
+    bad_point = json.dumps({"type": "Point", "coordinates": [True, False]})
+    rows = list(_text_rows("s", bad_point))
+    assert rows[0]["error"] == "invalid position"
+
+
+def test_parser_never_raises_fuzz():
+    """Any JSON value (and non-JSON text) yields rows, never an exception."""
+    from hypothesis import given, settings, strategies as st
+
+    from core_spark.sources.geojson import _text_rows
+
+    json_val = st.recursive(
+        st.none() | st.booleans() | st.integers(-5, 5)
+        | st.sampled_from([0.5, 1.5])
+        | st.sampled_from(
+            ["Feature", "FeatureCollection", "Point", "Polygon",
+             "MultiPolygon", "LineString", "x"]),
+        lambda kids: st.lists(kids, max_size=4)
+        | st.dictionaries(
+            st.sampled_from(
+                ["type", "features", "geometry", "coordinates",
+                 "properties", "id", "k"]),
+            kids, max_size=5),
+        max_leaves=12,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(json_val | st.text(max_size=20))
+    def run(doc):
+        text = doc if isinstance(doc, str) else json.dumps(doc)
+        rows = list(_text_rows("s", text))
+        for r in rows:
+            assert (r["error"] is None) or isinstance(r["error"], str)
+            if r["rings"] is not None:
+                for ring in r["rings"]:
+                    for p in ring:
+                        assert isinstance(p[0], float)
+
+    run()
+
+
 @pytest.mark.spark
 def test_read_geojson_files(spark, tmp_path):
     d = tmp_path / "gj"
