@@ -478,6 +478,50 @@ class TestStreamHLL:
         )
         assert got == want and len(got) == 2
 
+    def test_stream_cms_sketch_matches_batch(self, spark, tmp_path):
+        """Count-Min via the generic ledger: the batch_reducer emits the
+        per-batch counter grid (≤ d·w rows per micro-batch — a genuine
+        contraction: merge_cms IS the same groupBy-SUM re-applied), the
+        resolver folds cells by addition. Stream state == one-shot batch
+        sketch, cell for cell — the CMS mergeability contract end-to-end
+        through the streaming path."""
+        from core_spark.operators.cmsketch import cms_counters, merge_cms
+        from core_spark.streaming.incremental import (
+            resolve_ledger, stream_accumulate,
+        )
+
+        input_dir = str(tmp_path / "in")
+        rows = [(d, f"h{d % 37}") for d in range(600)]
+        for part in range(3):
+            chunk = [r for r in rows if r[0] % 3 == part]
+            spark.createDataFrame(
+                chunk, "doc_id long, host string"
+            ).coalesce(1).write.mode("append").parquet(input_dir)
+
+        q = stream_accumulate(
+            spark,
+            input_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            output_dir=str(tmp_path / "ledger"),
+            schema="doc_id long, host string",
+            batch_reducer=lambda df: cms_counters(df, "host", d=3, w=64),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+        got = sorted(
+            tuple(r) for r in resolve_ledger(
+                spark, str(tmp_path / "ledger"),
+                lambda df: merge_cms(df.select("r", "c", "cnt")),
+            ).collect()
+        )
+        want = sorted(
+            tuple(r) for r in cms_counters(
+                spark.read.parquet(input_dir), "host", d=3, w=64
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+
     def test_zero_batch_ledger_is_a_steady_state(self, spark, tmp_path):
         """A stream over an EMPTY input dir completes without running a
         micro-batch, so the ledger dir never exists. Typed readers fold
