@@ -3555,23 +3555,12 @@ def _sql_dbscan_q() -> str:
     )
 
 
-def q_sitemap_parse(spark, sf_dir):
-    """Sitemap-protocol parsing (operators/sitemaps.py): the discovery
-    half of the crawl stack (robots_gate is the permission half). The
-    fixture directory derives 23 hosts from the corpus: urlset hosts
-    carry 1-4 <url> entries exercising every optional field plus the
-    entity arm (&amp; in <loc> must decode), every 5th host is a
-    sitemapindex whose first child IS in the directory (child_present=1)
-    and whose second is referenced-but-unfetched (child_present=0 — the
-    frontier's next fetch list), and one planted non-sitemap document
-    survives as an error-as-data row. ONE dotall regex scan over the
-    host-bounded directory + posexplode_outer + a broadcast
-    child-presence join; the page corpus is never touched. The oracle
-    derives the expected rows straight from the generation rule — no
-    XML anywhere in the SQL."""
+def _sitemap_directory(spark, sf_dir):
+    """The shared 23-host sitemap fixture directory (generation rule
+    documented on q_sitemap_parse); feeds the parse query AND the
+    crawl_pipeline capstone."""
     from pyspark.sql import functions as F
 
-    from core_spark.operators.sitemaps import parse_sitemaps
     from core_spark.plans.materialize import pin
 
     hosts = pin(
@@ -3624,9 +3613,126 @@ def q_sitemap_parse(spark, sf_dir):
         "'https://bad.example.com/sitemap.xml' AS sitemap_url",
         "'<html>not a sitemap</html>' AS xml",
     )
-    directory = urlsets.unionByName(indexes).unionByName(
+    return urlsets.unionByName(indexes).unionByName(
         children).unionByName(bad)
-    return parse_sitemaps(directory)
+
+
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap-protocol parsing (operators/sitemaps.py): the discovery
+    half of the crawl stack (robots_gate is the permission half). The
+    fixture directory derives 23 hosts from the corpus: urlset hosts
+    carry 1-4 <url> entries exercising every optional field plus the
+    entity arm (&amp; in <loc> must decode), every 5th host is a
+    sitemapindex whose first child IS in the directory (child_present=1)
+    and whose second is referenced-but-unfetched (child_present=0 — the
+    frontier's next fetch list), and one planted non-sitemap document
+    survives as an error-as-data row. ONE dotall regex scan over the
+    host-bounded directory + posexplode_outer + a broadcast
+    child-presence join; the page corpus is never touched. The oracle
+    derives the expected rows straight from the generation rule — no
+    XML anywhere in the SQL."""
+    from core_spark.operators.sitemaps import parse_sitemaps
+
+    return parse_sitemaps(_sitemap_directory(spark, sf_dir))
+
+
+# robots fixture for the crawl capstone: one policy per host residue —
+# t%3=0 blocks the /p1 page, t%3=1 is deny-all-except-/p2 (longest-match
+# allow must win), t%3=2 publishes no robots.txt (RFC default allow).
+CRAWL_AGENT = "graftbot"
+
+
+def q_crawl_pipeline(spark, sf_dir):
+    """Crawl-stack capstone: sitemap DISCOVERY → robots PERMISSION →
+    frontier SCHEDULE, composed end-to-end from the three audited
+    operators. Page candidates are every urlset <loc> the sitemap
+    fixture publishes (incl. the index hosts' child sitemaps and the
+    entity-decoded query URL); the robots directory grants by host
+    residue (deny-one / deny-all-except — longest-match allow fires /
+    absent-file default); survivors get politeness slots with the
+    sitemap <priority> driving the per-host fetch order (NULL → 0.0,
+    explicit on BOTH engines — desc NULL ordering differs between
+    them). The oracle never parses XML or robots text: the allowed set
+    is closed-form from the two generation rules, and the schedule
+    reuses the frontier emission twin over it."""
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.frontier import schedule_frontier
+    from core_spark.operators.robots import parse_robots, robots_decide
+    from core_spark.operators.sitemaps import parse_sitemaps
+    from core_spark.plans.materialize import pin
+
+    parsed = parse_sitemaps(_sitemap_directory(spark, sf_dir))
+    # pages feed robots_decide AND the carry-back join — pin once
+    pages = pin(
+        parsed.filter(
+            "kind = 'urlset' AND loc IS NOT NULL"
+        ).select("host", F.col("loc").alias("url"), "priority")
+    )
+    robots = (
+        _docs(spark, sf_dir, wide=False)
+        .selectExpr("CAST(doc_id % 23 AS INT) AS t").distinct()
+        .where("t % 3 <> 2")
+        .selectExpr(
+            "concat('s', CAST(t AS STRING), '.example.com') AS host",
+            "CASE WHEN t % 3 = 0 THEN"
+            " 'User-agent: *\nDisallow: /p1\n'"
+            " ELSE 'User-agent: *\nDisallow: /\nAllow: /p2\n' END"
+            " AS robots_txt",
+        )
+    )
+    verdicts = robots_decide(pages, parse_robots(robots), CRAWL_AGENT)
+    allowed = (
+        pages.join(verdicts, "url")
+        .where("allowed")
+        .select("host", "url", "priority")
+    )
+    sched = schedule_frontier(
+        allowed, FRONTIER_WORKERS, FRONTIER_DELAY,
+        priority_sql="coalesce(CAST(priority AS DOUBLE), 0.0)",
+    )
+    return sched.select("host", "url", "worker", "fetch_ix", "fetch_slot")
+
+
+def _sql_crawl_pipeline() -> str:
+    from core_spark.operators.frontier import sql_schedule_frontier
+
+    # closed-form page candidates + priorities (sitemap generation rule)
+    urls = """
+        WITH hosts AS (
+          SELECT DISTINCT CAST(doc_id % 23 AS INT) AS t FROM documents
+        ),
+        uentries AS (
+          SELECT t, UNNEST(generate_series(0, t % 4)) AS j
+          FROM hosts WHERE t % 5 <> 4
+        ),
+        pages AS (
+          SELECT t, j,
+                 's' || CAST(t AS VARCHAR) || '.example.com' AS host,
+                 'https://s' || CAST(t AS VARCHAR) || '.example.com/p' ||
+                   CAST(j AS VARCHAR) ||
+                   CASE WHEN j = 2 THEN '?a=1&b=2' ELSE '' END AS url,
+                 CASE WHEN j % 3 = 0 THEN '0.' || CAST(j % 10 AS VARCHAR)
+                   END AS priority
+          FROM uentries
+          UNION ALL
+          SELECT t, NULL,
+                 's' || CAST(t AS VARCHAR) || '.example.com',
+                 'https://s' || CAST(t AS VARCHAR) || '.example.com/c0',
+                 NULL
+          FROM hosts WHERE t % 5 = 4
+        )
+        SELECT host, url, priority FROM pages
+        WHERE CASE
+          WHEN t % 3 = 0 THEN j IS NULL OR j <> 1
+          WHEN t % 3 = 1 THEN j = 2
+          ELSE TRUE END
+    """
+    return sql_schedule_frontier(
+        f"({urls})", FRONTIER_WORKERS, FRONTIER_DELAY,
+        priority_sql="coalesce(CAST(priority AS DOUBLE), 0.0)",
+        cols="host, url",
+    )
 
 
 def _sql_sitemap_parse() -> str:
@@ -4331,6 +4437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": q_sitemap_parse,
         "dbscan": q_dbscan,
         "geojson_scan": q_geojson_scan,
+        "crawl_pipeline": q_crawl_pipeline,
     }
 
 
@@ -4776,6 +4883,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_parse": _sql_sitemap_parse(),
         "dbscan": _sql_dbscan_q(),
         "geojson_scan": _sql_geojson_scan(),
+        "crawl_pipeline": _sql_crawl_pipeline(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
