@@ -3507,6 +3507,37 @@ def _sql_geojson_scan() -> str:
     """
 
 
+GEOHASH_P = 7
+
+
+def q_geohash_assign(spark, sf_dir):
+    """Geohash cell ids (functions/geohash.py): the interchange lattice —
+    base32 string cells most web geodata keys on, emitted as stepwise
+    JVM SQL (32→64 spread cascade, multiplies for shifts, bit-identical
+    both engines; pinned against the published 'ezs42'/'u4pruydqqvj'
+    vectors AND an independent interval-halving reference model in
+    pytest). The p=4 parent is literally substr(gh7, 1, 4) — the prefix
+    property that makes geohash rollups free (no parent arithmetic; cf.
+    tile_parent_rollup's aperture-7 math). Out-of-range/NULL coords
+    yield NULL ids rather than clamping to a real cell."""
+    from core_spark.functions.geohash import with_geohash
+
+    return with_geohash(
+        _points(spark, sf_dir, wide=False), precision=GEOHASH_P,
+        out_col="gh7",
+    ).selectExpr("doc_id", "gh7", "substr(gh7, 1, 4) AS gh4")
+
+
+def _sql_geohash_assign() -> str:
+    from core_spark.functions.geohash import geohash_steps
+
+    steps = geohash_steps("lat", "lon", GEOHASH_P, "duckdb", "gh7")
+    inner = f"({_POINTS_SQL})"
+    for name, expr in steps:
+        inner = f"(SELECT *, {expr} AS {name} FROM {inner})"
+    return f"SELECT doc_id, gh7, substr(gh7, 1, 4) AS gh4 FROM {inner}"
+
+
 DBSCAN_EPS, DBSCAN_MIN_PTS = 1.5, 5
 # Deterministic cluster geometry whose CLUSTER COUNT grows with the
 # corpus while per-cluster membership stays bounded (8 ids per center),
@@ -4438,6 +4469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan": q_dbscan,
         "geojson_scan": q_geojson_scan,
         "crawl_pipeline": q_crawl_pipeline,
+        "geohash_assign": q_geohash_assign,
     }
 
 
@@ -4884,6 +4916,7 @@ def oracle_sql() -> dict[str, str]:
         "dbscan": _sql_dbscan_q(),
         "geojson_scan": _sql_geojson_scan(),
         "crawl_pipeline": _sql_crawl_pipeline(),
+        "geohash_assign": _sql_geohash_assign(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
