@@ -3507,6 +3507,59 @@ def _sql_geojson_scan() -> str:
     """
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery entry point (robots.robots_sitemap_urls):
+    sitemaps.org designates robots.txt as the canonical place a site
+    publishes its sitemap locations, so this is the edge BEFORE
+    sitemap_parse in the crawl story. Arms: one plain directive after a
+    group, an UPPERCASE directive with a trailing comment plus a second
+    directive BEFORE any group (position-independence), an
+    empty-valued directive (dropped), and a no-directive file (no
+    rows). One line explode over the host-bounded directory."""
+    from core_spark.operators.robots import robots_sitemap_urls
+
+    robots = (
+        _docs(spark, sf_dir, wide=False)
+        .selectExpr("CAST(doc_id % 23 AS INT) AS t").distinct()
+        .selectExpr(
+            "t",
+            "concat('s', CAST(t AS STRING), '.example.com') AS host",
+            """CASE CAST(t % 4 AS INT)
+              WHEN 0 THEN concat('User-agent: *\nDisallow: /x\n',
+                'Sitemap: https://s', CAST(t AS STRING),
+                '.example.com/sitemap.xml\n')
+              WHEN 1 THEN concat('SITEMAP: https://s', CAST(t AS STRING),
+                '.example.com/sm_a.xml  # primary\n',
+                'User-agent: *\nAllow: /\n',
+                'sitemap:https://s', CAST(t AS STRING),
+                '.example.com/sm_b.xml\n')
+              WHEN 2 THEN 'User-agent: *\nDisallow:\nSitemap:\n'
+              ELSE '# no directives\nUser-agent: *\nDisallow: /y\n'
+            END AS robots_txt""",
+        )
+    )
+    return robots_sitemap_urls(robots).select("host", "sitemap_url")
+
+
+def _sql_robots_sitemaps() -> str:
+    """Expected rows straight from the generation rule (no parsing)."""
+    return """
+        WITH hosts AS (
+          SELECT DISTINCT CAST(doc_id % 23 AS INT) AS t FROM documents
+        )
+        SELECT 's' || CAST(t AS VARCHAR) || '.example.com' AS host,
+               'https://s' || CAST(t AS VARCHAR) ||
+                 '.example.com/sitemap.xml' AS sitemap_url
+        FROM hosts WHERE t % 4 = 0
+        UNION ALL
+        SELECT 's' || CAST(t AS VARCHAR) || '.example.com',
+               'https://s' || CAST(t AS VARCHAR) || '.example.com/sm_' ||
+                 sfx || '.xml'
+        FROM hosts CROSS JOIN (VALUES ('a'), ('b')) s(sfx)
+        WHERE t % 4 = 1
+    """
+
+
 GEOHASH_P = 7
 
 
@@ -4470,6 +4523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_scan": q_geojson_scan,
         "crawl_pipeline": q_crawl_pipeline,
         "geohash_assign": q_geohash_assign,
+        "robots_sitemaps": q_robots_sitemaps,
     }
 
 
@@ -4917,6 +4971,7 @@ def oracle_sql() -> dict[str, str]:
         "geojson_scan": _sql_geojson_scan(),
         "crawl_pipeline": _sql_crawl_pipeline(),
         "geohash_assign": _sql_geohash_assign(),
+        "robots_sitemaps": _sql_robots_sitemaps(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",

@@ -131,6 +131,37 @@ def parse_robots(
     )
 
 
+def robots_sitemap_urls(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, sitemap_url) from ``Sitemap:`` directives — where sitemap
+    discovery STARTS (sitemaps.org designates robots.txt as the
+    canonical place a site publishes its sitemap locations; RFC 9309
+    §2.3 carries it as an other-record). Directive name is
+    case-insensitive, the value is the rest of the line (comments
+    stripped, whitespace trimmed — same line grammar as parse_robots),
+    directives live OUTSIDE groups so position is irrelevant, and a
+    file may carry any number of them. One line explode over the
+    host-bounded directory; empty values are dropped."""
+    return (
+        robots.select(
+            F.col(host_col).alias("host"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("_raw"),
+        )
+        .select(
+            "host",
+            F.trim(
+                F.regexp_extract(
+                    F.trim(F.regexp_replace("_raw", "#.*$", "")),
+                    r"^(?i)sitemap\s*:\s*(.*)$",
+                    1,
+                )
+            ).alias("sitemap_url"),
+        )
+        .filter(F.col("sitemap_url") != "")
+    )
+
+
 def robots_decide(
     urls: DataFrame,
     rules: DataFrame,

@@ -159,3 +159,32 @@ class TestRobots:
         )
         assert "CartesianProduct" not in plan
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestRobotsSitemapUrls:
+    def test_directive_extraction(self, spark):
+        """Case-insensitive name, comments stripped, multiple per file,
+        position-independent (inside or outside groups), empties dropped."""
+        from core_spark.operators.robots import robots_sitemap_urls
+
+        robots = spark.createDataFrame(
+            [
+                ("a.example", "User-agent: *\nDisallow: /private\n"
+                              "Sitemap: https://a.example/sitemap.xml\n"
+                              "SITEMAP: https://a.example/sm2.xml  # main\n"),
+                ("b.example", "sitemap:https://b.example/s.xml\n"
+                              "User-agent: *\nAllow: /\n"),
+                ("c.example", "User-agent: *\nDisallow:\nSitemap:\n"),
+                ("d.example", "# nothing here\n"),
+            ],
+            "host string, robots_txt string",
+        )
+        got = sorted(
+            (r["host"], r["sitemap_url"])
+            for r in robots_sitemap_urls(robots).collect()
+        )
+        assert got == [
+            ("a.example", "https://a.example/sitemap.xml"),
+            ("a.example", "https://a.example/sm2.xml"),
+            ("b.example", "https://b.example/s.xml"),
+        ]
