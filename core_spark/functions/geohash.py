@@ -60,8 +60,13 @@ def _quant(col: str, lo: float, span: float, bits: int) -> str:
     """
     top = (1 << bits) - 1
     raw = f"FLOOR((({col}) - ({lo})) / {span} * {float(1 << bits)!r})"
+    # NULL/NaN short-circuit BEFORE the BIGINT cast (Spark 4 ANSI throws
+    # on CAST(NaN AS BIGINT); the final output-column guard alone only
+    # survives via projection collapse + lazy CASE — zorder._quant rule).
+    # The placeholder 0 is never visible: the out_col guard NULLs the row.
     clamped = (
-        f"CASE WHEN {raw} < 0.0 THEN 0.0 "
+        f"CASE WHEN {col} IS NULL OR isnan({col}) THEN 0.0 "
+        f"WHEN {raw} < 0.0 THEN 0.0 "
         f"WHEN {raw} > {float(top)!r} THEN {float(top)!r} ELSE {raw} END"
     )
     return f"CAST({clamped} AS BIGINT)"

@@ -66,6 +66,18 @@ def test_prefix_property():
             assert _duck_hash(lat, lon, k) == full[:k]
 
 
+def test_nan_null_through_duckdb_emission():
+    """NaN/NULL must flow to a NULL hash without a BIGINT-cast error in
+    EITHER engine — the _quant-level guard, not just the output CASE
+    (Spark 4 ANSI throws on CAST(NaN AS BIGINT) if a materialized step
+    ever evaluates it)."""
+    for lat in ("CAST('nan' AS DOUBLE)", "NULL::DOUBLE", "91.0::DOUBLE"):
+        inner = f"SELECT {lat} AS lat, 10.0::DOUBLE AS lon"
+        for name, expr in geohash_steps("lat", "lon", 6, "duckdb"):
+            inner = f"SELECT *, {expr} AS {name} FROM ({inner})"
+        assert duckdb.sql(f"SELECT geohash FROM ({inner})").fetchone()[0] is None
+
+
 def test_rejects_bad_precision():
     with pytest.raises(ValueError):
         geohash_steps(precision=0)
