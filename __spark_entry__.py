@@ -3507,6 +3507,40 @@ def _sql_geojson_scan() -> str:
     """
 
 
+TRAJ_LAT = "CAST((event_id * 31) % 160 AS DOUBLE) * 0.25 - 20.0"
+TRAJ_LON = "CAST((event_id * 17) % 320 AS DOUBLE) * 0.25 - 40.0"
+
+
+def q_trajectories(spark, sf_dir):
+    """Spatiotemporal rollup (operators/trajectory.py) over the events
+    table: per-user path length / net displacement / longest step /
+    bbox from (ts, event_id)-ordered positions (coordinates derived
+    from event_id by generation rule — exact quarter-degree lattice).
+    Every compared length is a BIGINT micro-unit built FLOOR(sqrt·1e6)
+    per step BEFORE summation (double sums are association-order-
+    dependent; sqrt is IEEE-correctly-rounded so it is portable where
+    trig is not). ONE Exchange: the lag window and the rollup share the
+    user_id hash clustering (plan-asserted in pytest). The twin
+    computes endpoints with a DIFFERENT plan (FIRST/LAST_VALUE windows
+    vs Spark's struct extrema) — agreement is evidence."""
+    from core_spark.operators.trajectory import trajectory_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "ts", "event_id",
+        f"{TRAJ_LAT} AS lat", f"{TRAJ_LON} AS lon",
+    )
+    return trajectory_stats(ev)
+
+
+def _sql_trajectories() -> str:
+    from core_spark.operators.trajectory import sql_trajectory_stats
+
+    return sql_trajectory_stats(
+        "SELECT user_id, ts, event_id,"
+        f" {TRAJ_LAT} AS lat, {TRAJ_LON} AS lon FROM events"
+    )
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery entry point (robots.robots_sitemap_urls):
     sitemaps.org designates robots.txt as the canonical place a site
@@ -4524,6 +4558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_pipeline": q_crawl_pipeline,
         "geohash_assign": q_geohash_assign,
         "robots_sitemaps": q_robots_sitemaps,
+        "trajectories": q_trajectories,
     }
 
 
@@ -4972,6 +5007,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_pipeline": _sql_crawl_pipeline(),
         "geohash_assign": _sql_geohash_assign(),
         "robots_sitemaps": _sql_robots_sitemaps(),
+        "trajectories": _sql_trajectories(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
