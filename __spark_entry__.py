@@ -3507,6 +3507,56 @@ def _sql_geojson_scan() -> str:
     """
 
 
+def _rect_gen_exprs(div: str) -> list[str]:
+    """Jittered-lattice rect derivation over t = doc_id % 211 (one
+    emission, both engines; only the integer-division token differs)."""
+    xmin = "(t % 15) * 3.0 + (t % 7) * 0.25"
+    ymin = f"((t {div} 15) % 15) * 3.0 + (t % 5) * 0.25"
+    return [
+        "t AS rect_id",
+        f"{xmin} AS xmin",
+        f"{ymin} AS ymin",
+        f"{xmin} + (t % 4) * 1.75 + 0.5 AS xmax",
+        f"{ymin} + (t % 6) * 0.75 + 0.25 AS ymax",
+    ]
+
+
+RECT_CELL = 2.0
+
+
+def q_rect_join(spark, sf_dir):
+    """PBSM rectangle-intersection join (operators/rectjoin.py, Patel &
+    DeWitt 1996): the candidate generator under every polygon/envelope
+    join — grid the plane, replicate each rect to the cells its extent
+    covers (within-row sequence explode), ONE equi shuffle on integer
+    cell keys, then the PBSM reference-point trick: a pair is emitted
+    only in the cell holding its intersection's lower-left corner, so
+    a pair sharing 40 cells emits ONCE with no dedup shuffle
+    (plan-asserted Deduplicate-free; cell-size invariance pytested at
+    g=0.5/1/4). Touching edges count (closed intervals). 211 derived
+    rects on a jittered lattice, 256 intersecting pairs; the oracle is
+    the honest O(n²) cross-join — an independent plan."""
+    from core_spark.operators.rectjoin import rect_join_pairs
+
+    rects = (
+        _docs(spark, sf_dir, wide=False)
+        .selectExpr("CAST(doc_id % 211 AS INT) AS t").distinct()
+        .selectExpr(*_rect_gen_exprs("DIV"))
+    )
+    return rect_join_pairs(rects, RECT_CELL)
+
+
+def _sql_rect_join() -> str:
+    from core_spark.operators.rectjoin import sql_rect_join_pairs
+
+    cols = ", ".join(_rect_gen_exprs("//"))
+    rects = (
+        f"SELECT {cols} FROM (SELECT DISTINCT CAST(doc_id % 211 AS INT)"
+        " AS t FROM documents)"
+    )
+    return sql_rect_join_pairs(f"({rects})")
+
+
 TRAJ_LAT = "CAST((event_id * 31) % 160 AS DOUBLE) * 0.25 - 20.0"
 TRAJ_LON = "CAST((event_id * 17) % 320 AS DOUBLE) * 0.25 - 40.0"
 
@@ -4559,6 +4609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_assign": q_geohash_assign,
         "robots_sitemaps": q_robots_sitemaps,
         "trajectories": q_trajectories,
+        "rect_join": q_rect_join,
     }
 
 
@@ -5008,6 +5059,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_assign": _sql_geohash_assign(),
         "robots_sitemaps": _sql_robots_sitemaps(),
         "trajectories": _sql_trajectories(),
+        "rect_join": _sql_rect_join(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
