@@ -3356,20 +3356,9 @@ def _gj_sq_json(cx: str, cy: str, h: float) -> str:
     return f"concat('[', {pts}, ']')"
 
 
-def q_geojson_scan(spark, sf_dir):
-    """GeoJSON source (sources/geojson.py, RFC 7946): Feature documents
-    derived from the corpus — Point / Polygon-with-hole / MultiPolygon
-    arms plus four error arms (LineString unsupported, unclosed ring,
-    invalid JSON, null geometry) — parsed in ONE Arrow stage and
-    exploded to per-vertex rows so every compared value is a scalar
-    (coordinates are exact binary fractions; the driver compare never
-    sees a nested array). The oracle derives the expected vertices
-    straight from the generation rule's corner arithmetic — no JSON
-    anywhere in the SQL. Healthy features parse even when the same
-    batch holds malformed documents (error-as-data, pinned in pytest)."""
-    from pyspark.sql import functions as F
-
-    from core_spark.sources.geojson import parse_geojson
+def _geojson_directory(spark, sf_dir):
+    """The shared GeoJSON fixture texts (generation rule documented on
+    q_geojson_scan); feeds the scan query AND the polygon_area query."""
     from core_spark.plans.materialize import pin
 
     ts = pin(
@@ -3413,7 +3402,25 @@ def q_geojson_scan(spark, sf_dir):
           ELSE {feat}{mp_geom}, '}}')
         END AS geojson""",
     )
-    parsed = parse_geojson(texts)
+    return texts
+
+
+def q_geojson_scan(spark, sf_dir):
+    """GeoJSON source (sources/geojson.py, RFC 7946): Feature documents
+    derived from the corpus — Point / Polygon-with-hole / MultiPolygon
+    arms plus four error arms (LineString unsupported, unclosed ring,
+    invalid JSON, null geometry) — parsed in ONE Arrow stage and
+    exploded to per-vertex rows so every compared value is a scalar
+    (coordinates are exact binary fractions; the driver compare never
+    sees a nested array). The oracle derives the expected vertices
+    straight from the generation rule's corner arithmetic — no JSON
+    anywhere in the SQL. Healthy features parse even when the same
+    batch holds malformed documents (error-as-data, pinned in pytest)."""
+    from pyspark.sql import functions as F
+
+    from core_spark.sources.geojson import parse_geojson
+
+    parsed = parse_geojson(_geojson_directory(spark, sf_dir))
     return (
         parsed.select(
             "src", "feature_ix", "fid", "geom_type",
@@ -3673,6 +3680,58 @@ def _sql_geohash_assign() -> str:
     for name, expr in steps:
         inner = f"(SELECT *, {expr} AS {name} FROM {inner})"
     return f"SELECT doc_id, gh7, substr(gh7, 1, 4) AS gh4 FROM {inner}"
+
+
+def q_polygon_area(spark, sf_dir):
+    """Shoelace area + centroid (operators/polyarea.py) composed on the
+    GeoJSON source: fixture Features → parse_geojson → within-row fold
+    HOFs — no shuffle, no Python (plan-asserted in pytest). area2_abs
+    subtracts holes by magnitude (winding-independent: GeoJSON's
+    CCW/CW SHOULD is violated constantly in the wild); centroids are
+    the outer ring's area centroid. Doubles are safe to compare here
+    because fold HOFs are SEQUENTIAL on both engines (association
+    order pinned — unlike a groupBy SUM), and the fixture coordinates
+    make the arithmetic exact outright. The oracle derives every value
+    closed-form from the square geometry (8h² areas, center
+    centroids) — no shoelace anywhere in the SQL."""
+    from core_spark.operators.polyarea import polygon_area
+    from core_spark.sources.geojson import parse_geojson
+
+    parsed = parse_geojson(_geojson_directory(spark, sf_dir)).filter(
+        "rings IS NOT NULL"
+    )
+    return polygon_area(parsed).select(
+        "src", "fid", "part_ix", "n_rings", "n_vertices",
+        "area2_abs", "cx", "cy",
+    )
+
+
+def _sql_polygon_area() -> str:
+    """Closed-form areas/centroids from the square generation rule."""
+    return """
+        WITH ts AS (
+          SELECT DISTINCT CAST(doc_id % 19 AS INT) AS t FROM documents
+        )
+        SELECT 'g' || CAST(t AS VARCHAR) AS src,
+               'f' || CAST(t AS VARCHAR) AS fid,
+               CAST(0 AS BIGINT) AS part_ix,
+               CAST(CASE WHEN t % 8 = 5 THEN 2 ELSE 1 END AS BIGINT)
+                 AS n_rings,
+               CAST(CASE WHEN t % 8 = 5 THEN 10 ELSE 5 END AS BIGINT)
+                 AS n_vertices,
+               CASE WHEN t % 8 = 5 THEN 1.5 ELSE 2.0 END AS area2_abs,
+               t * 1.0 AS cx, t * 0.5 AS cy
+        FROM ts WHERE t % 4 = 1 AND t NOT IN (3, 7, 11, 15)
+        UNION ALL
+        SELECT 'g' || CAST(t AS VARCHAR), 'f' || CAST(t AS VARCHAR),
+               CAST(p.part_ix AS BIGINT), CAST(1 AS BIGINT),
+               CAST(5 AS BIGINT),
+               CASE WHEN p.part_ix = 0 THEN 2.0 ELSE 0.5 END,
+               t * 1.0,
+               CASE WHEN p.part_ix = 0 THEN 0.0 ELSE 3.0 END
+        FROM ts CROSS JOIN (VALUES (0), (1)) p(part_ix)
+        WHERE t % 4 = 2
+    """
 
 
 DBSCAN_EPS, DBSCAN_MIN_PTS = 1.5, 5
@@ -4610,6 +4669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "trajectories": q_trajectories,
         "rect_join": q_rect_join,
+        "polygon_area": q_polygon_area,
     }
 
 
@@ -5060,6 +5120,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_sitemaps": _sql_robots_sitemaps(),
         "trajectories": _sql_trajectories(),
         "rect_join": _sql_rect_join(),
+        "polygon_area": _sql_polygon_area(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
