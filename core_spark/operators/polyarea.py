@@ -41,20 +41,29 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _shoelace2(ring: str, dialect: str) -> str:
-    """Signed 2·area of a closed ring — a sequential fold, both engines."""
+    """Signed 2·area of a closed ring — a sequential fold, both engines.
+
+    Guarded for rings with < 2 positions: Spark's ``sequence(0, -1)``
+    is DESCENDING and under ANSI mode a negative/out-of-range array
+    index is an error, not NULL — a 1-point ring would crash the
+    executor without the size gate (the geojson source never emits one,
+    but this operator is public API).
+    """
     if dialect == "spark":
         return (
-            f"aggregate(sequence(0, size({ring}) - 2), CAST(0.0 AS DOUBLE),"
+            f"CASE WHEN size({ring}) < 2 THEN CAST(0.0 AS DOUBLE) ELSE"
+            f" aggregate(sequence(0, size({ring}) - 2), CAST(0.0 AS DOUBLE),"
             f" (acc, i) -> acc + {ring}[i][0] * {ring}[i + 1][1]"
-            f" - {ring}[i + 1][0] * {ring}[i][1])"
+            f" - {ring}[i + 1][0] * {ring}[i][1]) END"
         )
     # DuckDB: 1-based lists; generate_series is inclusive
     return (
-        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f"CASE WHEN len({ring}) < 2 THEN CAST(0.0 AS DOUBLE) ELSE"
+        f" list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
         f" list_transform(generate_series(1, len({ring}) - 1),"
         f" i -> {ring}[i][1] * {ring}[i + 1][2]"
         f" - {ring}[i + 1][1] * {ring}[i][2])),"
-        f" (acc, x) -> acc + x)"
+        f" (acc, x) -> acc + x) END"
     )
 
 
@@ -62,19 +71,21 @@ def _centroid_num(ring: str, axis: int, dialect: str) -> str:
     """Σ (c_i + c_{i+1}) · cross_i — the centroid numerator on axis 0/1."""
     if dialect == "spark":
         return (
-            f"aggregate(sequence(0, size({ring}) - 2), CAST(0.0 AS DOUBLE),"
+            f"CASE WHEN size({ring}) < 2 THEN CAST(0.0 AS DOUBLE) ELSE"
+            f" aggregate(sequence(0, size({ring}) - 2), CAST(0.0 AS DOUBLE),"
             f" (acc, i) -> acc + ({ring}[i][{axis}] + {ring}[i + 1][{axis}])"
             f" * ({ring}[i][0] * {ring}[i + 1][1]"
-            f" - {ring}[i + 1][0] * {ring}[i][1]))"
+            f" - {ring}[i + 1][0] * {ring}[i][1])) END"
         )
     a = axis + 1
     return (
-        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f"CASE WHEN len({ring}) < 2 THEN CAST(0.0 AS DOUBLE) ELSE"
+        f" list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
         f" list_transform(generate_series(1, len({ring}) - 1),"
         f" i -> ({ring}[i][{a}] + {ring}[i + 1][{a}])"
         f" * ({ring}[i][1] * {ring}[i + 1][2]"
         f" - {ring}[i + 1][1] * {ring}[i][2]))),"
-        f" (acc, x) -> acc + x)"
+        f" (acc, x) -> acc + x) END"
     )
 
 
@@ -114,16 +125,27 @@ def area_exprs(rings_col: str, dialect: str) -> dict[str, str]:
             f" (acc, x) -> acc + x)"
         )
     signed = _shoelace2(outer, dialect)
+    # empty rings arrays: rings[0] is an ANSI error on Spark, so every
+    # outer-ring expr is gated; NULL area/centroid, zero counts
+    size_fn = "size" if dialect == "spark" else "len"
+    empty = f"{size_fn}({rings_col}) = 0"
     return {
         "n_rings": nrings,
         "n_vertices": nverts,
-        "area2_abs": f"abs({signed}) - {hole_sum}",
+        "area2_abs": (
+            f"CASE WHEN {empty} THEN NULL ELSE"
+            f" abs({signed}) - {hole_sum} END"
+        ),
+        # ordered WHENs, not OR: boolean OR need not short-circuit, and
+        # the signed term indexes rings[0]
         "cx": (
-            f"CASE WHEN {signed} = 0.0 THEN NULL ELSE"
+            f"CASE WHEN {empty} THEN NULL"
+            f" WHEN {signed} = 0.0 THEN NULL ELSE"
             f" {_centroid_num(outer, 0, dialect)} / (3.0 * {signed}) END"
         ),
         "cy": (
-            f"CASE WHEN {signed} = 0.0 THEN NULL ELSE"
+            f"CASE WHEN {empty} THEN NULL"
+            f" WHEN {signed} = 0.0 THEN NULL ELSE"
             f" {_centroid_num(outer, 1, dialect)} / (3.0 * {signed}) END"
         ),
     }

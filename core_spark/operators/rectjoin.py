@@ -60,7 +60,16 @@ def rect_join_pairs(
     g = float(cell)
     if g <= 0:
         raise ValueError(f"rect_join_pairs: cell must be > 0, got {cell}")
-    base = pin(df.select(key, xmin, ymin, xmax, ymax))
+    # malformed rects (min > max, or NULL bounds) are dropped on ingest
+    # on BOTH engines: a min>max rect would grid to a REVERSED cell
+    # sequence whose set can miss the reference cell, silently diverging
+    # from the brute-force twin (which would still pair it) — the same
+    # hygiene rule as redirects/cmsketch, here correctness-load-bearing
+    base = pin(
+        df.select(key, xmin, ymin, xmax, ymax).where(
+            f"{xmin} <= {xmax} AND {ymin} <= {ymax}"
+        )
+    )
     gridded = base.selectExpr(
         f"{key} AS _k",
         f"{xmin} AS _x0", f"{ymin} AS _y0",
@@ -110,10 +119,15 @@ def sql_rect_join_pairs(
     xmax: str = "xmax",
     ymax: str = "ymax",
 ) -> str:
-    """DuckDB twin: the honest O(n²) cross-join (independent plan)."""
+    """DuckDB twin: the honest O(n²) cross-join (independent plan);
+    malformed rects dropped on ingest like the Spark side."""
+    well = (
+        f"SELECT * FROM ({rects_sql})"
+        f" WHERE {xmin} <= {xmax} AND {ymin} <= {ymax}"
+    )
     return f"""
         SELECT p.{key} AS a, q.{key} AS b
-        FROM ({rects_sql}) p, ({rects_sql}) q
+        FROM ({well}) p, ({well}) q
         WHERE p.{key} < q.{key}
           AND p.{xmin} <= q.{xmax} AND q.{xmin} <= p.{xmax}
           AND p.{ymin} <= q.{ymax} AND q.{ymin} <= p.{ymax}

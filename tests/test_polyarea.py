@@ -80,6 +80,31 @@ def test_composes_with_geojson_source(spark):
 
 
 @pytest.mark.spark
+def test_degenerate_inputs_never_crash(spark):
+    """Empty rings arrays and sub-2-point rings: NULL/zero outputs, no
+    ANSI array-index error (Spark's rings[0] on [] throws unguarded)."""
+    rows = [
+        (0, []),                      # empty rings array
+        (1, [[[1.0, 1.0]]]),          # 1-point "ring"
+        (2, [[[1.0, 1.0], [2.0, 2.0]]]),  # 2-point degenerate
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, rings array<array<array<double>>>"
+    )
+    got = {
+        r["pid"]: (r["n_rings"], r["area2_abs"], r["cx"])
+        for r in polygon_area(df).collect()
+    }
+    assert got[0] == (0, None, None)
+    assert got[1] == (1, 0.0, None)
+    assert got[2] == (1, 0.0, None)
+    # duckdb emission agrees
+    for pid, rings in rows:
+        n_rings, _, area2, gx, _ = _duck(rings) if rings else (0, 0, None, None, None)
+        assert (n_rings, area2, gx) == got[pid] or rings == []
+
+
+@pytest.mark.spark
 def test_plan_is_shuffle_and_python_free(spark):
     df = spark.createDataFrame(
         [(0, [SQUARE])], "pid long, rings array<array<array<double>>>"

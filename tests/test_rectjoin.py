@@ -106,6 +106,26 @@ def test_duckdb_twin_matches_model_fuzz(raw):
     assert got == model(rects)
 
 
+@pytest.mark.spark
+def test_malformed_rects_dropped_on_both_engines(spark):
+    """min > max rects grid to a REVERSED cell sequence whose set can
+    miss the reference cell — dropped on ingest on BOTH engines so the
+    plans can never diverge."""
+    rects = [
+        (0, 0.0, 0.0, 4.0, 4.0),
+        (1, 9.0, 1.0, 2.0, 3.0),   # xmin > xmax: malformed, dropped
+        (2, 1.0, 1.0, 2.0, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rects, "rect_id long, xmin double, ymin double,"
+               " xmax double, ymax double"
+    )
+    got = {(r["a"], r["b"]) for r in rect_join_pairs(df, 1.0).collect()}
+    assert got == {(0, 2)}
+    duck = set(duckdb.sql(sql_rect_join_pairs(_vals(rects))).fetchall())
+    assert duck == got
+
+
 def test_rejects_bad_cell():
     with pytest.raises(ValueError):
         import pyspark.sql  # noqa: F401 — signature check only
