@@ -3734,6 +3734,118 @@ def _sql_polygon_area() -> str:
     """
 
 
+# Douglas-Peucker fixture: a 4x2 rectangle whose four edge midpoints are
+# displaced INWARD by 0.25 or 0.75 (one bit of t each, all 16 combos
+# exercised). At eps=0.5 the DP outcome is closed-form: the ring anchors
+# at (0,0) and its farthest vertex (4,2) (displacements <= 0.75 keep the
+# corner strictly farthest), each half's first farthest-from-chord pick
+# is the remaining corner ((4,0): dist^2 64/20 = 3.2 > eps^2; (0,2)
+# symmetric), after which every midpoint is tested against ITS OWN edge —
+# so a midpoint survives iff its displacement > eps, i.e. iff its bit is
+# set. Corners always survive. The oracle emits exactly that — no
+# Douglas-Peucker anywhere in the SQL.
+SIMPLIFY_EPS = 0.5
+
+
+def _simplify_ring_sql(i: int) -> str:
+    return f"(0.25D + 0.5D * CAST((t DIV {1 << i}) % 2 AS DOUBLE))"
+
+
+def q_polygon_simplify(spark, sf_dir):
+    """Douglas-Peucker ring simplification (operators/simplify.py): the
+    vertex-budget reducer for survey-precision admin boundaries — every
+    dropped vertex provably within eps of the simplified chain (segment-
+    clamped, cross-multiplied exact survival; pytest pins the guarantee
+    with a 100-example fuzz). ONE mapInArrow stage over the polygon
+    DIRECTORY (never a point corpus); output exploded to per-vertex
+    scalars so the driver compare never sees a nested array. All
+    coordinates are exact binary fractions on both engines."""
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.simplify import simplify_rings
+
+    ts = (
+        _docs(spark, sf_dir, wide=False)
+        .selectExpr("CAST(doc_id % 17 AS INT) AS t").distinct()
+    )
+    d = _simplify_ring_sql
+    ring = (
+        f"array(array(0.0D, 0.0D), array(2.0D, {d(0)}),"
+        f" array(4.0D, 0.0D), array(4.0D - {d(1)}, 1.0D),"
+        f" array(4.0D, 2.0D), array(2.0D, 2.0D - {d(2)}),"
+        f" array(0.0D, 2.0D), array({d(3)}, 1.0D),"
+        f" array(0.0D, 0.0D))"
+    )
+    polys = ts.selectExpr(
+        "CAST(t AS BIGINT) AS pid",
+        f"CASE WHEN t = 16 THEN NULL ELSE array({ring}) END AS rings",
+    )
+    simp = simplify_rings(polys, SIMPLIFY_EPS)
+    return (
+        simp.select(
+            "pid", "n_vertices_in", "n_vertices_out",
+            F.posexplode_outer("rings").alias("ring_ix", "_ring"),
+        )
+        .select(
+            "pid", "n_vertices_in", "n_vertices_out",
+            F.col("ring_ix").cast("long").alias("ring_ix"),
+            F.posexplode_outer("_ring").alias("vertex_ix", "_pt"),
+        )
+        .selectExpr(
+            "pid", "n_vertices_in AS n_in", "n_vertices_out AS n_out",
+            "ring_ix", "CAST(vertex_ix AS BIGINT) AS vertex_ix",
+            "_pt[0] AS x", "_pt[1] AS y",
+        )
+    )
+
+
+def _sql_polygon_simplify() -> str:
+    """Closed-form DP survivors from the displacement-bit rule."""
+    return """
+        WITH ts AS (
+          SELECT DISTINCT CAST(doc_id % 17 AS INT) AS t FROM documents
+        ),
+        bits AS (
+          SELECT t, (t // 1) % 2 AS b0, (t // 2) % 2 AS b1,
+                 (t // 4) % 2 AS b2, (t // 8) % 2 AS b3
+          FROM ts WHERE t < 16
+        ),
+        tmpl(slot) AS (
+          VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8)
+        ),
+        surv AS (
+          SELECT b.t, m.slot, b0 + b1 + b2 + b3 AS nbits,
+            CASE m.slot
+              WHEN 0 THEN 0.0 WHEN 1 THEN 2.0 WHEN 2 THEN 4.0
+              WHEN 3 THEN 4.0 - (0.25 + 0.5 * b1) WHEN 4 THEN 4.0
+              WHEN 5 THEN 2.0 WHEN 6 THEN 0.0
+              WHEN 7 THEN 0.25 + 0.5 * b3 ELSE 0.0 END AS x,
+            CASE m.slot
+              WHEN 0 THEN 0.0 WHEN 1 THEN 0.25 + 0.5 * b0
+              WHEN 2 THEN 0.0 WHEN 3 THEN 1.0 WHEN 4 THEN 2.0
+              WHEN 5 THEN 2.0 - (0.25 + 0.5 * b2) WHEN 6 THEN 2.0
+              WHEN 7 THEN 1.0 ELSE 0.0 END AS y
+          FROM bits b CROSS JOIN tmpl m
+          WHERE m.slot % 2 = 0
+             OR (m.slot = 1 AND b0 = 1) OR (m.slot = 3 AND b1 = 1)
+             OR (m.slot = 5 AND b2 = 1) OR (m.slot = 7 AND b3 = 1)
+        )
+        SELECT CAST(t AS BIGINT) AS pid, CAST(9 AS BIGINT) AS n_in,
+               CAST(5 + nbits AS BIGINT) AS n_out,
+               CAST(0 AS BIGINT) AS ring_ix,
+               CAST(ROW_NUMBER() OVER (PARTITION BY t ORDER BY slot) - 1
+                    AS BIGINT) AS vertex_ix,
+               x, y
+        FROM surv
+        UNION ALL
+        SELECT CAST(t AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE)
+        FROM ts WHERE t = 16
+    """
+
+
 DBSCAN_EPS, DBSCAN_MIN_PTS = 1.5, 5
 # Deterministic cluster geometry whose CLUSTER COUNT grows with the
 # corpus while per-cluster membership stays bounded (8 ids per center),
@@ -4670,6 +4782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectories": q_trajectories,
         "rect_join": q_rect_join,
         "polygon_area": q_polygon_area,
+        "polygon_simplify": q_polygon_simplify,
     }
 
 
@@ -5121,6 +5234,7 @@ def oracle_sql() -> dict[str, str]:
         "trajectories": _sql_trajectories(),
         "rect_join": _sql_rect_join(),
         "polygon_area": _sql_polygon_area(),
+        "polygon_simplify": _sql_polygon_simplify(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
