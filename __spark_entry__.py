@@ -3208,6 +3208,51 @@ def _sql_link_hits() -> str:
         iters=HITS_ITERS)
 
 
+# Triangle fixture graph: one md5-derived edge draw per doc over 200
+# nodes — uniform random multigraph, so density (and with it the
+# triangle count: ~20 at sf0.001, thousands at sf0.01) scales with the
+# corpus while the node directory stays fixed. Self-loops arise
+# naturally (1/200 of draws) and exercise the hygiene path.
+TRI_NODES = 200
+TRI_EDGE_SPARK = (
+    "CAST(conv(substr(md5(concat('tri_{side}_', CAST(doc_id AS STRING))),"
+    f" 1, 15), 16, 10) AS BIGINT) % {TRI_NODES}"
+)
+TRI_EDGE_DUCK = (
+    "(('0x' || substr(md5('tri_{side}_' || CAST(doc_id AS VARCHAR)),"
+    f" 1, 15))::BIGINT) % {TRI_NODES}"
+)
+
+
+def q_link_triangles(spark, sf_dir):
+    """Per-node triangle counting (operators/triangles.py) — the local
+    clustering signal under community pre-filters and link-spam
+    heuristics, on the same kind of host graph linkgraph.py ranks. The
+    plan is the Suri-Vassilvitskii degree-ordered orientation: every
+    edge points from its (degree, id)-lower endpoint, so wedge
+    generation fans out from low-degree ends only and a mega-hub never
+    owns a d² reducer (the WWW'11 "curse of the last reducer" fix).
+    The DuckDB oracle is an INDEPENDENT algorithm — brute-force ordered
+    triple join, no orientation — so the trick itself is gated."""
+    from core_spark.operators.triangles import triangle_counts
+
+    edges = _docs(spark, sf_dir, wide=False).selectExpr(
+        TRI_EDGE_SPARK.format(side="a") + " AS src",
+        TRI_EDGE_SPARK.format(side="b") + " AS dst",
+    )
+    return triangle_counts(edges)
+
+
+def _sql_link_triangles() -> str:
+    from core_spark.operators.triangles import sql_triangle_counts
+
+    a = TRI_EDGE_DUCK.format(side="a")
+    b = TRI_EDGE_DUCK.format(side="b")
+    return sql_triangle_counts(
+        f"SELECT {a} AS src, {b} AS dst FROM documents"
+    )
+
+
 FRONTIER_WORKERS, FRONTIER_DELAY = 8, 5
 
 
@@ -4783,6 +4828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_join": q_rect_join,
         "polygon_area": q_polygon_area,
         "polygon_simplify": q_polygon_simplify,
+        "link_triangles": q_link_triangles,
     }
 
 
@@ -5235,6 +5281,7 @@ def oracle_sql() -> dict[str, str]:
         "rect_join": _sql_rect_join(),
         "polygon_area": _sql_polygon_area(),
         "polygon_simplify": _sql_polygon_simplify(),
+        "link_triangles": _sql_link_triangles(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
