@@ -3253,6 +3253,66 @@ def _sql_link_triangles() -> str:
     )
 
 
+# Fuzzy-title fixture: ~4-doc title classes whose COUNT scales with the
+# corpus (class = doc_id % 150 crossed with doc_id DIV 600, so pair
+# volume stays linear in |docs|); within a class, arm 2 deletes and
+# arm 4 substitutes one character of the shared base title — planted
+# edit-distance-1 pairs, with delete-vs-substitute siblings sitting at
+# distance 2 as built-in near-misses. ASCII only (Spark levenshtein
+# counts codepoints, DuckDB counts bytes — pinned in the pytest).
+# The %4=1 subset bounds the oracle's brute-force pair count.
+def _fuzzy_title_exprs(dialect: str) -> tuple[str, str]:
+    """(base_expr over doc_id, title_expr over column b) — shared rule."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    div = "DIV" if dialect == "spark" else "//"
+    base = (
+        f"concat('crawl report ', CAST(doc_id % 150 AS {cast}),"
+        f" ' batch ', CAST((doc_id {div} 600) AS {cast}))"
+    )
+    pos = "(7 + doc_id % 6)"
+    title = f"""CASE
+          WHEN doc_id % 5 = 2 THEN concat(
+            substr(b, 1, {pos} - 1), substr(b, {pos} + 1, length(b)))
+          WHEN doc_id % 5 = 4 THEN concat(
+            substr(b, 1, {pos} - 1), 'x', substr(b, {pos} + 1, length(b)))
+          ELSE b END"""
+    return base, title
+
+
+def q_fuzzy_titles(spark, sf_dir):
+    """Edit-distance self-join (operators/fuzzyjoin.py): typo-level
+    near-duplicate titles that every token-level dedup misses (one
+    deleted character changes the whole token). FastSS deletion-
+    neighborhood blocking — ed(u,v) <= d guarantees a shared <=d-
+    deletion variant, so the variant equi-join is a COMPLETE candidate
+    generator — then one exact levenshtein verify. Pure JVM end to end
+    (higher-order transform builds the variants, built-in levenshtein
+    verifies). The DuckDB oracle is the INDEPENDENT brute-force
+    all-pairs plan, so the completeness claim itself is gated."""
+    from core_spark.operators.fuzzyjoin import fuzzy_pairs
+
+    base, title = _fuzzy_title_exprs("spark")
+    titles = (
+        _docs(spark, sf_dir, wide=False)
+        .where("doc_id % 4 = 1")
+        .selectExpr("doc_id", "doc_id AS id", f"{base} AS b")
+        .selectExpr("id", f"{title} AS s")
+    )
+    return fuzzy_pairs(titles, "id", "s", max_dist=1)
+
+
+def _sql_fuzzy_titles() -> str:
+    from core_spark.operators.fuzzyjoin import sql_fuzzy_pairs
+
+    base, title = _fuzzy_title_exprs("duckdb")
+    return sql_fuzzy_pairs(
+        f"""SELECT id, {title} AS s FROM (
+              SELECT doc_id, doc_id AS id, {base} AS b FROM documents
+              WHERE doc_id % 4 = 1) src""",
+        1,
+    )
+
+
 FRONTIER_WORKERS, FRONTIER_DELAY = 8, 5
 
 
@@ -4829,6 +4889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_area": q_polygon_area,
         "polygon_simplify": q_polygon_simplify,
         "link_triangles": q_link_triangles,
+        "fuzzy_titles": q_fuzzy_titles,
     }
 
 
@@ -5282,6 +5343,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_area": _sql_polygon_area(),
         "polygon_simplify": _sql_polygon_simplify(),
         "link_triangles": _sql_link_triangles(),
+        "fuzzy_titles": _sql_fuzzy_titles(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
