@@ -3313,6 +3313,52 @@ def _sql_fuzzy_titles() -> str:
     )
 
 
+# PSL fixture hosts: 12 arms covering every rule class of the embedded
+# snapshot — exact multi-label (co.uk), private registry (github.io,
+# blogspot.com), wildcard (*.ck, *.compute.amazonaws.com), exception
+# (!www.ck, !city.kawasaki.jp), implicit default (deep .org), bare TLD,
+# case + trailing-dot normalization, and an invalid-host arm (NULL out).
+def _psl_host_expr(dialect: str) -> str:
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    m = f"CAST(doc_id % 97 AS {cast})"
+    return f"""CASE doc_id % 12
+      WHEN 0 THEN concat('example', {m}, '.com')
+      WHEN 1 THEN concat('a', {m}, '.sub.example', {m}, '.co.uk')
+      WHEN 2 THEN concat('user', {m}, '.github.io')
+      WHEN 3 THEN 'www.ck'
+      WHEN 4 THEN concat('x', {m}, '.shop.ck')
+      WHEN 5 THEN concat('x', {m}, '.city.kawasaki.jp')
+      WHEN 6 THEN concat('vm.node', {m}, '.compute.amazonaws.com')
+      WHEN 7 THEN 'com'
+      WHEN 8 THEN concat('Data', {m}, '.S3.AmazonAWS.COM.')
+      WHEN 9 THEN 'bad..host'
+      WHEN 10 THEN concat('me', {m}, '.blogspot.com')
+      ELSE concat('deep.a', {m}, '.b.example', {m}, '.org') END"""
+
+
+def q_domain_extract(spark, sf_dir):
+    """Registrable-domain (eTLD+1) extraction (operators/psl.py): the
+    publicsuffix.org algorithm over an embedded snapshot subset,
+    compiled to ONE shuffle-free codegen'd projection (per-label-count
+    IN-lists over stepwise suffix columns — no join, no broadcast, no
+    Python). Wildcards, exceptions and private registries all covered;
+    both engines run byte-identical step SQL, so the oracle gates the
+    compiled expression itself."""
+    from core_spark.operators.psl import registrable_domain
+
+    hosts = _docs(spark, sf_dir, wide=False).selectExpr(
+        "doc_id", f"{_psl_host_expr('spark')} AS host")
+    return registrable_domain(hosts, "host")
+
+
+def _sql_domain_extract() -> str:
+    from core_spark.operators.psl import sql_registrable
+
+    src = (f"(SELECT doc_id, {_psl_host_expr('duckdb')} AS host"
+           f" FROM documents) src")
+    return sql_registrable(src, "host", "duckdb")
+
+
 FRONTIER_WORKERS, FRONTIER_DELAY = 8, 5
 
 
@@ -4890,6 +4936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_simplify": q_polygon_simplify,
         "link_triangles": q_link_triangles,
         "fuzzy_titles": q_fuzzy_titles,
+        "domain_extract": q_domain_extract,
     }
 
 
@@ -5344,6 +5391,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_simplify": _sql_polygon_simplify(),
         "link_triangles": _sql_link_triangles(),
         "fuzzy_titles": _sql_fuzzy_titles(),
+        "domain_extract": _sql_domain_extract(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
