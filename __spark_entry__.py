@@ -3359,6 +3359,43 @@ def _sql_domain_extract() -> str:
     return sql_registrable(src, "host", "duckdb")
 
 
+# KDE fixture: a pseudo-scatter on an integer lattice (every coordinate
+# and cell center is integer-valued at g=8, so all kernel arithmetic is
+# EXACT on both engines), coprime moduli so density varies per cell.
+_KDE_LAT = "CAST((doc_id % 211) * 3 AS DOUBLE)"
+_KDE_LON = "CAST((doc_id % 197) * 3 AS DOUBLE)"
+_KDE_VAL = "CAST(doc_id % 17 AS INT)"
+_KDE_G, _KDE_R = 8.0, 16.0
+
+
+def q_kde_heatmap(spark, sf_dir):
+    """Focal kernel smoothing (operators/kde.py): KDE heatmap + kernel-
+    regression value surface per raster cell — Epanechnikov kernel
+    (compact support = blockable; no transcendentals = oracle-safe),
+    weights quantized to BIGINT so group sums are partition-order-
+    independent. Epsilon-grid ×9 replication + ONE equi shuffle, never
+    a cartesian; the DuckDB oracle is the INDEPENDENT brute-force
+    every-cell-vs-every-point plan, so the blocking's completeness is
+    what the gate checks."""
+    from core_spark.operators.kde import kernel_heatmap
+
+    pts = _docs(spark, sf_dir, wide=False).selectExpr(
+        "doc_id",
+        f"{_KDE_LAT} AS lat",
+        f"{_KDE_LON} AS lon",
+        f"{_KDE_VAL} AS value",
+    )
+    return kernel_heatmap(pts, _KDE_G, _KDE_R)
+
+
+def _sql_kde_heatmap() -> str:
+    from core_spark.operators.kde import sql_kernel_heatmap
+
+    src = (f"SELECT doc_id, {_KDE_LAT} AS lat, {_KDE_LON} AS lon,"
+           f" {_KDE_VAL} AS value FROM documents")
+    return sql_kernel_heatmap(src, _KDE_G, _KDE_R)
+
+
 FRONTIER_WORKERS, FRONTIER_DELAY = 8, 5
 
 
@@ -4937,6 +4974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_triangles": q_link_triangles,
         "fuzzy_titles": q_fuzzy_titles,
         "domain_extract": q_domain_extract,
+        "kde_heatmap": q_kde_heatmap,
     }
 
 
@@ -5392,6 +5430,7 @@ def oracle_sql() -> dict[str, str]:
         "link_triangles": _sql_link_triangles(),
         "fuzzy_titles": _sql_fuzzy_titles(),
         "domain_extract": _sql_domain_extract(),
+        "kde_heatmap": _sql_kde_heatmap(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
