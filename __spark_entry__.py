@@ -3396,6 +3396,45 @@ def _sql_kde_heatmap() -> str:
     return sql_kernel_heatmap(src, _KDE_G, _KDE_R)
 
 
+BFS_SEEDS_SPARK = "doc_id % 97"  # seed hosts: host % 13 = 0
+BFS_HOPS = 4
+
+
+def q_link_bfs(spark, sf_dir):
+    """Multi-source BFS crawl-depth labeling (operators/bfs.py): every
+    host's minimum link-hop distance from the seed set over the same
+    derived host graph linkgraph.py ranks — the crawl-frontier priority
+    / blocklist-expansion primitive. Bulk-synchronous frontier rounds
+    (one uniform-key shuffle each, dist + frontier pinned per round via
+    pin(loop=True), early exit on empty frontier, static max_hops stage
+    graph). The DuckDB oracle is an INDEPENDENT plan — recursive-CTE
+    enumeration of all (node, hops) pairs within the bound, MIN per
+    node — so the incremental anti-join frontier logic itself is
+    gated."""
+    from core_spark.operators.bfs import bfs_hops
+
+    docs = _docs(spark, sf_dir, wide=False)
+    edges = lg.derive_host_edges(docs, n_hosts=97, k_out=4)
+    seeds = (
+        docs.selectExpr(f"{BFS_SEEDS_SPARK} AS node").distinct()
+        .where("node % 13 = 0")
+    )
+    return bfs_hops(edges, seeds, max_hops=BFS_HOPS)
+
+
+def _sql_link_bfs() -> str:
+    from core_spark.operators.bfs import sql_bfs_hops
+
+    return sql_bfs_hops(
+        lg.sql_derived_host_edges(
+            "SELECT doc_id FROM documents", n_hosts=97, k_out=4
+        ),
+        "SELECT DISTINCT (doc_id % 97) AS node FROM documents"
+        " WHERE (doc_id % 97) % 13 = 0",
+        BFS_HOPS,
+    )
+
+
 FRONTIER_WORKERS, FRONTIER_DELAY = 8, 5
 
 
@@ -4975,6 +5014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_titles": q_fuzzy_titles,
         "domain_extract": q_domain_extract,
         "kde_heatmap": q_kde_heatmap,
+        "link_bfs": q_link_bfs,
     }
 
 
@@ -5431,6 +5471,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_titles": _sql_fuzzy_titles(),
         "domain_extract": _sql_domain_extract(),
         "kde_heatmap": _sql_kde_heatmap(),
+        "link_bfs": _sql_link_bfs(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
