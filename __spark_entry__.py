@@ -3435,6 +3435,40 @@ def _sql_link_bfs() -> str:
     )
 
 
+# Hull fixture: a bounded integer scatter — BOTH coordinates derive from
+# ONE residue (r = doc_id % 61), so the distinct point set is <= 61 at
+# EVERY SF (the O(n^4) Caratheodory oracle stays SF-invariant) while the
+# Spark side still crunches the full corpus through distinct + phase 1.
+_HULL_X = "(doc_id % 61) * (doc_id % 61) % 61"
+_HULL_Y = "((doc_id % 61) * (doc_id % 61) * (doc_id % 61)"\
+    " + 3 * (doc_id % 61)) % 61"
+
+
+def q_convex_hull(spark, sf_dir):
+    """Distributed convex hull (operators/hull.py): corpus footprint
+    extraction via two-phase monotone chain — hash-agg DISTINCT, ONE
+    mapInArrow local-hull reduction per batch (exact Python-int cross
+    products), repartition(1) + final chain. The CCW ``pos`` order is
+    pytest-gated (test_hull.py); the oracled projection is the vertex
+    SET. The DuckDB oracle is an INDEPENDENT algorithm — Caratheodory
+    membership (segment + non-degenerate-triangle NOT EXISTS over the
+    deduped set), so the chain's geometry is what the gate checks."""
+    from core_spark.operators.hull import convex_hull
+
+    pts = _docs(spark, sf_dir, wide=False).selectExpr(
+        f"{_HULL_X} AS x", f"{_HULL_Y} AS y"
+    )
+    return convex_hull(pts).select("x", "y")
+
+
+def _sql_convex_hull() -> str:
+    from core_spark.operators.hull import sql_convex_hull
+
+    return sql_convex_hull(
+        f"SELECT {_HULL_X} AS x, {_HULL_Y} AS y FROM documents"
+    )
+
+
 FRONTIER_WORKERS, FRONTIER_DELAY = 8, 5
 
 
@@ -5015,6 +5049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_extract": q_domain_extract,
         "kde_heatmap": q_kde_heatmap,
         "link_bfs": q_link_bfs,
+        "convex_hull": q_convex_hull,
     }
 
 
@@ -5472,6 +5507,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_extract": _sql_domain_extract(),
         "kde_heatmap": _sql_kde_heatmap(),
         "link_bfs": _sql_link_bfs(),
+        "convex_hull": _sql_convex_hull(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
