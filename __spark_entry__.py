@@ -3469,6 +3469,30 @@ def _sql_convex_hull() -> str:
     )
 
 
+_MORAN_CELL = 15.0  # coarse grid: occupied cells bounded (~288) at every SF
+
+
+def q_moran_i(spark, sf_dir):
+    """Global spatial autocorrelation (operators/moran.py): Moran's I
+    with rook adjacency over the raster doc-density grid — the
+    is-this-surface-clustered statistic. Integer-exact by clearing
+    denominators (d_i = n*x_i - S BIGINT deviations; double sums would
+    be partition-order-dependent); adjacency is a map-side ×4
+    neighbor-KEY explode + ONE uniform equi shuffle, never a theta
+    join. The DuckDB oracle is the INDEPENDENT brute-force O(c²)
+    non-equi pair join with scalar-subquery totals."""
+    from core_spark.operators.moran import cell_counts, morans_i
+
+    pts = _points(spark, sf_dir, wide=False)
+    return morans_i(cell_counts(pts, _MORAN_CELL))
+
+
+def _sql_moran_i() -> str:
+    from core_spark.operators.moran import sql_morans_i
+
+    return sql_morans_i(_POINTS_SQL, _MORAN_CELL)
+
+
 FRONTIER_WORKERS, FRONTIER_DELAY = 8, 5
 
 
@@ -5050,6 +5074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kde_heatmap": q_kde_heatmap,
         "link_bfs": q_link_bfs,
         "convex_hull": q_convex_hull,
+        "moran_i": q_moran_i,
     }
 
 
@@ -5508,6 +5533,7 @@ def oracle_sql() -> dict[str, str]:
         "kde_heatmap": _sql_kde_heatmap(),
         "link_bfs": _sql_link_bfs(),
         "convex_hull": _sql_convex_hull(),
+        "moran_i": _sql_moran_i(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",

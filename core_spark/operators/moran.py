@@ -1,0 +1,179 @@
+"""Moran's I: global spatial autocorrelation over the raster grid.
+
+"Is this variable CLUSTERED in space, or noise?" is the first question
+a spatial analyst asks of any per-cell surface — document density,
+language share, quality score. Moran's I is the standard answer
+(Moran 1950; the opening statistic of every spatial-stats package):
+
+    I = (n / W) * sum_{ij} w_ij (x_i - mean)(x_j - mean)
+              / sum_i (x_i - mean)^2
+
+with w_ij the rook-adjacency weight (1 when cells i, j share an edge)
+and W the total weight. I > 0 means likes cluster near likes (dense
+cells border dense cells), I < 0 means checkerboard repulsion, I near
+-1/(n-1) means spatial randomness.
+
+Exactness is the design problem: the textbook form is mean-centered
+doubles, and double group-sums are partition-order-dependent — the one
+nondeterminism a Spark hash-agg cannot hide (same reason kde.py
+quantizes its kernel weights). The fix is to clear denominators: with
+S = sum(x) and integer x, the scaled deviation d_i = n*x_i - S is a
+BIGINT, and
+
+    num = sum_{adjacent i,j} d_i * d_j        (= n^2-scaled numerator)
+    den = sum_i d_i^2                         (= n^2-scaled denominator)
+
+are exact integer aggregates whose n^2 factors cancel in num/den. The
+reported double is computed as (num/den) * (n/W) — two int64->double
+conversions and IEEE arithmetic, bit-identical on both engines (the
+repo's portability rule: +,-,*,/ on doubles cross engines, trig does
+not). Overflow contract: n * max(x) and the pair products must fit
+int64 — callers keep grids coarse enough (the fixture's worst term is
+~2^50); a production run over finer grids pre-scales x down.
+
+Plan shape (one pass, two shuffles):
+
+1. cells: points -> (cx, cy, x = count) — one hash-agg on uniform
+   integer cell keys (FLOOR-before-BIGINT-cast, the NaN-guarded
+   hexgrid pattern);
+2. totals (n, S): a 1-row aggregate broadcast back onto cells (the
+   join is a BroadcastNestedLoopJoin over one row — free);
+3. adjacency: each cell explodes its 4 rook neighbor KEYS map-side and
+   equi-joins back against the cells table — one uniform-key shuffle,
+   never a theta-join (the |dx|+|dy|=1 predicate becomes an equi-join
+   on the shifted key, which is what scales: a non-equi adjacency join
+   over 10^8 occupied cells is a cartesian; this is a map-side x4
+   replication). The cells table feeds both join sides -> pinned once
+   (the CLAUDE.md self-join rule);
+4. final 1-row combine of num/W with den/n/S.
+
+Ordered pairs are counted both ways ((i,j) and (j,i)) exactly as the
+double sum in the definition requires; W counts them the same way.
+
+The DuckDB oracle is an INDEPENDENT plan: the brute-force O(c^2)
+non-equi pair join (abs(dcx)+abs(dcy)=1 over the full cell cross
+product) with scalar subquery totals — no neighbor-key explode, no
+broadcast — honest at fixture scale because the lattice fixture bounds
+occupied cells, and structurally unrelated to the shifted-key join it
+gates.
+
+No reference counterpart (specvital/core has no spatial-stats
+subsystem); the statistic is the published Moran 1950 formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from core_spark.plans.materialize import pin
+
+_OFFSETS = ((1, 0), (-1, 0), (0, 1), (0, -1))
+
+
+def cell_counts(
+    df: DataFrame, cell: float, lat: str = "lat", lon: str = "lon"
+) -> DataFrame:
+    """Occupied raster cells (cx, cy, x = point count) at cell size
+    ``cell`` degrees. NULL/NaN coordinates dropped (ANSI-safe)."""
+    g = float(cell)
+    if g <= 0:
+        raise ValueError(f"cell_counts: cell must be > 0, got {cell}")
+    return (
+        df.where(
+            f"{lat} IS NOT NULL AND {lon} IS NOT NULL"
+            f" AND NOT isnan({lat}) AND NOT isnan({lon})"
+        )
+        .selectExpr(
+            f"CAST(FLOOR({lon} / {g!r}) AS BIGINT) AS cx",
+            f"CAST(FLOOR({lat} / {g!r}) AS BIGINT) AS cy",
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+
+
+def morans_i(cells: DataFrame) -> DataFrame:
+    """Global Moran's I with rook adjacency over (cx, cy, x BIGINT).
+
+    One row: n_cells, w_edges (ordered adjacent pairs), num, den
+    (n^2-scaled integer numerator/denominator), moran_i (NULL when the
+    statistic is undefined: no adjacent pairs, or a constant surface).
+    """
+    base = pin(cells.selectExpr(
+        "CAST(cx AS BIGINT) AS cx", "CAST(cy AS BIGINT) AS cy",
+        "CAST(x AS BIGINT) AS x",
+    ))
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    dev = base.crossJoin(F.broadcast(totals)).selectExpr(
+        "cx", "cy", "n * x - s AS d"
+    )
+    shifts = ", ".join(f"struct({dx}L AS dx, {dy}L AS dy)"
+                       for dx, dy in _OFFSETS)
+    probes = dev.selectExpr(
+        "d AS d_i",
+        f"explode(array({shifts})) AS o",
+        "cx + o.dx AS nx", "cy + o.dy AS ny",
+    )
+    pairs = probes.join(
+        dev.selectExpr("cx AS nx", "cy AS ny", "d AS d_j"), ["nx", "ny"]
+    )
+    edge_stats = pairs.agg(
+        F.count(F.lit(1)).alias("w_edges"),
+        F.sum(F.expr("d_i * d_j")).alias("num"),
+    )
+    node_stats = dev.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.expr("d * d")).alias("den"),
+    )
+    return node_stats.crossJoin(edge_stats).selectExpr(
+        "n_cells", "coalesce(w_edges, 0L) AS w_edges",
+        "coalesce(num, 0L) AS num", "den",
+        "CASE WHEN w_edges > 0 AND den > 0 THEN"
+        " (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+        " * (CAST(n_cells AS DOUBLE) / CAST(w_edges AS DOUBLE))"
+        " ELSE CAST(NULL AS DOUBLE) END AS moran_i",
+    )
+
+
+def sql_morans_i(src: str, cell: float,
+                 lat: str = "lat", lon: str = "lon") -> str:
+    """DuckDB twin: brute-force O(c^2) non-equi adjacency pair join —
+    an independent plan (no neighbor-key explode, no broadcast)."""
+    g = float(cell)
+    return f"""
+WITH cells AS (
+  SELECT CAST(FLOOR({lon} / {g!r}) AS BIGINT) AS cx,
+         CAST(FLOOR({lat} / {g!r}) AS BIGINT) AS cy,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM ({src})
+  WHERE {lat} IS NOT NULL AND {lon} IS NOT NULL
+    AND NOT isnan({lat}) AND NOT isnan({lon})
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s FROM cells),
+-- DuckDB SUM(BIGINT) widens to HUGEINT; every sum is cast back so the
+-- emitted schema matches Spark's int64 (the driver compares dtypes)
+dev AS (SELECT cx, cy,
+               CAST((SELECT n FROM tot) * x - (SELECT s FROM tot)
+                    AS BIGINT) AS d
+        FROM cells),
+pairs AS (
+  SELECT a.d AS d_i, b.d AS d_j
+  FROM dev a, dev b
+  WHERE abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1
+),
+edge AS (SELECT CAST(COUNT(*) AS BIGINT) AS w_edges,
+                CAST(COALESCE(SUM(d_i * d_j), 0) AS BIGINT) AS num
+         FROM pairs),
+node AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                CAST(SUM(d * d) AS BIGINT) AS den FROM dev)
+SELECT n_cells, w_edges, num, den,
+       CASE WHEN w_edges > 0 AND den > 0 THEN
+         (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+         * (CAST(n_cells AS DOUBLE) / CAST(w_edges AS DOUBLE))
+       ELSE CAST(NULL AS DOUBLE) END AS moran_i
+FROM node, edge
+"""

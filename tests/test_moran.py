@@ -1,0 +1,109 @@
+"""Moran's I: closed-form lattices, sign behavior, degenerate surfaces,
+hygiene, model parity, and the DuckDB twin."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from core_spark.operators.moran import cell_counts, morans_i, sql_morans_i
+
+
+def _run(spark, cells):
+    df = spark.createDataFrame(cells, "cx long, cy long, x long")
+    return morans_i(df).collect()[0]
+
+
+def _model(cells):
+    """Brute-force Python model straight from the definition."""
+    n = len(cells)
+    s = sum(x for _, _, x in cells)
+    dev = {(cx, cy): n * x - s for cx, cy, x in cells}
+    pairs = [
+        (di, dj)
+        for (ci, di) in dev.items()
+        for (cj, dj) in dev.items()
+        if abs(ci[0] - cj[0]) + abs(ci[1] - cj[1]) == 1
+    ]
+    w = len(pairs)
+    num = sum(di * dj for di, dj in pairs)
+    den = sum(d * d for d in dev.values())
+    moran = (num / den) * (n / w) if w > 0 and den > 0 else None
+    return n, w, num, den, moran
+
+
+def test_checkerboard_is_negative(spark):
+    # 4x4 alternating 0/10: perfect repulsion -> I = -1
+    cells = [(cx, cy, 10 * ((cx + cy) % 2)) for cx in range(4)
+             for cy in range(4)]
+    r = _run(spark, cells)
+    n, w, num, den, moran = _model(cells)
+    assert (r["n_cells"], r["w_edges"], r["num"], r["den"]) == (n, w, num, den)
+    assert r["moran_i"] == pytest.approx(-1.0)
+
+
+def test_two_blocks_is_positive(spark):
+    # left half high, right half low: likes border likes -> I > 0
+    cells = [(cx, cy, 100 if cx < 2 else 1) for cx in range(4)
+             for cy in range(4)]
+    r = _run(spark, cells)
+    _, _, num, den, moran = _model(cells)
+    assert (r["num"], r["den"]) == (num, den)
+    assert r["moran_i"] == pytest.approx(moran) and r["moran_i"] > 0
+
+
+def test_constant_surface_is_null(spark):
+    cells = [(cx, 0, 7) for cx in range(5)]
+    r = _run(spark, cells)
+    assert r["den"] == 0 and r["moran_i"] is None
+
+
+def test_no_adjacency_is_null(spark):
+    cells = [(0, 0, 1), (5, 5, 2), (9, 0, 3)]
+    r = _run(spark, cells)
+    assert r["w_edges"] == 0 and r["num"] == 0 and r["moran_i"] is None
+
+
+def test_ordered_pairs_counted_both_ways(spark):
+    r = _run(spark, [(0, 0, 1), (1, 0, 2)])
+    assert r["w_edges"] == 2  # (i,j) and (j,i), as the double sum demands
+
+
+def test_cell_counts_hygiene(spark):
+    pts = spark.createDataFrame(
+        [(1.0, 2.0), (1.2, 2.2), (None, 1.0), (float("nan"), 1.0),
+         (-3.7, -0.1)],
+        "lat double, lon double",
+    )
+    rows = sorted(
+        (r["cx"], r["cy"], r["x"])
+        for r in cell_counts(pts, 1.0).collect()
+    )
+    assert rows == [(-1, -4, 1), (2, 1, 2)]
+    with pytest.raises(ValueError):
+        cell_counts(pts, 0.0)
+
+
+def test_random_lattice_matches_model_and_duckdb(spark):
+    cells = [(cx, cy, (cx * 7 + cy * 13) % 23 + ((cx * cy) % 5) * 11)
+             for cx in range(6) for cy in range(5) if (cx + 2 * cy) % 7 != 0]
+    r = _run(spark, cells)
+    n, w, num, den, moran = _model(cells)
+    assert (r["n_cells"], r["w_edges"], r["num"], r["den"]) == (n, w, num, den)
+    assert r["moran_i"] == pytest.approx(moran)
+
+    # twin parity on raw points through the full cell derivation
+    pts = [(float(cy) + 0.5, float(cx) + 0.5, 1)
+           for cx, cy, x in cells for _ in range(x)]
+    pdf = spark.createDataFrame(
+        [(a, b) for a, b, _ in pts], "lat double, lon double")
+    got = morans_i(cell_counts(pdf, 1.0)).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE src AS SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b, _ in pts) + ") t(lat, lon)"
+    )
+    exp = con.execute(sql_morans_i("SELECT lat, lon FROM src", 1.0)).fetchone()
+    assert (got["n_cells"], got["w_edges"], got["num"], got["den"]) == (
+        exp[0], exp[1], exp[2], exp[3])
+    assert got["moran_i"] == exp[4]  # bit-identical IEEE chain
