@@ -3493,6 +3493,49 @@ def _sql_moran_i() -> str:
     return sql_morans_i(_POINTS_SQL, _MORAN_CELL)
 
 
+# Segment-join fixtures: two bounded directories (roads / borders) from
+# single residues, so the O(n*m) twin stays SF-invariant while Spark
+# dedups the full corpus into them.
+_SEG_LEFT = ("SELECT DISTINCT (doc_id % 60) AS seg_id,"
+             " (doc_id % 60) % 17 AS x1, (doc_id % 60) % 19 AS y1,"
+             " (doc_id % 60) % 17 + (doc_id % 60) % 7 - 3 AS x2,"
+             " (doc_id % 60) % 19 + (doc_id % 60) % 5 - 2 AS y2")
+_SEG_RIGHT = ("SELECT DISTINCT (doc_id % 53) AS seg_id,"
+              " (doc_id % 53) % 13 AS x1, (doc_id % 53) % 11 AS y1,"
+              " (doc_id % 53) % 13 + (doc_id % 53) % 9 - 4 AS x2,"
+              " (doc_id % 53) % 11 + 3 - (doc_id % 53) % 6 AS y2")
+
+
+def q_segment_join(spark, sf_dir):
+    """Line-overlay join (operators/segjoin.py): which roads cross which
+    borders — PBSM envelope blocking (map-side grid replication, ONE
+    uniform equi shuffle, reference-point single emission) + the exact
+    CLRS orientation battery as stepwise codegen'd BIGINT columns.
+    Closed semantics (touching counts). The DuckDB oracle is the honest
+    O(n*m) cross join with the same predicate and NO grid — the
+    independent plan that gates the blocking's completeness."""
+    from core_spark.operators.segjoin import segment_join
+
+    docs = _docs(spark, sf_dir, wide=False)
+    left = docs.selectExpr(*_seg_exprs(_SEG_LEFT)).distinct()
+    right = docs.selectExpr(*_seg_exprs(_SEG_RIGHT)).distinct()
+    return segment_join(left, right, cell=4.0)
+
+
+def _seg_exprs(sql_select: str) -> list:
+    """The SELECT list of a fixture emitter, as selectExpr arguments."""
+    body = sql_select.split("SELECT DISTINCT ", 1)[1]
+    return [e.strip() for e in body.split(",")]
+
+
+def _sql_segment_join() -> str:
+    from core_spark.operators.segjoin import sql_segment_join
+
+    return sql_segment_join(
+        f"{_SEG_LEFT} FROM documents", f"{_SEG_RIGHT} FROM documents"
+    )
+
+
 FRONTIER_WORKERS, FRONTIER_DELAY = 8, 5
 
 
@@ -5075,6 +5118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_bfs": q_link_bfs,
         "convex_hull": q_convex_hull,
         "moran_i": q_moran_i,
+        "segment_join": q_segment_join,
     }
 
 
@@ -5534,6 +5578,7 @@ def oracle_sql() -> dict[str, str]:
         "link_bfs": _sql_link_bfs(),
         "convex_hull": _sql_convex_hull(),
         "moran_i": _sql_moran_i(),
+        "segment_join": _sql_segment_join(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
