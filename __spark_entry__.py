@@ -3493,6 +3493,26 @@ def _sql_moran_i() -> str:
     return sql_morans_i(_POINTS_SQL, _MORAN_CELL)
 
 
+def q_hotspots_gi(spark, sf_dir):
+    """Local hot-spot detection (operators/moran.py::getis_ord_gi):
+    Getis-Ord Gi* z-scores per raster cell — Moran's I's LOCAL
+    companion (where ARE the clusters?). Queen+self neighborhood via
+    the same shifted-key ×9 explode + ONE equi shuffle; every shuffled
+    aggregate integer; the z chain is int64→double, one mul/div chain
+    + IEEE sqrt (correctly rounded on both engines) — bit-identical.
+    Oracle: INDEPENDENT brute-force O(c²) non-equi neighborhood join."""
+    from core_spark.operators.moran import cell_counts, getis_ord_gi
+
+    pts = _points(spark, sf_dir, wide=False)
+    return getis_ord_gi(cell_counts(pts, _MORAN_CELL))
+
+
+def _sql_hotspots_gi() -> str:
+    from core_spark.operators.moran import sql_getis_ord_gi
+
+    return sql_getis_ord_gi(_POINTS_SQL, _MORAN_CELL)
+
+
 # Segment-join fixtures: two bounded directories (roads / borders) from
 # single residues, so the O(n*m) twin stays SF-invariant while Spark
 # dedups the full corpus into them.
@@ -5119,6 +5139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": q_convex_hull,
         "moran_i": q_moran_i,
         "segment_join": q_segment_join,
+        "hotspots_gi": q_hotspots_gi,
     }
 
 
@@ -5579,6 +5600,7 @@ def oracle_sql() -> dict[str, str]:
         "convex_hull": _sql_convex_hull(),
         "moran_i": _sql_moran_i(),
         "segment_join": _sql_segment_join(),
+        "hotspots_gi": _sql_hotspots_gi(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",

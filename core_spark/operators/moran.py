@@ -177,3 +177,113 @@ SELECT n_cells, w_edges, num, den,
        ELSE CAST(NULL AS DOUBLE) END AS moran_i
 FROM node, edge
 """
+
+
+_QUEEN = tuple((dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+
+
+def getis_ord_gi(cells: DataFrame) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-scores over (cx, cy, x BIGINT).
+
+    Moran's I answers "is the surface clustered?" globally; Gi* is the
+    LOCAL companion — per cell, how extreme is the neighborhood sum
+    (queen adjacency + self, binary weights) against the global mean?
+    |z| > 1.96 is the standard hot/cold-spot read (Getis & Ord 1992).
+
+    Same exactness recipe as morans_i: every aggregate that crosses a
+    shuffle is an integer. With S = sum(x), Q = sum(x^2), n = cells,
+    k_i = neighborhood size, G_i = neighborhood sum:
+
+        num_i = n * G_i - k_i * S                    (BIGINT)
+        z_i   = num_i / sqrt(A * B_i / (n - 1))      (one IEEE chain)
+
+    where A = n*Q - S^2 and B_i = k_i * (n - k_i). sqrt is IEEE
+    correctly-rounded on BOTH engines (JVM Math.sqrt and libm) — the
+    one transcendental-adjacent function the portability rules allow,
+    same reliance as trajectory path lengths. z_i is NULL when
+    undefined (constant surface A = 0, or B_i = 0 on a grid so small
+    the neighborhood is everything).
+
+    Output: cx, cy, x, nbr_sum (G_i), nbr_cnt (k_i), gi_z.
+
+    Plan: the morans_i shifted-key shape with nine offsets (queen +
+    self) — map-side x9 key explode, ONE uniform equi shuffle, one
+    hash-agg back to cells, broadcast 1-row totals. The DuckDB twin is
+    the INDEPENDENT brute-force O(c^2) non-equi neighborhood join.
+    Overflow contract: n * max(G) and A fit int64 (same as morans_i).
+    """
+    base = pin(cells.selectExpr(
+        "CAST(cx AS BIGINT) AS cx", "CAST(cy AS BIGINT) AS cy",
+        "CAST(x AS BIGINT) AS x",
+    ))
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.expr("x * x")).alias("q"),
+    )
+    shifts = ", ".join(f"struct({dx}L AS dx, {dy}L AS dy)"
+                       for dx, dy in _QUEEN)
+    probes = base.selectExpr(
+        "x AS x_j",
+        f"explode(array({shifts})) AS o",
+        "cx + o.dx AS nx", "cy + o.dy AS ny",
+    )
+    hood = (
+        probes.join(base.selectExpr("cx AS nx", "cy AS ny"), ["nx", "ny"])
+        .groupBy("nx", "ny")
+        .agg(F.sum("x_j").alias("nbr_sum"),
+             F.count(F.lit(1)).alias("nbr_cnt"))
+    )
+    joined = (
+        base.join(hood.selectExpr("nx AS cx", "ny AS cy",
+                                  "nbr_sum", "nbr_cnt"), ["cx", "cy"])
+        .crossJoin(F.broadcast(totals))
+    )
+    return joined.selectExpr(
+        "cx", "cy", "x", "nbr_sum", "nbr_cnt",
+        "CASE WHEN n > 1 AND (n * q - s * s) > 0"
+        " AND nbr_cnt * (n - nbr_cnt) > 0 THEN"
+        " CAST(n * nbr_sum - nbr_cnt * s AS DOUBLE)"
+        " / sqrt(CAST(n * q - s * s AS DOUBLE)"
+        "        * CAST(nbr_cnt * (n - nbr_cnt) AS DOUBLE)"
+        "        / CAST(n - 1 AS DOUBLE))"
+        " ELSE CAST(NULL AS DOUBLE) END AS gi_z",
+    )
+
+
+def sql_getis_ord_gi(src: str, cell: float,
+                     lat: str = "lat", lon: str = "lon") -> str:
+    """DuckDB twin for getis_ord_gi over raw points: brute-force O(c^2)
+    non-equi neighborhood join — no key explode, no broadcast."""
+    g = float(cell)
+    return f"""
+WITH cells AS (
+  SELECT CAST(FLOOR({lon} / {g!r}) AS BIGINT) AS cx,
+         CAST(FLOOR({lat} / {g!r}) AS BIGINT) AS cy,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM ({src})
+  WHERE {lat} IS NOT NULL AND {lon} IS NOT NULL
+    AND NOT isnan({lat}) AND NOT isnan({lon})
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS q FROM cells),
+hood AS (
+  SELECT a.cx, a.cy, a.x,
+         CAST(SUM(b.x) AS BIGINT) AS nbr_sum,
+         CAST(COUNT(*) AS BIGINT) AS nbr_cnt
+  FROM cells a, cells b
+  WHERE abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+  GROUP BY a.cx, a.cy, a.x
+)
+SELECT cx, cy, x, nbr_sum, nbr_cnt,
+       CASE WHEN n > 1 AND (n * q - s * s) > 0
+            AND nbr_cnt * (n - nbr_cnt) > 0 THEN
+         CAST(n * nbr_sum - nbr_cnt * s AS DOUBLE)
+         / sqrt(CAST(n * q - s * s AS DOUBLE)
+                * CAST(nbr_cnt * (n - nbr_cnt) AS DOUBLE)
+                / CAST(n - 1 AS DOUBLE))
+       ELSE CAST(NULL AS DOUBLE) END AS gi_z
+FROM hood, tot
+"""

@@ -107,3 +107,80 @@ def test_random_lattice_matches_model_and_duckdb(spark):
     assert (got["n_cells"], got["w_edges"], got["num"], got["den"]) == (
         exp[0], exp[1], exp[2], exp[3])
     assert got["moran_i"] == exp[4]  # bit-identical IEEE chain
+
+
+# ---------------------------------------------------------------- Gi* --
+
+from core_spark.operators.moran import getis_ord_gi, sql_getis_ord_gi  # noqa: E402
+import math  # noqa: E402
+
+
+def _run_gi(spark, cells):
+    df = spark.createDataFrame(cells, "cx long, cy long, x long")
+    return {(r["cx"], r["cy"]): (r["x"], r["nbr_sum"], r["nbr_cnt"], r["gi_z"])
+            for r in getis_ord_gi(df).collect()}
+
+
+def _model_gi(cells):
+    n = len(cells)
+    s = sum(x for _, _, x in cells)
+    q = sum(x * x for _, _, x in cells)
+    by = {(cx, cy): x for cx, cy, x in cells}
+    out = {}
+    for (cx, cy), x in by.items():
+        hood = [by[(cx + dx, cy + dy)]
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                if (cx + dx, cy + dy) in by]
+        g, k = sum(hood), len(hood)
+        a, b = n * q - s * s, k * (n - k)
+        z = (float(n * g - k * s)
+             / math.sqrt(float(a) * float(b) / float(n - 1))
+             if n > 1 and a > 0 and b > 0 else None)
+        out[(cx, cy)] = (x, g, k, z)
+    return out
+
+
+def test_gi_hot_spot_is_positive_cold_negative(spark):
+    # 5x5 flat background of 1 with a 10x spike at the center
+    cells = [(cx, cy, 50 if (cx, cy) == (2, 2) else 1)
+             for cx in range(5) for cy in range(5)]
+    got = _run_gi(spark, cells)
+    assert got == _model_gi(cells)
+    # the spike's own hood is the hottest cell (a lone outlier also
+    # inflates the global variance, so |z| stays modest — by design)
+    assert got[(2, 2)][3] == max(v[3] for v in got.values())
+    assert got[(2, 2)][3] > 0
+    assert got[(0, 0)][3] < 0           # far corner reads cold
+
+
+def test_gi_constant_surface_and_singleton_are_null(spark):
+    assert all(v[3] is None
+               for v in _run_gi(spark, [(cx, 0, 7) for cx in range(4)]).values())
+    assert _run_gi(spark, [(0, 0, 5)])[(0, 0)][3] is None
+
+
+def test_gi_random_lattice_matches_model_and_duckdb(spark):
+    cells = [(cx, cy, (cx * 11 + cy * 5) % 13 + 1)
+             for cx in range(6) for cy in range(5) if (cx + 3 * cy) % 6 != 0]
+    got = _run_gi(spark, cells)
+    model = _model_gi(cells)
+    for key in model:
+        assert got[key][:3] == model[key][:3]
+        if model[key][3] is None:
+            assert got[key][3] is None
+        else:
+            assert got[key][3] == pytest.approx(model[key][3], abs=1e-12)
+
+    pts = [(float(cy) + 0.5, float(cx) + 0.5)
+           for cx, cy, x in cells for _ in range(x)]
+    pdf = spark.createDataFrame(pts, "lat double, lon double")
+    from core_spark.operators.moran import cell_counts
+    spark_rows = sorted(
+        tuple(r) for r in getis_ord_gi(cell_counts(pdf, 1.0)).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src AS SELECT * FROM (VALUES "
+                + ",".join(f"({a},{b})" for a, b in pts) + ") t(lat, lon)")
+    duck_rows = sorted(
+        tuple(r) for r in
+        con.execute(sql_getis_ord_gi("SELECT lat, lon FROM src", 1.0)).fetchall())
+    assert spark_rows == duck_rows  # bit-identical incl. the sqrt chain
