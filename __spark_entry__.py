@@ -3493,6 +3493,46 @@ def _sql_moran_i() -> str:
     return sql_morans_i(_POINTS_SQL, _MORAN_CELL)
 
 
+_SSSP_W = {"spark": "(src * 7 + dst * 11) % 9 + 1",
+           "duck": "(src * 7 + dst * 11) % 9 + 1"}
+_SSSP_HOPS = 4
+
+
+def q_link_costs(spark, sf_dir):
+    """Weighted shortest paths (operators/sssp.py): bounded Bellman-Ford
+    over the derived host graph with deterministic per-edge costs —
+    cheapest crawl route from the seed set within the hop horizon.
+    Distances are NOT append-only (a heavy direct edge can be beaten by
+    a lighter multi-hop path), so each round expands AND reconciles
+    (anti-join + union, never a full regroup); two pins per round via
+    pin(loop=True). The DuckDB oracle is the INDEPENDENT recursive-CTE
+    path-state enumeration + MIN per node."""
+    from core_spark.operators.sssp import sssp_costs
+
+    docs = _docs(spark, sf_dir, wide=False)
+    edges = lg.derive_host_edges(docs, n_hosts=97, k_out=4).selectExpr(
+        "src", "dst", f"{_SSSP_W['spark']} AS w")
+    seeds = (
+        docs.selectExpr(f"{BFS_SEEDS_SPARK} AS node").distinct()
+        .where("node % 13 = 0")
+    )
+    return sssp_costs(edges, seeds, max_hops=_SSSP_HOPS)
+
+
+def _sql_link_costs() -> str:
+    from core_spark.operators.sssp import sql_sssp_costs
+
+    inner = lg.sql_derived_host_edges(
+        "SELECT doc_id FROM documents", n_hosts=97, k_out=4
+    )
+    return sql_sssp_costs(
+        f"SELECT src, dst, {_SSSP_W['duck']} AS w FROM ({inner})",
+        "SELECT DISTINCT (doc_id % 97) AS node FROM documents"
+        " WHERE (doc_id % 97) % 13 = 0",
+        _SSSP_HOPS,
+    )
+
+
 def q_hotspots_gi(spark, sf_dir):
     """Local hot-spot detection (operators/moran.py::getis_ord_gi):
     Getis-Ord Gi* z-scores per raster cell — Moran's I's LOCAL
@@ -5140,6 +5180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_i": q_moran_i,
         "segment_join": q_segment_join,
         "hotspots_gi": q_hotspots_gi,
+        "link_costs": q_link_costs,
     }
 
 
@@ -5601,6 +5642,7 @@ def oracle_sql() -> dict[str, str]:
         "moran_i": _sql_moran_i(),
         "segment_join": _sql_segment_join(),
         "hotspots_gi": _sql_hotspots_gi(),
+        "link_costs": _sql_link_costs(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
