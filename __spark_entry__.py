@@ -3493,6 +3493,40 @@ def _sql_moran_i() -> str:
     return sql_morans_i(_POINTS_SQL, _MORAN_CELL)
 
 
+# Snap fixture: bounded point directory (67 pings) vs the _SEG_LEFT
+# roads; both SF-invariant so the O(n*m) twin stays honest.
+_SNAP_PTS = ("SELECT DISTINCT (doc_id % 67) AS pt_id,"
+             " (doc_id % 67) % 21 - 3 AS x, (doc_id % 67) % 23 - 4 AS y")
+_SNAP_EPS = 2
+
+
+def q_snap_join(spark, sf_dir):
+    """Point-to-segment snap join (operators/snap.py): which road
+    segments is each ping within eps of — the map-matching candidate
+    step, closing the spatial-join family (point↔segment). Exact
+    segment-clamped distance with the rational denominator cleared
+    (every branch integer); ONE-SIDED blocking — segments replicate to
+    their eps-expanded bbox cells, points stay home, so each pair meets
+    in exactly ONE cell and needs no dedup. The DuckDB oracle is the
+    honest O(n·m) gridless cross join."""
+    from core_spark.operators.snap import snap_join
+
+    docs = _docs(spark, sf_dir, wide=False)
+    pts = docs.selectExpr(*_seg_exprs(_SNAP_PTS)).distinct()
+    segs = docs.selectExpr(*_seg_exprs(_SEG_LEFT)).distinct()
+    return snap_join(pts, segs, eps=_SNAP_EPS, cell=4.0)
+
+
+def _sql_snap_join() -> str:
+    from core_spark.operators.snap import sql_snap_join
+
+    return sql_snap_join(
+        f"{_SNAP_PTS} FROM documents",
+        f"{_SEG_LEFT} FROM documents",
+        _SNAP_EPS,
+    )
+
+
 _SSSP_W = {"spark": "(src * 7 + dst * 11) % 9 + 1",
            "duck": "(src * 7 + dst * 11) % 9 + 1"}
 _SSSP_HOPS = 4
@@ -5181,6 +5215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_join": q_segment_join,
         "hotspots_gi": q_hotspots_gi,
         "link_costs": q_link_costs,
+        "snap_join": q_snap_join,
     }
 
 
@@ -5643,6 +5678,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_join": _sql_segment_join(),
         "hotspots_gi": _sql_hotspots_gi(),
         "link_costs": _sql_link_costs(),
+        "snap_join": _sql_snap_join(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
