@@ -3495,8 +3495,11 @@ def _sql_moran_i() -> str:
 
 # Snap fixture: bounded point directory (67 pings) vs the _SEG_LEFT
 # roads; both SF-invariant so the O(n*m) twin stays honest.
-_SNAP_PTS = ("SELECT DISTINCT (doc_id % 67) AS pt_id,"
-             " (doc_id % 67) % 21 - 3 AS x, (doc_id % 67) % 23 - 4 AS y")
+_SNAP_PTS = [
+    "(doc_id % 67) AS pt_id",
+    "(doc_id % 67) % 21 - 3 AS x",
+    "(doc_id % 67) % 23 - 4 AS y",
+]
 _SNAP_EPS = 2
 
 
@@ -3512,8 +3515,8 @@ def q_snap_join(spark, sf_dir):
     from core_spark.operators.snap import snap_join
 
     docs = _docs(spark, sf_dir, wide=False)
-    pts = docs.selectExpr(*_seg_exprs(_SNAP_PTS)).distinct()
-    segs = docs.selectExpr(*_seg_exprs(_SEG_LEFT)).distinct()
+    pts = docs.selectExpr(*_SNAP_PTS).distinct()
+    segs = docs.selectExpr(*_SEG_LEFT).distinct()
     return snap_join(pts, segs, eps=_SNAP_EPS, cell=4.0)
 
 
@@ -3521,14 +3524,13 @@ def _sql_snap_join() -> str:
     from core_spark.operators.snap import sql_snap_join
 
     return sql_snap_join(
-        f"{_SNAP_PTS} FROM documents",
-        f"{_SEG_LEFT} FROM documents",
+        _seg_sql(_SNAP_PTS),
+        _seg_sql(_SEG_LEFT),
         _SNAP_EPS,
     )
 
 
-_SSSP_W = {"spark": "(src * 7 + dst * 11) % 9 + 1",
-           "duck": "(src * 7 + dst * 11) % 9 + 1"}
+_SSSP_W = "(src * 7 + dst * 11) % 9 + 1"  # same text both engines
 _SSSP_HOPS = 4
 
 
@@ -3545,7 +3547,7 @@ def q_link_costs(spark, sf_dir):
 
     docs = _docs(spark, sf_dir, wide=False)
     edges = lg.derive_host_edges(docs, n_hosts=97, k_out=4).selectExpr(
-        "src", "dst", f"{_SSSP_W['spark']} AS w")
+        "src", "dst", f"{_SSSP_W} AS w")
     seeds = (
         docs.selectExpr(f"{BFS_SEEDS_SPARK} AS node").distinct()
         .where("node % 13 = 0")
@@ -3560,7 +3562,7 @@ def _sql_link_costs() -> str:
         "SELECT doc_id FROM documents", n_hosts=97, k_out=4
     )
     return sql_sssp_costs(
-        f"SELECT src, dst, {_SSSP_W['duck']} AS w FROM ({inner})",
+        f"SELECT src, dst, {_SSSP_W} AS w FROM ({inner})",
         "SELECT DISTINCT (doc_id % 97) AS node FROM documents"
         " WHERE (doc_id % 97) % 13 = 0",
         _SSSP_HOPS,
@@ -3590,14 +3592,26 @@ def _sql_hotspots_gi() -> str:
 # Segment-join fixtures: two bounded directories (roads / borders) from
 # single residues, so the O(n*m) twin stays SF-invariant while Spark
 # dedups the full corpus into them.
-_SEG_LEFT = ("SELECT DISTINCT (doc_id % 60) AS seg_id,"
-             " (doc_id % 60) % 17 AS x1, (doc_id % 60) % 19 AS y1,"
-             " (doc_id % 60) % 17 + (doc_id % 60) % 7 - 3 AS x2,"
-             " (doc_id % 60) % 19 + (doc_id % 60) % 5 - 2 AS y2")
-_SEG_RIGHT = ("SELECT DISTINCT (doc_id % 53) AS seg_id,"
-              " (doc_id % 53) % 13 AS x1, (doc_id % 53) % 11 AS y1,"
-              " (doc_id % 53) % 13 + (doc_id % 53) % 9 - 4 AS x2,"
-              " (doc_id % 53) % 11 + 3 - (doc_id % 53) % 6 AS y2")
+_SEG_LEFT = [
+    "(doc_id % 60) AS seg_id",
+    "(doc_id % 60) % 17 AS x1",
+    "(doc_id % 60) % 19 AS y1",
+    "(doc_id % 60) % 17 + (doc_id % 60) % 7 - 3 AS x2",
+    "(doc_id % 60) % 19 + (doc_id % 60) % 5 - 2 AS y2",
+]
+_SEG_RIGHT = [
+    "(doc_id % 53) AS seg_id",
+    "(doc_id % 53) % 13 AS x1",
+    "(doc_id % 53) % 11 AS y1",
+    "(doc_id % 53) % 13 + (doc_id % 53) % 9 - 4 AS x2",
+    "(doc_id % 53) % 11 + 3 - (doc_id % 53) % 6 AS y2",
+]
+
+
+def _seg_sql(exprs: list) -> str:
+    """The DuckDB emission of a fixture expression list — the list is
+    the single source of truth, the SQL string derives from it."""
+    return "SELECT DISTINCT " + ", ".join(exprs) + " FROM documents"
 
 
 def q_segment_join(spark, sf_dir):
@@ -3611,22 +3625,16 @@ def q_segment_join(spark, sf_dir):
     from core_spark.operators.segjoin import segment_join
 
     docs = _docs(spark, sf_dir, wide=False)
-    left = docs.selectExpr(*_seg_exprs(_SEG_LEFT)).distinct()
-    right = docs.selectExpr(*_seg_exprs(_SEG_RIGHT)).distinct()
+    left = docs.selectExpr(*_SEG_LEFT).distinct()
+    right = docs.selectExpr(*_SEG_RIGHT).distinct()
     return segment_join(left, right, cell=4.0)
-
-
-def _seg_exprs(sql_select: str) -> list:
-    """The SELECT list of a fixture emitter, as selectExpr arguments."""
-    body = sql_select.split("SELECT DISTINCT ", 1)[1]
-    return [e.strip() for e in body.split(",")]
 
 
 def _sql_segment_join() -> str:
     from core_spark.operators.segjoin import sql_segment_join
 
     return sql_segment_join(
-        f"{_SEG_LEFT} FROM documents", f"{_SEG_RIGHT} FROM documents"
+        _seg_sql(_SEG_LEFT), _seg_sql(_SEG_RIGHT)
     )
 
 

@@ -75,7 +75,11 @@ def sssp_costs(
     directed paths of at most ``max_hops`` edges (seeds report 0)."""
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
-    e = (
+    # the edge table is consumed once PER ROUND — pinned once up front,
+    # or every round re-runs the min-collapse shuffle and the caller's
+    # whole edge-derivation plan (the CLAUDE.md multi-consumer rule;
+    # bfs.py's unpinned e is fine only because it is a filter-only plan)
+    e = pin(
         edges.where(f"{src} IS NOT NULL AND {dst} IS NOT NULL"
                     f" AND {weight} IS NOT NULL")
         .selectExpr(f"{src} AS _s", f"{dst} AS _d",
