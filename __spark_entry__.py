@@ -3530,6 +3530,55 @@ def _sql_snap_join() -> str:
     )
 
 
+# Spatial capstone: geoparse-frame pings, fixed-point quantized (×4 is
+# exact on the .25/.5 lattice), folded into the roads' frame with the
+# sign-safe pmod normal form — identical text on both engines.
+_PING_X = (f"((CAST(({LON_EXPR}) * 4 AS BIGINT) % 29) + 29) % 29 - 2")
+_PING_Y = (f"((CAST(({LAT_EXPR}) * 4 AS BIGINT) % 31) + 31) % 31 - 3")
+_SPIPE_EPS, _SPIPE_CELL, _SPIPE_G = 2, 4.0, 3.0
+
+
+def q_spatial_pipeline(spark, sf_dir):
+    """Spatial capstone: the round's join family composed end-to-end —
+    quantized pings (fixed-point ×4, exact on the geoparse lattice) →
+    snap_join against the roads directory (one-sided eps-expanded
+    blocking) → DISTINCT matched pings (a ping snapping to 3 segments
+    counts once) → raster density → Getis-Ord Gi* hot spots of
+    ROAD-MATCHED activity. The oracle composes the same stages from
+    the INDEPENDENT twins (gridless O(n·m) snap, brute-force O(c²)
+    neighborhood join), so the chain is gated end-to-end, not just its
+    pieces — the crawl_pipeline convention."""
+    from core_spark.operators.moran import cell_counts, getis_ord_gi
+    from core_spark.operators.snap import snap_join
+
+    docs = _docs(spark, sf_dir, wide=False)
+    pings = docs.selectExpr(
+        "doc_id AS pt_id", f"{_PING_X} AS x", f"{_PING_Y} AS y")
+    roads = docs.selectExpr(*_SEG_LEFT).distinct()
+    matched = (
+        snap_join(pings, roads, eps=_SPIPE_EPS, cell=_SPIPE_CELL)
+        .select("pt").distinct()
+    )
+    mp = pings.join(matched, pings.pt_id == matched.pt).selectExpr(
+        "CAST(y AS DOUBLE) AS lat", "CAST(x AS DOUBLE) AS lon")
+    return getis_ord_gi(cell_counts(mp, _SPIPE_G))
+
+
+def _sql_spatial_pipeline() -> str:
+    from core_spark.operators.moran import sql_getis_ord_gi
+    from core_spark.operators.snap import sql_snap_join
+
+    pings = (f"SELECT doc_id AS pt_id, {_PING_X} AS x, {_PING_Y} AS y"
+             f" FROM documents")
+    snap = sql_snap_join(pings, _seg_sql(_SEG_LEFT), _SPIPE_EPS)
+    matched_pts = (
+        f"SELECT CAST(p.y AS DOUBLE) AS lat, CAST(p.x AS DOUBLE) AS lon"
+        f" FROM ({pings}) p"
+        f" JOIN (SELECT DISTINCT pt FROM ({snap})) m ON p.pt_id = m.pt"
+    )
+    return sql_getis_ord_gi(matched_pts, _SPIPE_G)
+
+
 _SSSP_W = "(src * 7 + dst * 11) % 9 + 1"  # same text both engines
 _SSSP_HOPS = 4
 
@@ -5224,6 +5273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspots_gi": q_hotspots_gi,
         "link_costs": q_link_costs,
         "snap_join": q_snap_join,
+        "spatial_pipeline": q_spatial_pipeline,
     }
 
 
@@ -5687,6 +5737,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspots_gi": _sql_hotspots_gi(),
         "link_costs": _sql_link_costs(),
         "snap_join": _sql_snap_join(),
+        "spatial_pipeline": _sql_spatial_pipeline(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
