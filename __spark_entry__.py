@@ -4161,6 +4161,32 @@ def _sql_geohash_assign() -> str:
     return f"SELECT doc_id, gh7, substr(gh7, 1, 4) AS gh4 FROM {inner}"
 
 
+def q_hilbert_assign(spark, sf_dir):
+    """Hilbert layout keys (operators/hilbert.py): the locality upgrade
+    over zorder — consecutive indices are ALWAYS grid neighbors
+    (adjacency property pytest-asserted via the inverse walk), so file
+    key ranges map to compact spatial blobs and min/max pruning stays
+    tight in both axes (the Delta liquid-clustering story, from
+    primitives). 16 rotate/flip levels as stepwise BIGINT columns —
+    gray code as the polynomial 3rx+ry−2rxry (XOR tokens differ
+    between engines), byte-identical emission, so the oracle gates the
+    compiled expression itself (the geohash pattern)."""
+    from core_spark.operators.hilbert import with_hilbert_key
+
+    return with_hilbert_key(
+        _points(spark, sf_dir, wide=False)
+    ).selectExpr("doc_id", "hkey")
+
+
+def _sql_hilbert_assign() -> str:
+    from core_spark.operators.hilbert import hilbert_steps
+
+    inner = f"({_POINTS_SQL})"
+    for name, expr in hilbert_steps("lat", "lon", "duckdb"):
+        inner = f"(SELECT *, {expr} AS {name} FROM {inner})"
+    return f"SELECT doc_id, hkey FROM {inner}"
+
+
 def q_polygon_area(spark, sf_dir):
     """Shoelace area + centroid (operators/polyarea.py) composed on the
     GeoJSON source: fixture Features → parse_geojson → within-row fold
@@ -5274,6 +5300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_costs": q_link_costs,
         "snap_join": q_snap_join,
         "spatial_pipeline": q_spatial_pipeline,
+        "hilbert_assign": q_hilbert_assign,
     }
 
 
@@ -5738,6 +5765,7 @@ def oracle_sql() -> dict[str, str]:
         "link_costs": _sql_link_costs(),
         "snap_join": _sql_snap_join(),
         "spatial_pipeline": _sql_spatial_pipeline(),
+        "hilbert_assign": _sql_hilbert_assign(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
