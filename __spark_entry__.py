@@ -3493,6 +3493,26 @@ def _sql_moran_i() -> str:
     return sql_morans_i(_POINTS_SQL, _MORAN_CELL)
 
 
+def q_geary_c(spark, sf_dir):
+    """Geary's C (operators/moran.py::gearys_c): the difference-based
+    ESDA statistic completing the family (Moran global covariance, Gi*
+    local, Geary local-roughness). Same shifted-key adjacency; the
+    numerator Σ(x_i − x_j)² is already integer — no mean in it — and
+    the denominator reuses the cleared n²-scaled form; the reported C
+    is one fixed-order IEEE double chain. Oracle: INDEPENDENT O(c²)
+    non-equi pair join."""
+    from core_spark.operators.moran import cell_counts, gearys_c
+
+    pts = _points(spark, sf_dir, wide=False)
+    return gearys_c(cell_counts(pts, _MORAN_CELL))
+
+
+def _sql_geary_c() -> str:
+    from core_spark.operators.moran import sql_gearys_c
+
+    return sql_gearys_c(_POINTS_SQL, _MORAN_CELL)
+
+
 # Snap fixture: bounded point directory (67 pings) vs the _SEG_LEFT
 # roads; both SF-invariant so the O(n*m) twin stays honest.
 _SNAP_PTS = [
@@ -5301,6 +5321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_join": q_snap_join,
         "spatial_pipeline": q_spatial_pipeline,
         "hilbert_assign": q_hilbert_assign,
+        "geary_c": q_geary_c,
     }
 
 
@@ -5766,6 +5787,7 @@ def oracle_sql() -> dict[str, str]:
         "snap_join": _sql_snap_join(),
         "spatial_pipeline": _sql_spatial_pipeline(),
         "hilbert_assign": _sql_hilbert_assign(),
+        "geary_c": _sql_geary_c(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",

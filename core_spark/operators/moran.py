@@ -287,3 +287,106 @@ SELECT cx, cy, x, nbr_sum, nbr_cnt,
        ELSE CAST(NULL AS DOUBLE) END AS gi_z
 FROM hood, tot
 """
+
+
+def gearys_c(cells: DataFrame) -> DataFrame:
+    """Geary's C over (cx, cy, x BIGINT) with rook adjacency.
+
+    The third ESDA statistic: where Moran's I is covariance-based
+    (global structure), Geary's C is DIFFERENCE-based — sum of squared
+    neighbor differences against the variance — so it reacts to local
+    roughness Moran averages away (Geary 1954; C < 1 clustered, C = 1
+    random, C > 1 checkerboard). Same machinery as morans_i: shifted-
+    key rook adjacency (ordered pairs both ways, W counts them the
+    same way), and the exactness recipe is even simpler — the
+    numerator sum_{adj}(x_i - x_j)^2 is ALREADY integer (no mean in
+    it), and the denominator reuses the cleared form
+    sum(n*x_i - S)^2 = n^2 * sum(x_i - mean)^2, so
+
+        C = (n-1) * num * n^2 / (2 * W * den_scaled)
+
+    evaluated as ONE double chain (int64->double conversions + mul/div
+    in fixed order — the products exceed int64 at fixture scale, and
+    the IEEE chain is bit-identical cross-engine anyway, same grounds
+    as moran_i/gi_z). NULL when undefined (no adjacency or constant
+    surface). Output: n_cells, w_edges, num, den, geary_c.
+    """
+    base = pin(cells.selectExpr(
+        "CAST(cx AS BIGINT) AS cx", "CAST(cy AS BIGINT) AS cy",
+        "CAST(x AS BIGINT) AS x",
+    ))
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    dev = base.crossJoin(F.broadcast(totals)).selectExpr(
+        "cx", "cy", "x", "n * x - s AS d"
+    )
+    shifts = ", ".join(f"struct({dx}L AS dx, {dy}L AS dy)"
+                       for dx, dy in _OFFSETS)
+    probes = dev.selectExpr(
+        "x AS x_i",
+        f"explode(array({shifts})) AS o",
+        "cx + o.dx AS nx", "cy + o.dy AS ny",
+    )
+    pairs = probes.join(
+        dev.selectExpr("cx AS nx", "cy AS ny", "x AS x_j"), ["nx", "ny"]
+    )
+    edge_stats = pairs.agg(
+        F.count(F.lit(1)).alias("w_edges"),
+        F.sum(F.expr("(x_i - x_j) * (x_i - x_j)")).alias("num"),
+    )
+    node_stats = dev.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.expr("d * d")).alias("den"),
+    )
+    return node_stats.crossJoin(edge_stats).selectExpr(
+        "n_cells", "coalesce(w_edges, 0L) AS w_edges",
+        "coalesce(num, 0L) AS num", "den",
+        "CASE WHEN w_edges > 0 AND den > 0 THEN"
+        " (CAST(n_cells - 1 AS DOUBLE) * CAST(num AS DOUBLE)"
+        "  * CAST(n_cells AS DOUBLE) * CAST(n_cells AS DOUBLE))"
+        " / (2.0 * CAST(w_edges AS DOUBLE) * CAST(den AS DOUBLE))"
+        " ELSE CAST(NULL AS DOUBLE) END AS geary_c",
+    )
+
+
+def sql_gearys_c(src: str, cell: float,
+                 lat: str = "lat", lon: str = "lon") -> str:
+    """DuckDB twin: brute-force O(c^2) non-equi adjacency join, scalar
+    subquery totals — the independent plan, as sql_morans_i."""
+    g = float(cell)
+    return f"""
+WITH cells AS (
+  SELECT CAST(FLOOR({lon} / {g!r}) AS BIGINT) AS cx,
+         CAST(FLOOR({lat} / {g!r}) AS BIGINT) AS cy,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM ({src})
+  WHERE {lat} IS NOT NULL AND {lon} IS NOT NULL
+    AND NOT isnan({lat}) AND NOT isnan({lon})
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s FROM cells),
+dev AS (SELECT cx, cy, x,
+               CAST((SELECT n FROM tot) * x - (SELECT s FROM tot)
+                    AS BIGINT) AS d
+        FROM cells),
+pairs AS (
+  SELECT a.x AS x_i, b.x AS x_j
+  FROM dev a, dev b
+  WHERE abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1
+),
+edge AS (SELECT CAST(COUNT(*) AS BIGINT) AS w_edges,
+                CAST(COALESCE(SUM((x_i - x_j) * (x_i - x_j)), 0)
+                     AS BIGINT) AS num
+         FROM pairs),
+node AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                CAST(SUM(d * d) AS BIGINT) AS den FROM dev)
+SELECT n_cells, w_edges, num, den,
+       CASE WHEN w_edges > 0 AND den > 0 THEN
+         (CAST(n_cells - 1 AS DOUBLE) * CAST(num AS DOUBLE)
+          * CAST(n_cells AS DOUBLE) * CAST(n_cells AS DOUBLE))
+         / (2.0 * CAST(w_edges AS DOUBLE) * CAST(den AS DOUBLE))
+       ELSE CAST(NULL AS DOUBLE) END AS geary_c
+FROM node, edge
+"""

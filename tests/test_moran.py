@@ -184,3 +184,66 @@ def test_gi_random_lattice_matches_model_and_duckdb(spark):
         tuple(r) for r in
         con.execute(sql_getis_ord_gi("SELECT lat, lon FROM src", 1.0)).fetchall())
     assert spark_rows == duck_rows  # bit-identical incl. the sqrt chain
+
+
+# ------------------------------------------------------------- Geary --
+
+from core_spark.operators.moran import gearys_c, sql_gearys_c  # noqa: E402
+
+
+def _run_geary(spark, cells):
+    df = spark.createDataFrame(cells, "cx long, cy long, x long")
+    return gearys_c(df).collect()[0]
+
+
+def _model_geary(cells):
+    n = len(cells)
+    s = sum(x for _, _, x in cells)
+    by = {(cx, cy): x for cx, cy, x in cells}
+    pairs = [
+        (xi, xj)
+        for (ci, xi) in by.items()
+        for (cj, xj) in by.items()
+        if abs(ci[0] - cj[0]) + abs(ci[1] - cj[1]) == 1
+    ]
+    w = len(pairs)
+    num = sum((xi - xj) ** 2 for xi, xj in pairs)
+    den = sum((n * x - s) ** 2 for x in by.values())
+    c = (float(n - 1) * float(num) * float(n) * float(n)
+         / (2.0 * float(w) * float(den))) if w > 0 and den > 0 else None
+    return n, w, num, den, c
+
+
+def test_geary_checkerboard_reads_high_two_blocks_low(spark):
+    checker = [(cx, cy, 10 * ((cx + cy) % 2)) for cx in range(4)
+               for cy in range(4)]
+    blocks = [(cx, cy, 100 if cx < 2 else 1) for cx in range(4)
+              for cy in range(4)]
+    rc = _run_geary(spark, checker)
+    rb = _run_geary(spark, blocks)
+    assert rc["geary_c"] > 1.0 > rb["geary_c"]  # repulsion vs clustering
+
+
+def test_geary_undefined_cases(spark):
+    assert _run_geary(spark, [(cx, 0, 7) for cx in range(4)])["geary_c"] \
+        is None  # constant surface: den = 0
+    assert _run_geary(spark, [(0, 0, 1), (9, 9, 5)])["geary_c"] is None
+
+
+def test_geary_random_lattice_matches_model_and_duckdb(spark):
+    cells = [(cx, cy, (cx * 7 + cy * 13) % 23 + ((cx * cy) % 5) * 11)
+             for cx in range(6) for cy in range(5) if (cx + 2 * cy) % 7 != 0]
+    r = _run_geary(spark, cells)
+    n, w, num, den, c = _model_geary(cells)
+    assert (r["n_cells"], r["w_edges"], r["num"], r["den"]) == (n, w, num, den)
+    assert r["geary_c"] == pytest.approx(c)
+
+    pts = [(float(cy) + 0.5, float(cx) + 0.5)
+           for cx, cy, x in cells for _ in range(x)]
+    pdf = spark.createDataFrame(pts, "lat double, lon double")
+    got = gearys_c(cell_counts(pdf, 1.0)).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE gsrc AS SELECT * FROM (VALUES "
+                + ",".join(f"({a},{b})" for a, b in pts) + ") t(lat, lon)")
+    exp = con.execute(sql_gearys_c("SELECT lat, lon FROM gsrc", 1.0)).fetchone()
+    assert tuple(got) == tuple(exp)  # bit-identical incl. the double
