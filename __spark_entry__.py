@@ -3493,6 +3493,60 @@ def _sql_moran_i() -> str:
     return sql_morans_i(_POINTS_SQL, _MORAN_CELL)
 
 
+# Areal fixture: raster cells (G=8) from a bounded quantized frame,
+# 20 residue-derived zones with arbitrary corners.
+_AREAL_G = 8
+_AREAL_PX = "(doc_id * 37) % 96"
+_AREAL_PY = "(doc_id * 53) % 80"
+_AREAL_ZONES = (
+    "SELECT DISTINCT (doc_id % 20) AS zone_id,"
+    " (doc_id % 20) * 17 % 89 AS xmin, (doc_id % 20) * 23 % 71 AS ymin,"
+    " (doc_id % 20) * 17 % 89 + (doc_id % 20) % 13 + 1 AS xmax,"
+    " (doc_id % 20) * 23 % 71 + (doc_id % 20) % 9 + 1 AS ymax"
+)
+
+
+def q_areal_interp(spark, sf_dir):
+    """Areal-weighted interpolation (operators/areal.py): re-aggregate
+    the rasterized doc-density grid onto misaligned zones, splitting
+    boundary cells pro-rata by EXACT integer overlap area (Goodchild &
+    Lam areal weighting) — the question PIP zonal can't answer once the
+    data is already gridded. Map-side zone→cell-id explode + ONE
+    uniform equi shuffle; the raster side never replicates; est_scaled
+    is an exact BIGINT with constant denominator G², est is the one
+    IEEE division. Oracle: INDEPENDENT brute-force non-equi cross join."""
+    from core_spark.operators.areal import areal_interpolate
+
+    docs = _docs(spark, sf_dir, wide=False)
+    cells = (
+        docs.selectExpr(f"{_AREAL_PX} AS px", f"{_AREAL_PY} AS py")
+        .selectExpr(f"CAST(FLOOR(px / {_AREAL_G}.0) AS BIGINT) AS cx",
+                    f"CAST(FLOOR(py / {_AREAL_G}.0) AS BIGINT) AS cy")
+        .groupBy("cx", "cy").count().withColumnRenamed("count", "value")
+    )
+    zones = docs.selectExpr(
+        "doc_id % 20 AS zone_id",
+        "(doc_id % 20) * 17 % 89 AS xmin",
+        "(doc_id % 20) * 23 % 71 AS ymin",
+        "(doc_id % 20) * 17 % 89 + (doc_id % 20) % 13 + 1 AS xmax",
+        "(doc_id % 20) * 23 % 71 + (doc_id % 20) % 9 + 1 AS ymax",
+    ).distinct()
+    return areal_interpolate(cells, zones, _AREAL_G)
+
+
+def _sql_areal_interp() -> str:
+    from core_spark.operators.areal import sql_areal_interpolate
+
+    cells = (
+        f"SELECT CAST(FLOOR(({_AREAL_PX}) / {_AREAL_G}.0) AS BIGINT) AS cx,"
+        f" CAST(FLOOR(({_AREAL_PY}) / {_AREAL_G}.0) AS BIGINT) AS cy,"
+        f" CAST(COUNT(*) AS BIGINT) AS value FROM documents GROUP BY 1, 2"
+    )
+    return sql_areal_interpolate(
+        cells, f"{_AREAL_ZONES} FROM documents", _AREAL_G
+    )
+
+
 def q_geary_c(spark, sf_dir):
     """Geary's C (operators/moran.py::gearys_c): the difference-based
     ESDA statistic completing the family (Moran global covariance, Gi*
@@ -5322,6 +5376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_pipeline": q_spatial_pipeline,
         "hilbert_assign": q_hilbert_assign,
         "geary_c": q_geary_c,
+        "areal_interp": q_areal_interp,
     }
 
 
@@ -5788,6 +5843,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_pipeline": _sql_spatial_pipeline(),
         "hilbert_assign": _sql_hilbert_assign(),
         "geary_c": _sql_geary_c(),
+        "areal_interp": _sql_areal_interp(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
