@@ -3493,6 +3493,42 @@ def _sql_moran_i() -> str:
     return sql_morans_i(_POINTS_SQL, _MORAN_CELL)
 
 
+# Contact fixture: a bounded entity directory (211 signatures) derived
+# from the events table, so the O(n²) twin is SF-invariant.
+_CONTACT_EVS = [
+    "(event_id % 211) AS event_id",
+    "(event_id % 211) * 5 % 19 AS x",
+    "(event_id % 211) * 7 % 17 AS y",
+    "(event_id % 211) * 11 % 31 AS t",
+]
+_CONTACT_EPS, _CONTACT_TAU = 3, 4
+
+
+def q_contact_join(spark, sf_dir):
+    """Spatiotemporal contact join (operators/stjoin.py): pairs near in
+    space AND time — co-location events, convoy detection's first
+    stage. The epsilon-grid lifted to (x, y, t): probe side replicates
+    to its 3×3×3 block neighborhood, home side stays put, ONE uniform
+    equi shuffle on the composite key; the time bucket is also the skew
+    answer (it slices a dense cell's history into τ-width pieces).
+    Structural single emission, exact integer conjunction. Oracle: the
+    honest O(n²) self cross join, no blocking."""
+    from core_spark.operators.stjoin import contact_pairs
+
+    evs = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(*_CONTACT_EVS).distinct()
+    )
+    return contact_pairs(evs, eps=_CONTACT_EPS, tau=_CONTACT_TAU)
+
+
+def _sql_contact_join() -> str:
+    from core_spark.operators.stjoin import sql_contact_pairs
+
+    inner = ("SELECT DISTINCT " + ", ".join(_CONTACT_EVS) + " FROM events")
+    return sql_contact_pairs(inner, _CONTACT_EPS, _CONTACT_TAU)
+
+
 # Areal fixture: raster cells (G=8) from a bounded quantized frame,
 # 20 residue-derived zones with arbitrary corners.
 _AREAL_G = 8
@@ -5377,6 +5413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_assign": q_hilbert_assign,
         "geary_c": q_geary_c,
         "areal_interp": q_areal_interp,
+        "contact_join": q_contact_join,
     }
 
 
@@ -5844,6 +5881,7 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_assign": _sql_hilbert_assign(),
         "geary_c": _sql_geary_c(),
         "areal_interp": _sql_areal_interp(),
+        "contact_join": _sql_contact_join(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
