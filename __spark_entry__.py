@@ -3493,6 +3493,65 @@ def _sql_moran_i() -> str:
     return sql_morans_i(_POINTS_SQL, _MORAN_CELL)
 
 
+# Ring-validity fixture: 40 quads, every 4th a bowtie (vertex order
+# flipped), as flat (ring_id, pos, x, y) rows via a posexploded struct
+# array — same rule in both emitters.
+_RINGV_QUAD = (
+    "array("
+    " struct(0L AS pos, CAST(r % 23 AS BIGINT) AS x,"
+    "        CAST(r % 19 AS BIGINT) AS y),"
+    " struct(1L AS pos, CAST(r % 23 + r % 5 + 2 AS BIGINT) AS x,"
+    "        CAST(r % 19 AS BIGINT) AS y),"
+    " struct(2L AS pos,"
+    "        CAST(CASE WHEN r % 4 = 0 THEN r % 23"
+    "             ELSE r % 23 + r % 5 + 2 END AS BIGINT) AS x,"
+    "        CAST(r % 19 + r % 5 + 2 AS BIGINT) AS y),"
+    " struct(3L AS pos,"
+    "        CAST(CASE WHEN r % 4 = 0 THEN r % 23 + r % 5 + 2"
+    "             ELSE r % 23 END AS BIGINT) AS x,"
+    "        CAST(r % 19 + r % 5 + 2 AS BIGINT) AS y))"
+)
+
+
+def q_ring_validate(spark, sf_dir):
+    """Ring validity gate (operators/polyvalid.py): OGC simple-ring
+    check before PIP/shoelace — non-adjacent edges must not touch,
+    adjacent edges must share only their vertex (spikes, repeats,
+    bowties flagged); bad geometry becomes DATA, not downstream join
+    corruption. Edges via ONE lead() window whose ring clustering the
+    pair join reuses; exact integer battery throughout. The twin shares
+    the predicate (it IS the spec) but none of the plan."""
+    from core_spark.operators.polyvalid import validate_rings
+
+    docs = _docs(spark, sf_dir, wide=False)
+    verts = (
+        docs.selectExpr("doc_id % 40 AS ring_id").distinct()
+        .selectExpr("ring_id", "ring_id AS r")
+        .selectExpr("ring_id", f"explode({_RINGV_QUAD}) AS v")
+        .selectExpr("ring_id", "v.pos AS pos", "v.x AS x", "v.y AS y")
+    )
+    return validate_rings(verts)
+
+
+def _sql_ring_validate() -> str:
+    from core_spark.operators.polyvalid import sql_validate_rings
+
+    verts = (
+        "SELECT ring_id, u.pos AS pos, u.x AS x, u.y AS y FROM ("
+        " SELECT DISTINCT (doc_id % 40) AS ring_id, (doc_id % 40) AS r"
+        " FROM documents) base,"
+        " LATERAL (SELECT 0 AS pos, r % 23 AS x, r % 19 AS y"
+        "  UNION ALL SELECT 1, r % 23 + r % 5 + 2, r % 19"
+        "  UNION ALL SELECT 2,"
+        "   CASE WHEN r % 4 = 0 THEN r % 23 ELSE r % 23 + r % 5 + 2 END,"
+        "   r % 19 + r % 5 + 2"
+        "  UNION ALL SELECT 3,"
+        "   CASE WHEN r % 4 = 0 THEN r % 23 + r % 5 + 2 ELSE r % 23 END,"
+        "   r % 19 + r % 5 + 2) u"
+    )
+    return sql_validate_rings(verts)
+
+
 # Contact fixture: a bounded entity directory (211 signatures) derived
 # from the events table, so the O(n²) twin is SF-invariant.
 _CONTACT_EVS = [
@@ -5414,6 +5473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geary_c": q_geary_c,
         "areal_interp": q_areal_interp,
         "contact_join": q_contact_join,
+        "ring_validate": q_ring_validate,
     }
 
 
@@ -5882,6 +5942,7 @@ def oracle_sql() -> dict[str, str]:
         "geary_c": _sql_geary_c(),
         "areal_interp": _sql_areal_interp(),
         "contact_join": _sql_contact_join(),
+        "ring_validate": _sql_ring_validate(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
