@@ -3493,6 +3493,110 @@ def _sql_moran_i() -> str:
     return sql_morans_i(_POINTS_SQL, _MORAN_CELL)
 
 
+_Q3_CUT = "1998-06-01 00:00:00"
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): the classic 3-way join —
+    filtered dimension (BUILDING customers, broadcast), date-pruned
+    fact-to-fact join, top-10 by revenue. Revenue quantized per-line to
+    cents BEFORE the sum (FLOOR of identical double ops both engines),
+    so the BIGINT aggregate is partition-order-free — the repo's answer
+    to double-SUM nondeterminism; deterministic tie-break on orderkey
+    makes LIMIT 10 stable."""
+    from pyspark.sql import functions as F
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where("c_mktsegment = 'BUILDING'").select("c_custkey")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        f"o_orderdate < TIMESTAMP '{_Q3_CUT}'"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        f"l_shipdate > TIMESTAMP '{_Q3_CUT}'"
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .selectExpr(
+            "l_orderkey", "o_orderdate", "o_orderpriority",
+            "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)"
+            " AS BIGINT) AS cents",
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("cents").alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def _sql_shipping_priority() -> str:
+    return f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                    * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '{_Q3_CUT}'
+          AND l_shipdate > TIMESTAMP '{_Q3_CUT}'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue_cents DESC, l_orderkey
+        LIMIT 10
+    """
+
+
+def q_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): the 6-table broadcast
+    chain — region filter → nation → supplier, customer co-nation
+    constraint, revenue per nation. Every dimension side is broadcast
+    (region 5 rows → supplier ~100); only orders⋈lineitem shuffles.
+    Same cents quantization as Q3."""
+    from pyspark.sql import functions as F
+
+    sf = sf_dir
+    region = spark.read.parquet(f"{sf}/region.parquet").where(
+        "r_name = 'ASIA'")
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    supp = spark.read.parquet(f"{sf}/supplier.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    nat = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    s = supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey) \
+        .select("s_suppkey", "s_nationkey", "n_name")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (cust.c_nationkey == s.s_nationkey))
+        .selectExpr(
+            "n_name",
+            "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)"
+            " AS BIGINT) AS cents",
+        )
+        .groupBy("n_name")
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )
+
+
+def _sql_supplier_volume() -> str:
+    return """
+        SELECT n_name,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                    * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+        GROUP BY n_name
+    """
+
+
 # Ring-validity fixture: 40 quads, every 4th a bowtie (vertex order
 # flipped), as flat (ring_id, pos, x, y) rows via a posexploded struct
 # array — same rule in both emitters.
@@ -5474,6 +5578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "areal_interp": q_areal_interp,
         "contact_join": q_contact_join,
         "ring_validate": q_ring_validate,
+        "shipping_priority": q_shipping_priority,
+        "supplier_volume": q_supplier_volume,
     }
 
 
@@ -5943,6 +6049,8 @@ def oracle_sql() -> dict[str, str]:
         "areal_interp": _sql_areal_interp(),
         "contact_join": _sql_contact_join(),
         "ring_validate": _sql_ring_validate(),
+        "shipping_priority": _sql_shipping_priority(),
+        "supplier_volume": _sql_supplier_volume(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
