@@ -3597,6 +3597,107 @@ def _sql_supplier_volume() -> str:
     """
 
 
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): which customers
+    returned the most revenue in a quarter — date-windowed orders ⋈
+    R-flagged lineitems ⋈ customer, nation broadcast for the display
+    column, stable top-20. Cents quantization per the Q3/Q5 recipe."""
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        "l_returnflag = 'R'"
+    )
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .selectExpr(
+            "c_custkey", "c_name", "n_name",
+            "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)"
+            " AS BIGINT) AS cents",
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum("cents").alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), "c_custkey")
+        .limit(20)
+    )
+
+
+def _sql_returned_items() -> str:
+    return """
+        SELECT c_custkey, c_name, n_name,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                    * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue_cents DESC, c_custkey
+        LIMIT 20
+    """
+
+
+_Q18_MINQTY = 300
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): the HAVING-subquery
+    semi-join — orders whose total quantity exceeds a threshold, then
+    the customer join for reporting. The aggregated subquery becomes a
+    left-semi join (never a re-aggregation on the outer side);
+    quantities are integral-by-contract doubles, CAST per line before
+    the SUM so the aggregate is BIGINT-exact; o_totalprice reported as
+    cents via a deterministic projection FLOOR."""
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = (
+        li.selectExpr("l_orderkey", "CAST(l_quantity AS BIGINT) AS q")
+        .groupBy("l_orderkey").agg(F.sum("q").alias("sum_qty"))
+        .where(f"sum_qty > {_Q18_MINQTY}")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .selectExpr(
+            "c_custkey", "o_orderkey", "o_orderdate",
+            "CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)"
+            " AS totalprice_cents",
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice_cents"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def _sql_large_orders() -> str:
+    return f"""
+        SELECT c_custkey, o_orderkey, o_orderdate,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)
+                 AS totalprice_cents,
+               sum_qty
+        FROM customer, orders,
+             (SELECT l_orderkey,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS BIGINT)) > {_Q18_MINQTY}) big
+        WHERE o_orderkey = big.l_orderkey AND c_custkey = o_custkey
+        ORDER BY totalprice_cents DESC, o_orderkey
+        LIMIT 10
+    """
+
+
 # Ring-validity fixture: 40 quads, every 4th a bowtie (vertex order
 # flipped), as flat (ring_id, pos, x, y) rows via a posexploded struct
 # array — same rule in both emitters.
@@ -5580,6 +5681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_validate": q_ring_validate,
         "shipping_priority": q_shipping_priority,
         "supplier_volume": q_supplier_volume,
+        "returned_items": q_returned_items,
+        "large_orders": q_large_orders,
     }
 
 
@@ -6051,6 +6154,8 @@ def oracle_sql() -> dict[str, str]:
         "ring_validate": _sql_ring_validate(),
         "shipping_priority": _sql_shipping_priority(),
         "supplier_volume": _sql_supplier_volume(),
+        "returned_items": _sql_returned_items(),
+        "large_orders": _sql_large_orders(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
