@@ -3550,8 +3550,10 @@ def _sql_shipping_priority() -> str:
 def q_supplier_volume(spark, sf_dir):
     """TPC-H Q5 shape (local supplier volume): the 6-table broadcast
     chain — region filter → nation → supplier, customer co-nation
-    constraint, revenue per nation. Every dimension side is broadcast
-    (region 5 rows → supplier ~100); only orders⋈lineitem shuffles.
+    constraint, revenue per nation. Every SMALL dimension is
+    broadcast-HINTED (region 5 rows → nation → supplier ~100);
+    customer rides AQE, and orders⋈lineitem is the one
+    shuffle-by-nature join (broadcast at bench scale via AQE).
     Same cents quantization as Q3."""
     from pyspark.sql import functions as F
 
@@ -3650,9 +3652,10 @@ _Q18_MINQTY = 300
 
 def q_large_orders(spark, sf_dir):
     """TPC-H Q18 shape (large-volume customers): the HAVING-subquery
-    semi-join — orders whose total quantity exceeds a threshold, then
-    the customer join for reporting. The aggregated subquery becomes a
-    left-semi join (never a re-aggregation on the outer side);
+    shape — orders whose total quantity exceeds a threshold, then
+    the customer join for reporting. The aggregated subquery resolves
+    as aggregate-then-INNER-join carrying sum_qty (a semi join could
+    not project it; the win vs naive is no re-aggregation outer-side);
     quantities are integral-by-contract doubles, CAST per line before
     the SUM so the aggregate is BIGINT-exact; o_totalprice reported as
     cents via a deterministic projection FLOOR."""
@@ -3662,7 +3665,7 @@ def q_large_orders(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     big = (
-        li.selectExpr("l_orderkey", "CAST(l_quantity AS BIGINT) AS q")
+        li.selectExpr("l_orderkey", "CAST(FLOOR(l_quantity) AS BIGINT) AS q")
         .groupBy("l_orderkey").agg(F.sum("q").alias("sum_qty"))
         .where(f"sum_qty > {_Q18_MINQTY}")
     )
@@ -3688,10 +3691,10 @@ def _sql_large_orders() -> str:
                sum_qty
         FROM customer, orders,
              (SELECT l_orderkey,
-                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
                        AS sum_qty
               FROM lineitem GROUP BY l_orderkey
-              HAVING SUM(CAST(l_quantity AS BIGINT)) > {_Q18_MINQTY}) big
+              HAVING SUM(CAST(FLOOR(l_quantity) AS BIGINT)) > {_Q18_MINQTY}) big
         WHERE o_orderkey = big.l_orderkey AND c_custkey = o_custkey
         ORDER BY totalprice_cents DESC, o_orderkey
         LIMIT 10
@@ -3907,8 +3910,10 @@ def _sql_snap_join() -> str:
 # Spatial capstone: geoparse-frame pings, fixed-point quantized (×4 is
 # exact on the .25/.5 lattice), folded into the roads' frame with the
 # sign-safe pmod normal form — identical text on both engines.
-_PING_X = (f"((CAST(({LON_EXPR}) * 4 AS BIGINT) % 29) + 29) % 29 - 2")
-_PING_Y = (f"((CAST(({LAT_EXPR}) * 4 AS BIGINT) % 31) + 31) % 31 - 3")
+_PING_X = (f"((CAST(FLOOR(({LON_EXPR}) * 4) AS BIGINT) % 29) + 29)"
+           " % 29 - 2")
+_PING_Y = (f"((CAST(FLOOR(({LAT_EXPR}) * 4) AS BIGINT) % 31) + 31)"
+           " % 31 - 3")
 _SPIPE_EPS, _SPIPE_CELL, _SPIPE_G = 2, 4.0, 3.0
 
 
@@ -3925,9 +3930,13 @@ def q_spatial_pipeline(spark, sf_dir):
     from core_spark.operators.moran import cell_counts, getis_ord_gi
     from core_spark.operators.snap import snap_join
 
+    from core_spark.plans.materialize import pin
+
     docs = _docs(spark, sf_dir, wide=False)
-    pings = docs.selectExpr(
-        "doc_id AS pt_id", f"{_PING_X} AS x", f"{_PING_Y} AS y")
+    # pings feeds the snap AND the coordinate carry-back join -> pinned
+    # once (CLAUDE.md multi-consumer rule; the crawl_pipeline precedent)
+    pings = pin(docs.selectExpr(
+        "doc_id AS pt_id", f"{_PING_X} AS x", f"{_PING_Y} AS y"))
     roads = docs.selectExpr(*_SEG_LEFT).distinct()
     matched = (
         snap_join(pings, roads, eps=_SPIPE_EPS, cell=_SPIPE_CELL)

@@ -92,6 +92,55 @@ def cell_counts(
     )
 
 
+
+def _pin_cells(cells: DataFrame) -> DataFrame:
+    return pin(cells.selectExpr(
+        "CAST(cx AS BIGINT) AS cx", "CAST(cy AS BIGINT) AS cy",
+        "CAST(x AS BIGINT) AS x",
+    ))
+
+
+def _rook_pairs(df: DataFrame, payload: str, li: str, ri: str) -> DataFrame:
+    """Ordered rook-adjacent pairs via the shifted-key explode: carry
+    ``payload`` from both endpoints as (li, ri). Shared by morans_i and
+    gearys_c so the adjacency plan has ONE definition."""
+    shifts = ", ".join(f"struct({dx}L AS dx, {dy}L AS dy)"
+                       for dx, dy in _OFFSETS)
+    probes = df.selectExpr(
+        f"{payload} AS {li}",
+        f"explode(array({shifts})) AS o",
+        "cx + o.dx AS nx", "cy + o.dy AS ny",
+    )
+    return probes.join(
+        df.selectExpr("cx AS nx", "cy AS ny", f"{payload} AS {ri}"),
+        ["nx", "ny"],
+    )
+
+
+def _sql_cells_dev(src: str, cell: float, lat: str, lon: str) -> str:
+    """Shared DuckDB CTE preamble: cells / tot / dev (x and the cleared
+    deviation d both projected) — ONE text for both statistics' twins."""
+    g = float(cell)
+    return f"""
+WITH cells AS (
+  SELECT CAST(FLOOR({lon} / {g!r}) AS BIGINT) AS cx,
+         CAST(FLOOR({lat} / {g!r}) AS BIGINT) AS cy,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM ({src})
+  WHERE {lat} IS NOT NULL AND {lon} IS NOT NULL
+    AND NOT isnan({lat}) AND NOT isnan({lon})
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s FROM cells),
+-- DuckDB SUM(BIGINT) widens to HUGEINT; every sum is cast back so the
+-- emitted schema matches Spark's int64 (the driver compares dtypes)
+dev AS (SELECT cx, cy, x,
+               CAST((SELECT n FROM tot) * x - (SELECT s FROM tot)
+                    AS BIGINT) AS d
+        FROM cells)"""
+
+
 def morans_i(cells: DataFrame) -> DataFrame:
     """Global Moran's I with rook adjacency over (cx, cy, x BIGINT).
 
@@ -99,26 +148,14 @@ def morans_i(cells: DataFrame) -> DataFrame:
     (n^2-scaled integer numerator/denominator), moran_i (NULL when the
     statistic is undefined: no adjacent pairs, or a constant surface).
     """
-    base = pin(cells.selectExpr(
-        "CAST(cx AS BIGINT) AS cx", "CAST(cy AS BIGINT) AS cy",
-        "CAST(x AS BIGINT) AS x",
-    ))
+    base = _pin_cells(cells)
     totals = base.agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
     )
     dev = base.crossJoin(F.broadcast(totals)).selectExpr(
         "cx", "cy", "n * x - s AS d"
     )
-    shifts = ", ".join(f"struct({dx}L AS dx, {dy}L AS dy)"
-                       for dx, dy in _OFFSETS)
-    probes = dev.selectExpr(
-        "d AS d_i",
-        f"explode(array({shifts})) AS o",
-        "cx + o.dx AS nx", "cy + o.dy AS ny",
-    )
-    pairs = probes.join(
-        dev.selectExpr("cx AS nx", "cy AS ny", "d AS d_j"), ["nx", "ny"]
-    )
+    pairs = _rook_pairs(dev, "d", "d_i", "d_j")
     edge_stats = pairs.agg(
         F.count(F.lit(1)).alias("w_edges"),
         F.sum(F.expr("d_i * d_j")).alias("num"),
@@ -141,25 +178,7 @@ def sql_morans_i(src: str, cell: float,
                  lat: str = "lat", lon: str = "lon") -> str:
     """DuckDB twin: brute-force O(c^2) non-equi adjacency pair join —
     an independent plan (no neighbor-key explode, no broadcast)."""
-    g = float(cell)
-    return f"""
-WITH cells AS (
-  SELECT CAST(FLOOR({lon} / {g!r}) AS BIGINT) AS cx,
-         CAST(FLOOR({lat} / {g!r}) AS BIGINT) AS cy,
-         CAST(COUNT(*) AS BIGINT) AS x
-  FROM ({src})
-  WHERE {lat} IS NOT NULL AND {lon} IS NOT NULL
-    AND NOT isnan({lat}) AND NOT isnan({lon})
-  GROUP BY 1, 2
-),
-tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(x) AS BIGINT) AS s FROM cells),
--- DuckDB SUM(BIGINT) widens to HUGEINT; every sum is cast back so the
--- emitted schema matches Spark's int64 (the driver compares dtypes)
-dev AS (SELECT cx, cy,
-               CAST((SELECT n FROM tot) * x - (SELECT s FROM tot)
-                    AS BIGINT) AS d
-        FROM cells),
+    return _sql_cells_dev(src, cell, lat, lon) + f""",
 pairs AS (
   SELECT a.d AS d_i, b.d AS d_j
   FROM dev a, dev b
@@ -311,26 +330,14 @@ def gearys_c(cells: DataFrame) -> DataFrame:
     as moran_i/gi_z). NULL when undefined (no adjacency or constant
     surface). Output: n_cells, w_edges, num, den, geary_c.
     """
-    base = pin(cells.selectExpr(
-        "CAST(cx AS BIGINT) AS cx", "CAST(cy AS BIGINT) AS cy",
-        "CAST(x AS BIGINT) AS x",
-    ))
+    base = _pin_cells(cells)
     totals = base.agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
     )
     dev = base.crossJoin(F.broadcast(totals)).selectExpr(
         "cx", "cy", "x", "n * x - s AS d"
     )
-    shifts = ", ".join(f"struct({dx}L AS dx, {dy}L AS dy)"
-                       for dx, dy in _OFFSETS)
-    probes = dev.selectExpr(
-        "x AS x_i",
-        f"explode(array({shifts})) AS o",
-        "cx + o.dx AS nx", "cy + o.dy AS ny",
-    )
-    pairs = probes.join(
-        dev.selectExpr("cx AS nx", "cy AS ny", "x AS x_j"), ["nx", "ny"]
-    )
+    pairs = _rook_pairs(dev, "x", "x_i", "x_j")
     edge_stats = pairs.agg(
         F.count(F.lit(1)).alias("w_edges"),
         F.sum(F.expr("(x_i - x_j) * (x_i - x_j)")).alias("num"),
@@ -354,23 +361,7 @@ def sql_gearys_c(src: str, cell: float,
                  lat: str = "lat", lon: str = "lon") -> str:
     """DuckDB twin: brute-force O(c^2) non-equi adjacency join, scalar
     subquery totals — the independent plan, as sql_morans_i."""
-    g = float(cell)
-    return f"""
-WITH cells AS (
-  SELECT CAST(FLOOR({lon} / {g!r}) AS BIGINT) AS cx,
-         CAST(FLOOR({lat} / {g!r}) AS BIGINT) AS cy,
-         CAST(COUNT(*) AS BIGINT) AS x
-  FROM ({src})
-  WHERE {lat} IS NOT NULL AND {lon} IS NOT NULL
-    AND NOT isnan({lat}) AND NOT isnan({lon})
-  GROUP BY 1, 2
-),
-tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(x) AS BIGINT) AS s FROM cells),
-dev AS (SELECT cx, cy, x,
-               CAST((SELECT n FROM tot) * x - (SELECT s FROM tot)
-                    AS BIGINT) AS d
-        FROM cells),
+    return _sql_cells_dev(src, cell, lat, lon) + f""",
 pairs AS (
   SELECT a.x AS x_i, b.x AS x_j
   FROM dev a, dev b

@@ -97,19 +97,25 @@ def validate_rings(vertices: DataFrame, key: str = "ring_id") -> DataFrame:
     """(ring_id, n_vertices, violations, valid) per ring.
 
     ``vertices``: (ring_id, pos, x, y), 0-based ``pos``, no closing
-    duplicate, BIGINT-valued coordinates. Rings with < 3 vertices
-    report violations = -1, valid = false.
+    duplicate, BIGINT-valued coordinates. Rings with < 3 vertices OR
+    any NULL vertex field report violations = -1, valid = false — a
+    positional row is NOT independently droppable (dropping one would
+    re-adjacency the survivors and silently reshape the ring), so a
+    NULL anywhere quarantines the whole ring.
     """
-    v = pin(
+    raw = pin(
         vertices.selectExpr(
             f"{key} AS rid", "CAST(pos AS BIGINT) AS pos",
             "CAST(x AS BIGINT) AS x", "CAST(y AS BIGINT) AS y",
-        ).where("rid IS NOT NULL AND pos IS NOT NULL"
-                " AND x IS NOT NULL AND y IS NOT NULL")
+        ).where("rid IS NOT NULL")
     )
-    sizes = v.groupBy("rid").agg(
+    sizes = raw.groupBy("rid").agg(
         F.count(F.lit(1)).alias("m"),
+        F.sum(F.expr(
+            "CASE WHEN pos IS NULL OR x IS NULL OR y IS NULL"
+            " THEN 1 ELSE 0 END")).alias("_nulls"),
     )
+    v = raw.join(sizes.where("_nulls = 0").select("rid"), "rid")
     # edges via one lead() window per ring (the wrap edge closes with
     # first_value); the window clustering IS the pair join's clustering
     from pyspark.sql import Window
@@ -159,9 +165,10 @@ def validate_rings(vertices: DataFrame, key: str = "ring_id") -> DataFrame:
         sizes.join(counted, "rid", "left_outer")
         .selectExpr(
             "rid AS ring_id", "m AS n_vertices",
-            "CASE WHEN m < 3 THEN -1L"
+            "CASE WHEN m < 3 OR _nulls > 0 THEN -1L"
             " ELSE coalesce(violations, 0L) END AS violations",
-            "m >= 3 AND coalesce(violations, 0L) = 0 AS valid",
+            "m >= 3 AND _nulls = 0"
+            " AND coalesce(violations, 0L) = 0 AS valid",
         )
     )
 
@@ -177,14 +184,22 @@ def sql_validate_rings(vertices_sql: str, key: str = "ring_id") -> str:
     )
     d_cols = ",\n         ".join(f"{e} AS {c}" for c, e in _D.items())
     return f"""
-WITH verts AS (
+WITH rawv AS (
   SELECT {key} AS rid, CAST(pos AS BIGINT) AS pos,
          CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
   FROM ({vertices_sql})
-  WHERE {key} IS NOT NULL AND pos IS NOT NULL
-    AND x IS NOT NULL AND y IS NOT NULL
+  WHERE {key} IS NOT NULL
 ),
-sizes AS (SELECT rid, CAST(COUNT(*) AS BIGINT) AS m FROM verts GROUP BY rid),
+sizes AS (
+  SELECT rid, CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN pos IS NULL OR x IS NULL OR y IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS _nulls
+  FROM rawv GROUP BY rid
+),
+verts AS (
+  SELECT rawv.* FROM rawv
+  JOIN sizes USING (rid) WHERE sizes._nulls = 0
+),
 edges AS (
   SELECT v.rid, v.pos AS i, v.x AS ex1, v.y AS ey1,
          COALESCE(n.x, f.x) AS ex2, COALESCE(n.y, f.y) AS ey2, s.m
@@ -215,8 +230,9 @@ counted AS (
   FROM stepped GROUP BY rid
 )
 SELECT s.rid AS ring_id, s.m AS n_vertices,
-       CASE WHEN s.m < 3 THEN CAST(-1 AS BIGINT)
+       CASE WHEN s.m < 3 OR s._nulls > 0 THEN CAST(-1 AS BIGINT)
             ELSE COALESCE(c.violations, 0) END AS violations,
-       (s.m >= 3 AND COALESCE(c.violations, 0) = 0) AS valid
+       (s.m >= 3 AND s._nulls = 0
+        AND COALESCE(c.violations, 0) = 0) AS valid
 FROM sizes s LEFT JOIN counted c ON c.rid = s.rid
 """

@@ -138,3 +138,23 @@ def test_twin_parity_with_duckdb(spark):
     assert [(a, b, c, bool(d)) for a, b, c, d in got] \
         == [(int(a), int(b), int(c), bool(d)) for a, b, c, d in exp]
     assert sum(1 for *_x, v in got if not v) == 10  # the 10 bowties
+
+
+def test_null_vertex_quarantines_the_whole_ring(spark):
+    # dropping a NULL row would silently reshape the ring (and diverge
+    # from the twin); the contract is whole-ring quarantine instead
+    rows = [(0, 0, 0, 0), (0, 1, 4, 0), (0, 2, None, 4), (0, 3, 0, 4),
+            (1, 0, 0, 0), (1, 1, 4, 0), (1, 2, 4, 4)]
+    df = spark.createDataFrame(rows, "ring_id long, pos long, x long, y long")
+    got = {r["ring_id"]: (r["n_vertices"], r["violations"], r["valid"])
+           for r in validate_rings(df).collect()}
+    assert got[0] == (4, -1, False)   # quarantined, NOT reshaped
+    assert got[1] == (3, 0, True)     # clean sibling unaffected
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE rvn (ring_id BIGINT, pos BIGINT,"
+                " x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO rvn VALUES (?, ?, ?, ?)", rows)
+    exp = {int(a): (int(b), int(c), bool(d)) for a, b, c, d in con.execute(
+        sql_validate_rings("SELECT * FROM rvn")).fetchall()}
+    assert exp == got
