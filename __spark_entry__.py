@@ -3647,6 +3647,65 @@ def _sql_returned_items() -> str:
     """
 
 
+_Q7_N1, _Q7_N2 = "NATION_3", "NATION_7"
+
+
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): bidirectional nation-pair
+    trade by ship year — the double-dimension join (nation joined TWICE
+    under different roles) plus a disjunctive pair predicate and a
+    year() rollup. Both nation sides broadcast; the pair filter applies
+    AFTER both role joins (the standard Q7 trap is pushing one arm of
+    the OR into a single-role filter). Cents recipe as Q3/Q5/Q10/Q18."""
+    from pyspark.sql import functions as F
+
+    sf = sf_dir
+    supp = spark.read.parquet(f"{sf}/supplier.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    n1 = spark.read.parquet(f"{sf}/nation.parquet").selectExpr(
+        "n_nationkey AS n1_key", "n_name AS supp_nation")
+    n2 = spark.read.parquet(f"{sf}/nation.parquet").selectExpr(
+        "n_nationkey AS n2_key", "n_name AS cust_nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            f"(supp_nation = '{_Q7_N1}' AND cust_nation = '{_Q7_N2}')"
+            f" OR (supp_nation = '{_Q7_N2}' AND cust_nation = '{_Q7_N1}')"
+        )
+        .selectExpr(
+            "supp_nation", "cust_nation",
+            "year(l_shipdate) AS l_year",
+            "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)"
+            " AS BIGINT) AS cents",
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )
+
+
+def _sql_volume_shipping() -> str:
+    return f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                    * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM supplier, lineitem, orders, customer,
+             nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+            OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}'))
+        GROUP BY 1, 2, 3
+    """
+
+
 _Q18_MINQTY = 300
 
 
@@ -5692,6 +5751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_volume": q_supplier_volume,
         "returned_items": q_returned_items,
         "large_orders": q_large_orders,
+        "volume_shipping": q_volume_shipping,
     }
 
 
@@ -6165,6 +6225,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_volume": _sql_supplier_volume(),
         "returned_items": _sql_returned_items(),
         "large_orders": _sql_large_orders(),
+        "volume_shipping": _sql_volume_shipping(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
