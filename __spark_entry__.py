@@ -3647,6 +3647,26 @@ def _sql_returned_items() -> str:
     """
 
 
+def q_lisa(spark, sf_dir):
+    """Local Moran's I / LISA (operators/moran.py::lisa_moran): the
+    per-cell decomposition of the global statistic — cluster members
+    read positive, spatial outliers negative; Σ d_i·nbr_dev_sum_i
+    equals the global numerator (pytest-asserted identity). Shared
+    _rook_pairs plan; every shuffled value exact BIGINT, one IEEE
+    chain per cell. Oracle: INDEPENDENT brute-force neighbor sum over
+    the shared CTE preamble."""
+    from core_spark.operators.moran import cell_counts, lisa_moran
+
+    pts = _points(spark, sf_dir, wide=False)
+    return lisa_moran(cell_counts(pts, _MORAN_CELL))
+
+
+def _sql_lisa() -> str:
+    from core_spark.operators.moran import sql_lisa_moran
+
+    return sql_lisa_moran(_POINTS_SQL, _MORAN_CELL)
+
+
 _Q7_N1, _Q7_N2 = "NATION_3", "NATION_7"
 
 
@@ -5752,6 +5772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items": q_returned_items,
         "large_orders": q_large_orders,
         "volume_shipping": q_volume_shipping,
+        "lisa": q_lisa,
     }
 
 
@@ -6226,6 +6247,7 @@ def oracle_sql() -> dict[str, str]:
         "returned_items": _sql_returned_items(),
         "large_orders": _sql_large_orders(),
         "volume_shipping": _sql_volume_shipping(),
+        "lisa": _sql_lisa(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",

@@ -381,3 +381,72 @@ SELECT n_cells, w_edges, num, den,
        ELSE CAST(NULL AS DOUBLE) END AS geary_c
 FROM node, edge
 """
+
+
+def lisa_moran(cells: DataFrame) -> DataFrame:
+    """Local Moran's I (LISA, Anselin 1995) over (cx, cy, x BIGINT).
+
+    The decomposition of the global statistic: per cell,
+    I_i = n * d_i * sum_{j in N(i)} d_j / den (rook neighbors, cleared
+    deviations d = n*x - S, den = sum d^2) — positive I_i marks a
+    high-high or low-low cluster member, negative a spatial outlier
+    (high cell in a low neighborhood or vice versa). The identity
+    sum_i(d_i * nbr_dev_sum_i) = morans_i.num ties local to global and
+    is pytest-asserted. Every shuffled value is an exact BIGINT; the
+    reported double is one IEEE chain (the family recipe). NULL when
+    the global statistic is undefined (constant surface) — isolated
+    cells report nbr_dev_sum 0 and lisa 0.
+
+    Output: cx, cy, x, dev (d_i), nbr_dev_sum, lisa.
+    """
+    base = _pin_cells(cells)
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    dev = pin(base.crossJoin(F.broadcast(totals)).selectExpr(
+        "cx", "cy", "x", "n AS _n", "n * x - s AS d"
+    ))
+    nbr = (
+        _rook_pairs(dev, "d", "d_i", "d_j")
+        .groupBy("nx", "ny")
+        .agg(F.sum("d_i").alias("nbr_dev_sum"))
+    )
+    den = dev.agg(F.sum(F.expr("d * d")).alias("_den"))
+    return (
+        dev.join(nbr.selectExpr("nx AS cx", "ny AS cy", "nbr_dev_sum"),
+                 ["cx", "cy"], "left_outer")
+        .crossJoin(F.broadcast(den))
+        .selectExpr(
+            "cx", "cy", "x", "d AS dev",
+            "coalesce(nbr_dev_sum, 0L) AS nbr_dev_sum",
+            "CASE WHEN _den > 0 THEN"
+            " CAST(_n AS DOUBLE)"
+            " * CAST(d * coalesce(nbr_dev_sum, 0L) AS DOUBLE)"
+            " / CAST(_den AS DOUBLE)"
+            " ELSE CAST(NULL AS DOUBLE) END AS lisa",
+        )
+    )
+
+
+def sql_lisa_moran(src: str, cell: float,
+                   lat: str = "lat", lon: str = "lon") -> str:
+    """DuckDB twin: the brute-force O(c^2) non-equi neighbor sum over
+    the shared cells/tot/dev preamble — the independent plan."""
+    return _sql_cells_dev(src, cell, lat, lon) + f""",
+nbr AS (
+  SELECT a.cx, a.cy,
+         CAST(COALESCE(SUM(b.d), 0) AS BIGINT) AS nbr_dev_sum
+  FROM dev a LEFT JOIN dev b
+    ON abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1
+  GROUP BY a.cx, a.cy
+),
+den AS (SELECT CAST(SUM(d * d) AS BIGINT) AS _den FROM dev)
+SELECT v.cx, v.cy, v.x, v.d AS dev, nbr.nbr_dev_sum,
+       CASE WHEN _den > 0 THEN
+         CAST((SELECT n FROM tot) AS DOUBLE)
+         * CAST(v.d * nbr.nbr_dev_sum AS DOUBLE)
+         / CAST(_den AS DOUBLE)
+       ELSE CAST(NULL AS DOUBLE) END AS lisa
+FROM dev v JOIN nbr ON nbr.cx = v.cx AND nbr.cy = v.cy
+CROSS JOIN den
+"""

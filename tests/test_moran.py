@@ -247,3 +247,58 @@ def test_geary_random_lattice_matches_model_and_duckdb(spark):
                 + ",".join(f"({a},{b})" for a, b in pts) + ") t(lat, lon)")
     exp = con.execute(sql_gearys_c("SELECT lat, lon FROM gsrc", 1.0)).fetchone()
     assert tuple(got) == tuple(exp)  # bit-identical incl. the double
+
+
+# -------------------------------------------------------------- LISA --
+
+from core_spark.operators.moran import lisa_moran, sql_lisa_moran  # noqa: E402
+
+
+def _run_lisa(spark, cells):
+    df = spark.createDataFrame(cells, "cx long, cy long, x long")
+    return {(r["cx"], r["cy"]): (r["x"], r["dev"], r["nbr_dev_sum"], r["lisa"])
+            for r in lisa_moran(df).collect()}
+
+
+def test_lisa_signs_and_global_decomposition(spark):
+    # two-block surface: interior cells are high-high/low-low (I_i > 0);
+    # and sum_i d_i*nbrsum_i must equal the GLOBAL moran numerator
+    cells = [(cx, cy, 100 if cx < 2 else 1) for cx in range(4)
+             for cy in range(4)]
+    got = _run_lisa(spark, cells)
+    assert got[(0, 0)][3] > 0 and got[(3, 3)][3] > 0   # cluster members
+    local_num = sum(v[1] * v[2] for v in got.values())
+    r = _run(spark, cells)  # the global statistic from the same module
+    assert local_num == r["num"]
+
+
+def test_lisa_outlier_is_negative(spark):
+    # a lone spike in a flat field: the spike and its hood are outliers
+    cells = [(cx, cy, 50 if (cx, cy) == (2, 2) else 1)
+             for cx in range(5) for cy in range(5)]
+    got = _run_lisa(spark, cells)
+    assert got[(2, 2)][3] < 0          # high cell, low neighborhood
+    assert got[(2, 1)][3] < 0          # low cell, spiked neighborhood
+
+
+def test_lisa_constant_and_isolated(spark):
+    assert all(v[3] is None for v in
+               _run_lisa(spark, [(cx, 0, 7) for cx in range(4)]).values())
+    got = _run_lisa(spark, [(0, 0, 1), (9, 9, 5)])
+    assert got[(0, 0)][2] == 0 and got[(0, 0)][3] == 0.0
+
+
+def test_lisa_matches_duckdb(spark):
+    cells = [(cx, cy, (cx * 7 + cy * 13) % 23 + ((cx * cy) % 5) * 11)
+             for cx in range(6) for cy in range(5) if (cx + 2 * cy) % 7 != 0]
+    pts = [(float(cy) + 0.5, float(cx) + 0.5)
+           for cx, cy, x in cells for _ in range(x)]
+    pdf = spark.createDataFrame(pts, "lat double, lon double")
+    got = sorted(tuple(r) for r in
+                 lisa_moran(cell_counts(pdf, 1.0)).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lsrc AS SELECT * FROM (VALUES "
+                + ",".join(f"({a},{b})" for a, b in pts) + ") t(lat, lon)")
+    exp = sorted(tuple(r) for r in con.execute(
+        sql_lisa_moran("SELECT lat, lon FROM lsrc", 1.0)).fetchall())
+    assert got == exp  # bit-identical incl. the double chain
