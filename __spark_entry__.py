@@ -3667,6 +3667,99 @@ def _sql_lisa() -> str:
     return sql_lisa_moran(_POINTS_SQL, _MORAN_CELL)
 
 
+def q_order_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking): EXISTS as a LEFT-SEMI
+    join — orders in a quarter with at least one late-shipped line
+    (shipdate > orderdate + 90 days; the driver schema has no
+    commit/receipt dates, so lateness is defined against the order
+    date), counted per priority. The semi join never duplicates an
+    order with many late lines — the correctness point of the shape."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _sql_order_priority_check() -> str:
+    return """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+    """
+
+
+def q_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape (promo revenue share): conditional-aggregate
+    ratio per ship month — part dimension broadcast (2k rows), revenue
+    cents-quantized per line, the share computed as ONE division of two
+    exact BIGINTs (never a ratio of double sums)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .selectExpr(
+            "date_trunc('month', l_shipdate) AS ship_month",
+            "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)"
+            " AS BIGINT) AS cents",
+            "p_type = 'ECONOMY' AS is_promo",
+        )
+        .groupBy("ship_month")
+        .agg(
+            F.sum(F.expr("CASE WHEN is_promo THEN cents ELSE 0L END"))
+            .alias("promo_cents"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .selectExpr(
+            "ship_month", "promo_cents", "total_cents",
+            "100.0 * CAST(promo_cents AS DOUBLE)"
+            " / CAST(total_cents AS DOUBLE) AS promo_pct",
+        )
+    )
+
+
+def _sql_promo_share() -> str:
+    return """
+        SELECT ship_month, promo_cents, total_cents,
+               100.0 * CAST(promo_cents AS DOUBLE)
+                 / CAST(total_cents AS DOUBLE) AS promo_pct
+        FROM (
+          SELECT date_trunc('month', l_shipdate) AS ship_month,
+                 CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN
+                   CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                        * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT)
+                   AS promo_cents,
+                 CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                      * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
+          FROM lineitem, part
+          WHERE l_partkey = p_partkey
+          GROUP BY 1
+        )
+    """
+
+
 _Q7_N1, _Q7_N2 = "NATION_3", "NATION_7"
 
 
@@ -5773,6 +5866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "volume_shipping": q_volume_shipping,
         "lisa": q_lisa,
+        "order_priority_check": q_order_priority_check,
+        "promo_share": q_promo_share,
     }
 
 
@@ -6248,6 +6343,8 @@ def oracle_sql() -> dict[str, str]:
         "large_orders": _sql_large_orders(),
         "volume_shipping": _sql_volume_shipping(),
         "lisa": _sql_lisa(),
+        "order_priority_check": _sql_order_priority_check(),
+        "promo_share": _sql_promo_share(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
