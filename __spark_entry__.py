@@ -3647,6 +3647,48 @@ def _sql_returned_items() -> str:
     """
 
 
+# Emerging-hotspot fixture: 8 time buckets; western cells lose half
+# their late-bucket mass (falling) and eastern cells half their early
+# mass (rising) — one WHERE, identical text both engines.
+_EMERG_BUCKET = "(doc_id * 13) % 8"
+_EMERG_KEEP = (
+    "NOT (lon < 0 AND bucket >= 4 AND doc_id % 2 = 0)"
+    " AND NOT (lon >= 0 AND bucket < 4 AND doc_id % 2 = 0)"
+)
+_EMERG_T, _EMERG_THRESH = 8, 5
+
+
+def q_emerging_hotspots(spark, sf_dir):
+    """Emerging hot spots (operators/emerging.py): Mann-Kendall trend
+    per space-time-cube cell — where is density RISING, not just
+    extreme (the GIS emerging-hot-spot analysis). S = Σ sign(n_j−n_i)
+    is rank-based and PURE INTEGER — the first family member whose
+    exactness costs nothing; two hash-aggs + one codegen'd projection,
+    zero joins, zero Python; zero-fill via the pivot. Oracle: the
+    INDEPENDENT no-pivot plan (bucket spine + positional pair
+    self-join)."""
+    from core_spark.operators.emerging import emerging_hotspots
+
+    pts = (
+        _points(spark, sf_dir, wide=False)
+        .selectExpr("doc_id", "lat", "lon", f"{_EMERG_BUCKET} AS bucket")
+        .where(_EMERG_KEEP)
+    )
+    return emerging_hotspots(
+        pts, _MORAN_CELL, _EMERG_T, _EMERG_THRESH)
+
+
+def _sql_emerging_hotspots() -> str:
+    from core_spark.operators.emerging import sql_emerging_hotspots
+
+    src = (f"SELECT doc_id, lat, lon, {_EMERG_BUCKET} AS bucket"
+           f" FROM ({_POINTS_SQL})")
+    return sql_emerging_hotspots(
+        f"SELECT * FROM ({src}) WHERE {_EMERG_KEEP}",
+        _MORAN_CELL, _EMERG_T, _EMERG_THRESH,
+    )
+
+
 def q_lisa(spark, sf_dir):
     """Local Moran's I / LISA (operators/moran.py::lisa_moran): the
     per-cell decomposition of the global statistic — cluster members
@@ -5868,6 +5910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lisa": q_lisa,
         "order_priority_check": q_order_priority_check,
         "promo_share": q_promo_share,
+        "emerging_hotspots": q_emerging_hotspots,
     }
 
 
@@ -6345,6 +6388,7 @@ def oracle_sql() -> dict[str, str]:
         "lisa": _sql_lisa(),
         "order_priority_check": _sql_order_priority_check(),
         "promo_share": _sql_promo_share(),
+        "emerging_hotspots": _sql_emerging_hotspots(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
