@@ -4674,6 +4674,35 @@ def _sql_trajectories() -> str:
     )
 
 
+def q_od_flows(spark, sf_dir):
+    """Origin-destination flow matrix (operators/odmatrix.py): per
+    (user, day) the first/last ping define a trip; trips aggregate to
+    per-cell-pair flows scored against the gravity/independence
+    expectation m_o·m_d/N from the matrix's own marginals. Exact
+    BIGINT counts + cross-multiplied anomaly gate; lift is one IEEE
+    multiply/divide chain (nothing floating is summed). Two uniform
+    hash-aggs, pinned multi-consumer flow matrix, cell-bounded
+    marginals come back as broadcast joins. Oracle: ROW_NUMBER
+    endpoints + window-SUM marginals — a fully different plan."""
+    from core_spark.operators.odmatrix import od_flows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "ts", "event_id",
+        f"{TRAJ_LAT} AS lat", f"{TRAJ_LON} AS lon",
+    )
+    return od_flows(ev, 5.0)
+
+
+def _sql_od_flows() -> str:
+    from core_spark.operators.odmatrix import sql_od_flows
+
+    return sql_od_flows(
+        "SELECT user_id, ts, event_id,"
+        f" {TRAJ_LAT} AS lat, {TRAJ_LON} AS lon FROM events",
+        5.0,
+    )
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery entry point (robots.robots_sitemap_urls):
     sitemaps.org designates robots.txt as the canonical place a site
@@ -5911,6 +5940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_check": q_order_priority_check,
         "promo_share": q_promo_share,
         "emerging_hotspots": q_emerging_hotspots,
+        "od_flows": q_od_flows,
     }
 
 
@@ -6389,6 +6419,7 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_check": _sql_order_priority_check(),
         "promo_share": _sql_promo_share(),
         "emerging_hotspots": _sql_emerging_hotspots(),
+        "od_flows": _sql_od_flows(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
