@@ -4674,6 +4674,32 @@ def _sql_trajectories() -> str:
     )
 
 
+_PHRASE = ["value", "table"]  # 38 docs / 42 hits at sf0.01: overlap arm live
+
+
+def q_phrase_search(spark, sf_dir):
+    """Positional phrase search (operators/phrases.py): exact
+    token-sequence retrieval — the order-aware primitive BM25's bag of
+    words cannot express. The driver-literal phrase compiles into ONE
+    within-row HOF projection (indexed tokens → per-term shifted
+    positions → L-way array_intersect): zero shuffles, zero Python,
+    map-side only. The oracle runs the OTHER plan — the textbook
+    positional-index explode + offset self-join — so the within-row
+    algebra is gated against honest postings arithmetic. match_count
+    counts overlapping occurrences; first_pos is 0-based (repo span
+    convention)."""
+    from core_spark.operators.phrases import phrase_search
+
+    return phrase_search(
+        _docs(spark, sf_dir, wide=False).select("doc_id", "text"), _PHRASE)
+
+
+def _sql_phrase_search() -> str:
+    from core_spark.operators.phrases import sql_phrase_search
+
+    return sql_phrase_search("SELECT doc_id, text FROM documents", _PHRASE)
+
+
 def q_od_flows(spark, sf_dir):
     """Origin-destination flow matrix (operators/odmatrix.py): per
     (user, day) the first/last ping define a trip; trips aggregate to
@@ -5941,6 +5967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_share": q_promo_share,
         "emerging_hotspots": q_emerging_hotspots,
         "od_flows": q_od_flows,
+        "phrase_search": q_phrase_search,
     }
 
 
@@ -6420,6 +6447,7 @@ def oracle_sql() -> dict[str, str]:
         "promo_share": _sql_promo_share(),
         "emerging_hotspots": _sql_emerging_hotspots(),
         "od_flows": _sql_od_flows(),
+        "phrase_search": _sql_phrase_search(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
