@@ -4676,6 +4676,35 @@ def _sql_trajectories() -> str:
 
 _PHRASE = ["value", "table"]  # 38 docs / 42 hits at sf0.01: overlap arm live
 
+# Veto arms measurably fire at sf0.01: sortmerge 320->48, hashagg 321->47.
+_ROUTES = [
+    ("route_sortmerge", ["sort", "merge"], ["slow"]),
+    ("route_sparkwin", ["spark", "window"], []),
+    ("route_hashagg", ["hash", "agg"], ["scan"]),
+]
+
+
+def q_query_route(spark, sf_dir):
+    """Standing-query routing (operators/percolate.py): a registry of
+    named boolean queries (req terms AND-ed, veto terms excluded) —
+    the percolator/topic-routing shape, and detect.py's D3+D8
+    matcher/veto semantics transplanted to webtext. The registry
+    compiles into ONE literal array-of-structs inside a codegen'd
+    projection (bpe.py artifact pattern): zero joins, zero shuffles,
+    zero Python — classification is embarrassingly parallel at crawl
+    scale. Oracle: the INVERTED plan (postings join + arity check +
+    veto anti-join)."""
+    from core_spark.operators.percolate import route_queries
+
+    return route_queries(
+        _docs(spark, sf_dir, wide=False).select("doc_id", "text"), _ROUTES)
+
+
+def _sql_query_route() -> str:
+    from core_spark.operators.percolate import sql_route_queries
+
+    return sql_route_queries("SELECT doc_id, text FROM documents", _ROUTES)
+
 
 def q_phrase_search(spark, sf_dir):
     """Positional phrase search (operators/phrases.py): exact
@@ -5968,6 +5997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_hotspots": q_emerging_hotspots,
         "od_flows": q_od_flows,
         "phrase_search": q_phrase_search,
+        "query_route": q_query_route,
     }
 
 
@@ -6448,6 +6478,7 @@ def oracle_sql() -> dict[str, str]:
         "emerging_hotspots": _sql_emerging_hotspots(),
         "od_flows": _sql_od_flows(),
         "phrase_search": _sql_phrase_search(),
+        "query_route": _sql_query_route(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
