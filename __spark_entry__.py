@@ -4758,6 +4758,36 @@ def _sql_od_flows() -> str:
     )
 
 
+def q_co_visits(spark, sf_dir):
+    """Co-visitation pairs (operators/covisit.py): entities sharing >=3
+    distinct (10°-cell, day) buckets — contact_join's coarse,
+    repeated-evidence sibling (companionship, not instantaneous
+    proximity). Crowded buckets (>10 distinct users) drop BEFORE
+    pairing — the Crandall et al. inverse-crowd rule, which is also
+    the |B|² skew fix — and the cap is MEASURABLY live at sf0.01
+    (8,482 → 4,518 pairs). Exact integer-µs bucketing, one pinned
+    visit table, composite-key equi self-join, never cartesian.
+    Oracle: the INDEPENDENT brute-force entity-pair plan over
+    list-intersected visit sets."""
+    from core_spark.operators.covisit import co_visits
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "ts",
+        f"{TRAJ_LAT} AS lat", f"{TRAJ_LON} AS lon",
+    )
+    return co_visits(ev, 10.0, 86400, min_shared=3, max_bucket_users=10)
+
+
+def _sql_co_visits() -> str:
+    from core_spark.operators.covisit import sql_co_visits
+
+    return sql_co_visits(
+        "SELECT user_id, ts,"
+        f" {TRAJ_LAT} AS lat, {TRAJ_LON} AS lon FROM events",
+        10.0, 86400, min_shared=3, max_bucket_users=10,
+    )
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery entry point (robots.robots_sitemap_urls):
     sitemaps.org designates robots.txt as the canonical place a site
@@ -5998,6 +6028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_flows": q_od_flows,
         "phrase_search": q_phrase_search,
         "query_route": q_query_route,
+        "co_visits": q_co_visits,
     }
 
 
@@ -6479,6 +6510,7 @@ def oracle_sql() -> dict[str, str]:
         "od_flows": _sql_od_flows(),
         "phrase_search": _sql_phrase_search(),
         "query_route": _sql_query_route(),
+        "co_visits": _sql_co_visits(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
