@@ -4788,6 +4788,33 @@ def _sql_co_visits() -> str:
     )
 
 
+def q_geo_terms(spark, sf_dir):
+    """Per-cell distinctive terms (operators/geoterms.py): the direct
+    fusion of the graft's two axes — per 15° grid cell, the top-5
+    terms by (cell support DESC, global df ASC, term ASC), the
+    integer-exact ranking a lift score induces along each axis
+    (termstats.py stance: no libm in compared values). One pinned
+    multi-consumer hit table, two uniform hash-aggs, one term-keyed
+    equi join of two vocabulary-sized aggregates, WindowGroupLimit
+    top-k (plan-asserted). Oracle: global df via a WINDOW over raw
+    hits instead of the join."""
+    from core_spark.operators.geoterms import geo_terms
+
+    docs = _docs(spark, sf_dir, wide=False).selectExpr(
+        "doc_id", "text", f"{LAT_EXPR} AS lat", f"{LON_EXPR} AS lon")
+    return geo_terms(docs, _MORAN_CELL, k=5, min_cell_df=2)
+
+
+def _sql_geo_terms() -> str:
+    from core_spark.operators.geoterms import sql_geo_terms
+
+    return sql_geo_terms(
+        f"SELECT doc_id, text, {LAT_EXPR} AS lat, {LON_EXPR} AS lon"
+        " FROM documents",
+        _MORAN_CELL, k=5, min_cell_df=2,
+    )
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery entry point (robots.robots_sitemap_urls):
     sitemaps.org designates robots.txt as the canonical place a site
@@ -6029,6 +6056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "query_route": q_query_route,
         "co_visits": q_co_visits,
+        "geo_terms": q_geo_terms,
     }
 
 
@@ -6511,6 +6539,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": _sql_phrase_search(),
         "query_route": _sql_query_route(),
         "co_visits": _sql_co_visits(),
+        "geo_terms": _sql_geo_terms(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
