@@ -4815,6 +4815,57 @@ def _sql_geo_terms() -> str:
     )
 
 
+# Emerging-terms fixture: the drift attribute must be INDEPENDENT of
+# the bucket residue — bucket = 5·doc_id mod 8 is a bijection of
+# doc_id mod 8, so any doc_id-parity condition collapses to a fixed
+# per-bucket constant (measured: the parity version planted a comb,
+# not a ramp). FLOOR(doc_id/8.0)%8 < bucket gives P(term|b) = b/8.
+_ETERM_RAMP = "CAST(FLOOR(doc_id / 8.0) AS BIGINT) % 8"
+_ETERM_TEXT = (
+    f"text || (CASE WHEN lon >= 0 AND {_ETERM_RAMP} < bucket"
+    " THEN ' localboom' ELSE '' END)"
+    f" || (CASE WHEN lon < 0 AND {_ETERM_RAMP} < (7 - bucket)"
+    " THEN ' localbust' ELSE '' END)"
+)
+
+
+def _eterm_src_sql() -> str:
+    return (
+        f"SELECT doc_id, lat, lon, bucket, {_ETERM_TEXT} AS text FROM"
+        f" (SELECT doc_id, text, {LAT_EXPR} AS lat, {LON_EXPR} AS lon,"
+        f" {_EMERG_BUCKET} AS bucket FROM documents)"
+    )
+
+
+def q_emerging_terms(spark, sf_dir):
+    """Emerging topics per region (operators/emergterms.py): the
+    Mann-Kendall space-time cube keyed by (cell, TERM) — which topics
+    are RISING where, the geo_terms × emerging_hotspots composition.
+    Document-frequency counting (array_distinct before the explode:
+    one spammy page can't fake a trend), one uniform cube hash-agg,
+    the T-column pivot, sign terms in one projection — zero joins,
+    zero Python; min_total cuts the vocabulary tail inside the pivot
+    HAVING. Planted regional drift is live: 'localboom' rises in all
+    4 east cells, 'localbust' falls in all 4 west. Oracle: the
+    independent no-pivot spine + positional pair self-join."""
+    from core_spark.operators.emergterms import emerging_terms
+
+    docs = _docs(spark, sf_dir, wide=False).selectExpr(
+        "doc_id", "text",
+        f"{LAT_EXPR} AS lat", f"{LON_EXPR} AS lon",
+        f"{_EMERG_BUCKET} AS bucket",
+    ).selectExpr("doc_id", "lat", "lon", "bucket",
+                 f"{_ETERM_TEXT} AS text")
+    return emerging_terms(docs, 90.0, 8, threshold=8, min_total=15)
+
+
+def _sql_emerging_terms_q() -> str:
+    from core_spark.operators.emergterms import sql_emerging_terms
+
+    return sql_emerging_terms(_eterm_src_sql(), 90.0, 8,
+                              threshold=8, min_total=15)
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery entry point (robots.robots_sitemap_urls):
     sitemaps.org designates robots.txt as the canonical place a site
@@ -6057,6 +6108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_route": q_query_route,
         "co_visits": q_co_visits,
         "geo_terms": q_geo_terms,
+        "emerging_terms": q_emerging_terms,
     }
 
 
@@ -6540,6 +6592,7 @@ def oracle_sql() -> dict[str, str]:
         "query_route": _sql_query_route(),
         "co_visits": _sql_co_visits(),
         "geo_terms": _sql_geo_terms(),
+        "emerging_terms": _sql_emerging_terms_q(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
