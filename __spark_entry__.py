@@ -4866,6 +4866,28 @@ def _sql_emerging_terms_q() -> str:
                               threshold=8, min_total=15)
 
 
+def q_regionize(spark, sf_dir):
+    """Raster region labeling (operators/regions.py): connected blobs
+    of active cells (count >= 2, rook) — the GIS dissolve, composed
+    entirely from audited primitives: cell_counts hash-agg →
+    _rook_pairs shifted-key adjacency (the ESDA family's ONE
+    adjacency plan) → Kiveris large/small-star CC → label join with
+    isolated cells keeping their own id; region sizes ride one window
+    over the bounded region key. 174 cells → 12 regions (one 152-cell
+    continent + islands) at every SF. Oracle: the INDEPENDENT
+    algorithm end to end — non-equi |Δ|=1 adjacency + recursive-CTE
+    min-label closure (dbscan convention)."""
+    from core_spark.operators.regions import regionize
+
+    return regionize(_points(spark, sf_dir, wide=False), 15.0, min_count=2)
+
+
+def _sql_regionize() -> str:
+    from core_spark.operators.regions import sql_regionize
+
+    return sql_regionize(_POINTS_SQL, 15.0, min_count=2)
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery entry point (robots.robots_sitemap_urls):
     sitemaps.org designates robots.txt as the canonical place a site
@@ -6109,6 +6131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "co_visits": q_co_visits,
         "geo_terms": q_geo_terms,
         "emerging_terms": q_emerging_terms,
+        "regionize": q_regionize,
     }
 
 
@@ -6593,6 +6616,7 @@ def oracle_sql() -> dict[str, str]:
         "co_visits": _sql_co_visits(),
         "geo_terms": _sql_geo_terms(),
         "emerging_terms": _sql_emerging_terms_q(),
+        "regionize": _sql_regionize(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
