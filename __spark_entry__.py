@@ -4888,6 +4888,40 @@ def _sql_regionize() -> str:
     return sql_regionize(_POINTS_SQL, 15.0, min_count=2)
 
 
+def q_crawl_budget(spark, sf_dir):
+    """Hamilton apportionment (operators/apportion.py): split a 10k-slot
+    crawl budget across the raster density cells — the scheduling end
+    of the emerging-hotspot story. floor quota (B·m DIV M) + the
+    leftover slots to the R largest remainders (remainder DESC, cell
+    ASC tie-break): Σ alloc == B EXACTLY, every stratum within 1 of
+    its real quota, pure BIGINT end to end. One broadcast 1-row total,
+    one codegen'd quota projection, ONE window over the bounded
+    stratum set. Oracle: scalar-subquery total + correlated-count
+    rank — no window."""
+    from core_spark.operators.apportion import apportion_budget
+    from core_spark.operators.moran import cell_counts
+
+    cells = cell_counts(_points(spark, sf_dir, wide=False), 15.0) \
+        .withColumnRenamed("x", "mass")
+    return apportion_budget(cells, 10_000, ["cx", "cy"])
+
+
+def _sql_crawl_budget() -> str:
+    from core_spark.operators.apportion import sql_apportion_budget
+
+    g = 15.0
+    cells = f"""
+        SELECT CAST(FLOOR(lon / {g!r}) AS BIGINT) AS cx,
+               CAST(FLOOR(lat / {g!r}) AS BIGINT) AS cy,
+               CAST(COUNT(*) AS BIGINT) AS mass
+        FROM ({_POINTS_SQL}) p
+        WHERE lat IS NOT NULL AND lon IS NOT NULL
+          AND NOT isnan(lat) AND NOT isnan(lon)
+        GROUP BY 1, 2
+    """
+    return sql_apportion_budget(cells, 10_000, ["cx", "cy"])
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery entry point (robots.robots_sitemap_urls):
     sitemaps.org designates robots.txt as the canonical place a site
@@ -6132,6 +6166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_terms": q_geo_terms,
         "emerging_terms": q_emerging_terms,
         "regionize": q_regionize,
+        "crawl_budget": q_crawl_budget,
     }
 
 
@@ -6617,6 +6652,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_terms": _sql_geo_terms(),
         "emerging_terms": _sql_emerging_terms_q(),
         "regionize": _sql_regionize(),
+        "crawl_budget": _sql_crawl_budget(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
