@@ -4922,6 +4922,37 @@ def _sql_crawl_budget() -> str:
     return sql_apportion_budget(cells, 10_000, ["cx", "cy"])
 
 
+_MM_X = f"((CAST(FLOOR(({TRAJ_LON}) * 4) AS BIGINT) % 29) + 29) % 29"
+_MM_Y = f"((CAST(FLOOR(({TRAJ_LAT}) * 4) AS BIGINT) % 31) + 31) % 31"
+
+
+def q_map_match(spark, sf_dir):
+    """Greedy map matching (operators/mapmatch.py): event pings folded
+    into the roads frame → snap candidates (shared snap.py one-sided
+    blocking, distance key kept) → per-ping argmin via min(STRUCT(IEEE
+    num/den double, seg)) — equal rationals are equal doubles, ties
+    fall to the id, deterministic on both engines → per-user lag
+    window → road-to-road transition counts (the road-network
+    odmatrix). Unmatched pings drop out of the sequence; dwells are
+    not transitions. Oracle: gridless O(n·m) snap + ROW_NUMBER argmin
+    — independent of blocking and struct extrema."""
+    from core_spark.operators.mapmatch import map_match
+
+    pings = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "event_id", f"{_MM_X} AS x", f"{_MM_Y} AS y")
+    roads = _docs(spark, sf_dir, wide=False).selectExpr(
+        *_SEG_LEFT).distinct()
+    return map_match(pings, roads, eps=2, cell=4.0)
+
+
+def _sql_map_match() -> str:
+    from core_spark.operators.mapmatch import sql_map_match
+
+    pings = (f"SELECT user_id, event_id, {_MM_X} AS x, {_MM_Y} AS y"
+             " FROM events")
+    return sql_map_match(pings, _seg_sql(_SEG_LEFT), eps=2)
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery entry point (robots.robots_sitemap_urls):
     sitemaps.org designates robots.txt as the canonical place a site
@@ -6167,6 +6198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_terms": q_emerging_terms,
         "regionize": q_regionize,
         "crawl_budget": q_crawl_budget,
+        "map_match": q_map_match,
     }
 
 
@@ -6653,6 +6685,7 @@ def oracle_sql() -> dict[str, str]:
         "emerging_terms": _sql_emerging_terms_q(),
         "regionize": _sql_regionize(),
         "crawl_budget": _sql_crawl_budget(),
+        "map_match": _sql_map_match(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
