@@ -4953,6 +4953,32 @@ def _sql_map_match() -> str:
     return sql_map_match(pings, _seg_sql(_SEG_LEFT), eps=2)
 
 
+_ZQ_BOX = (-20.0, 30.0, -60.0, 40.0)  # lat_min, lat_max, lon_min, lon_max
+
+
+def q_zorder_bbox(spark, sf_dir):
+    """Z-order bbox query (operators/zquery.py): the read-side payoff
+    of zorder_layout — the box becomes <=64 contiguous Morton ranges
+    (driver-side quadtree decomposition, BIGMIN's simpler sibling)
+    plus the residual exact predicate, so correctness NEVER depends on
+    the range budget, only scan cost does (a coarser cover is a
+    superset the residual absorbs). On a laid-out table the ranges are
+    the stats-pruning clause (PushedFilters-asserted in pytest).
+    Oracle: the plain bbox filter with no key machinery."""
+    from core_spark.operators.zquery import bbox_query
+
+    la0, la1, lo0, lo1 = _ZQ_BOX
+    return bbox_query(_points(spark, sf_dir, wide=False),
+                      la0, la1, lo0, lo1)
+
+
+def _sql_zorder_bbox() -> str:
+    from core_spark.operators.zquery import sql_bbox_query
+
+    la0, la1, lo0, lo1 = _ZQ_BOX
+    return sql_bbox_query(_POINTS_SQL, la0, la1, lo0, lo1)
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery entry point (robots.robots_sitemap_urls):
     sitemaps.org designates robots.txt as the canonical place a site
@@ -6199,6 +6225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regionize": q_regionize,
         "crawl_budget": q_crawl_budget,
         "map_match": q_map_match,
+        "zorder_bbox": q_zorder_bbox,
     }
 
 
@@ -6686,6 +6713,7 @@ def oracle_sql() -> dict[str, str]:
         "regionize": _sql_regionize(),
         "crawl_budget": _sql_crawl_budget(),
         "map_match": _sql_map_match(),
+        "zorder_bbox": _sql_zorder_bbox(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
