@@ -4979,6 +4979,34 @@ def _sql_zorder_bbox() -> str:
     return sql_bbox_query(_POINTS_SQL, la0, la1, lo0, lo1)
 
 
+def q_stay_points(spark, sf_dir):
+    """Stay-point detection (operators/staypoints.py): maximal runs of
+    >=3 CONSECUTIVE pings in one 20° cell — dwells, not visits (a
+    return to the same cell opens a NEW stay; consecutiveness is the
+    semantics and the fixture plants a return). Gaps-and-islands via
+    the rn-difference trick; both windows and the rollup share the
+    entity hash clustering — ONE Exchange, plan-asserted. Oracle: the
+    OTHER island formulation (lag change flags + running SUM), so the
+    trick itself is gated."""
+    from core_spark.operators.staypoints import stay_points
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "ts", "event_id",
+        f"{TRAJ_LAT} AS lat", f"{TRAJ_LON} AS lon",
+    )
+    return stay_points(ev, 20.0, min_pings=3)
+
+
+def _sql_stay_points() -> str:
+    from core_spark.operators.staypoints import sql_stay_points
+
+    return sql_stay_points(
+        "SELECT user_id, ts, event_id,"
+        f" {TRAJ_LAT} AS lat, {TRAJ_LON} AS lon FROM events",
+        20.0, min_pings=3,
+    )
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery entry point (robots.robots_sitemap_urls):
     sitemaps.org designates robots.txt as the canonical place a site
@@ -6226,6 +6254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "map_match": q_map_match,
         "zorder_bbox": q_zorder_bbox,
+        "stay_points": q_stay_points,
     }
 
 
@@ -6714,6 +6743,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_budget": _sql_crawl_budget(),
         "map_match": _sql_map_match(),
         "zorder_bbox": _sql_zorder_bbox(),
+        "stay_points": _sql_stay_points(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
