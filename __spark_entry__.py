@@ -5007,6 +5007,35 @@ def _sql_stay_points() -> str:
     )
 
 
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (operators/mirrors.py): verified
+    cross-host near-dup pairs rolled into a host-pair evidence matrix
+    — the site-level drop-the-whole-host signal (RefinedWeb-style).
+    LSH proposes (the audited banded plan), a pure-BIGINT
+    cross-multiplied Jaccard verify disposes (no float anywhere —
+    dedup.py's ratio column replaced by the verdict inequality),
+    least/greatest pair normalization, same-host pairs excluded.
+    Both arms live at sf0.01: 18 host pairs, 3 flagged mirrors.
+    Oracle: the nested independent chain (minhash twin + list_intersect
+    verify + rollup)."""
+    from core_spark.operators.mirrors import mirror_hosts
+
+    docs = _docs(spark, sf_dir, wide=False).selectExpr(
+        "doc_id", "text",
+        "'m' || CAST(doc_id % 16 AS STRING) AS host")
+    return mirror_hosts(docs, min_pairs=2, k=2, n_perm=8, bands=4,
+                        t_num=4, t_den=5)
+
+
+def _sql_mirror_hosts() -> str:
+    from core_spark.operators.mirrors import sql_mirror_hosts
+
+    src = ("(SELECT doc_id, text,"
+           " 'm' || CAST(doc_id % 16 AS VARCHAR) AS host FROM documents)")
+    return sql_mirror_hosts(src, min_pairs=2, k=2, n_perm=8, bands=4,
+                            t_num=4, t_den=5)
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery entry point (robots.robots_sitemap_urls):
     sitemaps.org designates robots.txt as the canonical place a site
@@ -6255,6 +6284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_match": q_map_match,
         "zorder_bbox": q_zorder_bbox,
         "stay_points": q_stay_points,
+        "mirror_hosts": q_mirror_hosts,
     }
 
 
@@ -6744,6 +6774,7 @@ def oracle_sql() -> dict[str, str]:
         "map_match": _sql_map_match(),
         "zorder_bbox": _sql_zorder_bbox(),
         "stay_points": _sql_stay_points(),
+        "mirror_hosts": _sql_mirror_hosts(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
