@@ -5020,10 +5020,14 @@ def q_mirror_hosts(spark, sf_dir):
     verify + rollup)."""
     from core_spark.operators.mirrors import mirror_hosts
 
-    docs = _docs(spark, sf_dir, wide=False).selectExpr(
+    # md5-heavy (corpus shingled twice): the wide doc pool is the
+    # CLAUDE.md asymmetry rule — wide=False measured 28.4s, wide ~9s;
+    # k=3 shingles (the dedup-family default) cut the candidate set
+    # ~8x vs k=2 (46,630 -> weak pairs never reach verify): 9 -> 5.1s
+    docs = _docs(spark, sf_dir).selectExpr(
         "doc_id", "text",
         "'m' || CAST(doc_id % 16 AS STRING) AS host")
-    return mirror_hosts(docs, min_pairs=2, k=2, n_perm=8, bands=4,
+    return mirror_hosts(docs, min_pairs=2, k=3, n_perm=8, bands=4,
                         t_num=4, t_den=5)
 
 
@@ -5032,7 +5036,7 @@ def _sql_mirror_hosts() -> str:
 
     src = ("(SELECT doc_id, text,"
            " 'm' || CAST(doc_id % 16 AS VARCHAR) AS host FROM documents)")
-    return sql_mirror_hosts(src, min_pairs=2, k=2, n_perm=8, bands=4,
+    return sql_mirror_hosts(src, min_pairs=2, k=3, n_perm=8, bands=4,
                             t_num=4, t_den=5)
 
 
