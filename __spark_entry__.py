@@ -5040,6 +5040,47 @@ def _sql_mirror_hosts() -> str:
                             t_num=4, t_den=5)
 
 
+# k-core fixture: a 20-host dense core (+1/+3/+7 ring links), a 10-host
+# chain (20..29) whose peel CASCADES one node per round, and a 67-host
+# periphery with single core links. Modeled: 20-node 3-core after 6
+# peel rounds at sf>=0.01 — the cascade is what the fixture exercises.
+_KCORE_A = "doc_id % 97"
+_KCORE_B = (
+    f"CASE WHEN ({_KCORE_A}) < 20 THEN"
+    f" (({_KCORE_A}) + (CASE CAST(doc_id % 3 AS INT)"
+    " WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 7 END)) % 20"
+    f" WHEN ({_KCORE_A}) < 30 THEN"
+    f" (CASE WHEN doc_id % 2 = 0 AND ({_KCORE_A}) < 29"
+    f" THEN ({_KCORE_A}) + 1 ELSE ({_KCORE_A}) - 10 END)"
+    f" ELSE ({_KCORE_A}) % 20 END"
+)
+
+
+def q_link_kcore(spark, sf_dir):
+    """k-core decomposition (operators/kcore.py): iterative degree-<k
+    peeling to the fixed point — link-farm / spam-core detection, the
+    subgraph question PageRank and triangles don't answer. Per round:
+    one uniform degree hash-agg + two left-semi edge filters, pinned
+    via pin(loop=True); convergence = the kept-edge COUNT repeating
+    (peeling only removes, so an unchanged count IS the fixpoint);
+    non-convergence raises. Oracle: 8 UNROLLED peel rounds with
+    MATERIALIZED CTEs (plain CTEs inline 3^rounds copies — measured
+    DuckDB planner hang, PLANS §100)."""
+    from core_spark.operators.kcore import k_core
+
+    edges = _docs(spark, sf_dir, wide=False).selectExpr(
+        f"{_KCORE_A} AS src", f"{_KCORE_B} AS dst").distinct()
+    return k_core(edges, k=3)
+
+
+def _sql_link_kcore() -> str:
+    from core_spark.operators.kcore import sql_k_core
+
+    edges = (f"SELECT DISTINCT {_KCORE_A} AS src, {_KCORE_B} AS dst"
+             " FROM documents")
+    return sql_k_core(edges, k=3, rounds=8)
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery entry point (robots.robots_sitemap_urls):
     sitemaps.org designates robots.txt as the canonical place a site
@@ -6289,6 +6330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_bbox": q_zorder_bbox,
         "stay_points": q_stay_points,
         "mirror_hosts": q_mirror_hosts,
+        "link_kcore": q_link_kcore,
     }
 
 
@@ -6779,6 +6821,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_bbox": _sql_zorder_bbox(),
         "stay_points": _sql_stay_points(),
         "mirror_hosts": _sql_mirror_hosts(),
+        "link_kcore": _sql_link_kcore(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
