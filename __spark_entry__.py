@@ -5081,6 +5081,34 @@ def _sql_link_kcore() -> str:
     return sql_k_core(edges, k=3, rounds=8)
 
 
+def q_link_clustering(spark, sf_dir):
+    """Local clustering coefficients (triangles.clustering_coefficients):
+    Watts-Strogatz 2T/(d(d−1)) per host over the same derived graph
+    link_triangles counts — the graph-stats family closes with the
+    normalized local density (PageRank = global importance, k-core =
+    subgraph membership, triangles = raw local density, lcc = the
+    normalized form). Exact BIGINT numerator/degree ride along; the
+    coefficient is ONE IEEE chain, bit-identical cross-engine; NULL
+    under degree 2 (undefined, not zero). Oracle: the independent
+    brute-force triple join + the same projection."""
+    from core_spark.operators.triangles import clustering_coefficients
+
+    edges = _docs(spark, sf_dir, wide=False).selectExpr(
+        TRI_EDGE_SPARK.format(side="a") + " AS src",
+        TRI_EDGE_SPARK.format(side="b") + " AS dst",
+    )
+    return clustering_coefficients(edges)
+
+
+def _sql_link_clustering() -> str:
+    from core_spark.operators.triangles import sql_clustering_coefficients
+
+    return sql_clustering_coefficients(
+        f"SELECT {TRI_EDGE_DUCK.format(side='a')} AS src,"
+        f" {TRI_EDGE_DUCK.format(side='b')} AS dst FROM documents"
+    )
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery entry point (robots.robots_sitemap_urls):
     sitemaps.org designates robots.txt as the canonical place a site
@@ -6331,6 +6359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stay_points": q_stay_points,
         "mirror_hosts": q_mirror_hosts,
         "link_kcore": q_link_kcore,
+        "link_clustering": q_link_clustering,
     }
 
 
@@ -6822,6 +6851,7 @@ def oracle_sql() -> dict[str, str]:
         "stay_points": _sql_stay_points(),
         "mirror_hosts": _sql_mirror_hosts(),
         "link_kcore": _sql_link_kcore(),
+        "link_clustering": _sql_link_clustering(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",

@@ -151,3 +151,35 @@ def sql_triangle_counts(edges_sql: str) -> str:
                CAST(COALESCE(p.t, 0) AS BIGINT) AS triangles
         FROM deg d LEFT JOIN pern p ON p.node = d.node
     """
+
+
+_LCC = (
+    "CASE WHEN degree >= 2 THEN"
+    " 2.0 * CAST(triangles AS DOUBLE)"
+    " / (CAST(degree AS DOUBLE) * CAST(degree - 1 AS DOUBLE)) END AS lcc"
+)
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, degree, triangles, lcc): Watts-Strogatz local clustering
+    coefficient 2T/(d(d−1)) per node — the closed-neighborhood density
+    triangle_counts leaves to the caller, emitted here as ONE IEEE
+    multiply/divide chain over the exact BIGINT fields (identical text
+    both engines, so the double is bit-identical; the exact numerator
+    and degree ride along for any caller wanting cross-multiplied
+    comparisons instead). NULL when degree < 2 (the coefficient is
+    undefined, not zero — a leaf is not 'unclustered', it has no
+    wedge to close)."""
+    return triangle_counts(edges, src, dst).selectExpr(
+        "node", "degree", "triangles", _LCC)
+
+
+def sql_clustering_coefficients(edges_sql: str) -> str:
+    """DuckDB twin: the independent brute-force triangle plan + the
+    same one projection."""
+    return (
+        f"SELECT node, degree, triangles, {_LCC}"
+        f" FROM ({sql_triangle_counts(edges_sql)}) base"
+    )

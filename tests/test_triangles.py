@@ -118,3 +118,47 @@ def test_plan_never_cartesian(spark):
 def test_empty_graph(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert triangle_counts(df).count() == 0
+
+
+class TestClusteringCoefficients:
+    """lcc = 2T/(d(d-1)), NULL under degree 2, bit-identical doubles."""
+
+    CASES = [
+        # K4: every node d=3, T=3, lcc=1.0
+        ([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)],
+         {1: (3, 3, 1.0), 2: (3, 3, 1.0), 3: (3, 3, 1.0), 4: (3, 3, 1.0)}),
+        # star: center d=3 T=0 lcc=0.0; leaves d=1 -> NULL
+        ([(0, 1), (0, 2), (0, 3)],
+         {0: (3, 0, 0.0), 1: (1, 0, None), 2: (1, 0, None),
+          3: (1, 0, None)}),
+        # triangle + tail: node 3 has d=3 T=1 -> 1/3
+        ([(1, 2), (2, 3), (3, 1), (3, 4)],
+         {1: (2, 1, 1.0), 2: (2, 1, 1.0), 3: (3, 1, 1.0 / 3.0),
+          4: (1, 0, None)}),
+    ]
+
+    @pytest.mark.parametrize("edges,want", CASES)
+    def test_duckdb_twin(self, edges, want):
+        from core_spark.operators.triangles import (
+            sql_clustering_coefficients,
+        )
+
+        rows = ", ".join(f"({a}, {b})" for a, b in edges)
+        got = {
+            r[0]: (r[1], r[2], r[3])
+            for r in duckdb.sql(sql_clustering_coefficients(
+                f"SELECT * FROM (VALUES {rows}) t(src, dst)")).fetchall()
+        }
+        assert got == want
+
+    @pytest.mark.spark
+    @pytest.mark.parametrize("edges,want", CASES)
+    def test_spark(self, spark, edges, want):
+        from core_spark.operators.triangles import clustering_coefficients
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["degree"], r["triangles"], r["lcc"])
+            for r in clustering_coefficients(df).collect()
+        }
+        assert got == want
