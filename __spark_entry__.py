@@ -5109,6 +5109,100 @@ def _sql_link_clustering() -> str:
     )
 
 
+_GM_CELL = 15.0
+_GM_SCORE = [
+    "coalesce(mentions, 0L) AS mentions",
+    "coalesce(present, 0L) AS present",
+    # lift and the exact gate follow the od_flows recipe: cross-
+    # multiplied BIGINT verdict (exact while m·P fits int64), one IEEE
+    # chain for the reported ratio; p=0 cells with mentions are
+    # over-mentioned by definition (infinite lift), lift NULL there
+    "CASE WHEN coalesce(present, 0L) > 0 AND mtot > 0"
+    " THEN CAST(coalesce(mentions, 0L) AS DOUBLE) * CAST(ptot AS DOUBLE)"
+    " / (CAST(coalesce(present, 0L) AS DOUBLE) * CAST(mtot AS DOUBLE))"
+    " END AS lift",
+    "CAST(coalesce(mentions, 0L) * ptot >"
+    " 2 * coalesce(present, 0L) * mtot AS INT) AS over_mentioned",
+]
+
+
+def q_geo_mentions(spark, sf_dir):
+    """Geo-mention bias capstone: where the corpus TALKS ABOUT vs where
+    it IS FROM — geoparse-extracted mention coordinates (the flagship's
+    G2 regex, the gated stage) and doc-origin points rastered onto the
+    same 15° grid, full-outer joined, each cell scored against the
+    independence expectation with the od_flows recipe (exact
+    cross-multiplied gate at factor 2 + one IEEE lift chain;
+    mention-only cells are over-mentioned by definition). Totals ride
+    a broadcast 1-row aggregate; both rasters pin (multi-consumer).
+    Oracle: window-SUM totals + the same FULL OUTER join — no
+    broadcast machinery."""
+    from pyspark.sql import functions as F
+
+    mentions = q_geoparse_dec(spark, sf_dir).selectExpr(
+        f"CAST(FLOOR(mlat / {_GM_CELL!r}) AS BIGINT) AS cell_i",
+        f"CAST(FLOOR(mlon / {_GM_CELL!r}) AS BIGINT) AS cell_j",
+    ).groupBy("cell_i", "cell_j").agg(
+        F.count(F.lit(1)).cast("long").alias("mentions"))
+    presence = _points(spark, sf_dir, wide=False).selectExpr(
+        f"CAST(FLOOR(lat / {_GM_CELL!r}) AS BIGINT) AS cell_i",
+        f"CAST(FLOOR(lon / {_GM_CELL!r}) AS BIGINT) AS cell_j",
+    ).groupBy("cell_i", "cell_j").agg(
+        F.count(F.lit(1)).cast("long").alias("present"))
+    mentions, presence = pin(mentions), pin(presence)
+    mtot = mentions.agg(F.sum("mentions").cast("long").alias("mtot"))
+    ptot = presence.agg(F.sum("present").cast("long").alias("ptot"))
+    return (
+        mentions.join(presence, ["cell_i", "cell_j"], "full_outer")
+        .crossJoin(F.broadcast(mtot))
+        .crossJoin(F.broadcast(ptot))
+        .selectExpr("cell_i", "cell_j", *_GM_SCORE)
+    )
+
+
+def _sql_geo_mentions() -> str:
+    from core_spark.functions.geoparse import DEC_PATTERN
+
+    mention_src = f"""
+        SELECT CAST(FLOOR(CAST(regexp_extract_all(mention_text,
+                 '{DEC_PATTERN}', 1)[1] AS DOUBLE) / {_GM_CELL!r})
+               AS BIGINT) AS cell_i,
+               CAST(FLOOR(CAST(regexp_extract_all(mention_text,
+                 '{DEC_PATTERN}', 2)[1] AS DOUBLE) / {_GM_CELL!r})
+               AS BIGINT) AS cell_j
+        FROM (SELECT 'located at ' || CAST(doc_id % 90 AS VARCHAR)
+                     || '.1234' || ', -'
+                     || CAST(doc_id % 179 AS VARCHAR) || '.5678'
+                     || ' nearby' AS mention_text
+              FROM documents) t
+    """
+    score = ", ".join(_GM_SCORE).replace("0L", "0")
+    return f"""
+        WITH m AS (
+          SELECT cell_i, cell_j, CAST(COUNT(*) AS BIGINT) AS mentions
+          FROM ({mention_src}) src GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT CAST(FLOOR(lat / {_GM_CELL!r}) AS BIGINT) AS cell_i,
+                 CAST(FLOOR(lon / {_GM_CELL!r}) AS BIGINT) AS cell_j,
+                 CAST(COUNT(*) AS BIGINT) AS present
+          FROM ({_POINTS_SQL}) pts GROUP BY 1, 2
+        ),
+        joined AS (
+          SELECT COALESCE(m.cell_i, p.cell_i) AS cell_i,
+                 COALESCE(m.cell_j, p.cell_j) AS cell_j,
+                 m.mentions, p.present,
+                 CAST(SUM(COALESCE(m.mentions, 0)) OVER () AS BIGINT)
+                   AS mtot,
+                 CAST(SUM(COALESCE(p.present, 0)) OVER () AS BIGINT)
+                   AS ptot
+          FROM m FULL OUTER JOIN p
+            ON m.cell_i = p.cell_i AND m.cell_j = p.cell_j
+        )
+        SELECT cell_i, cell_j, {score} FROM joined
+    """
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery entry point (robots.robots_sitemap_urls):
     sitemaps.org designates robots.txt as the canonical place a site
@@ -6360,6 +6454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "link_kcore": q_link_kcore,
         "link_clustering": q_link_clustering,
+        "geo_mentions": q_geo_mentions,
     }
 
 
@@ -6852,6 +6947,7 @@ def oracle_sql() -> dict[str, str]:
         "mirror_hosts": _sql_mirror_hosts(),
         "link_kcore": _sql_link_kcore(),
         "link_clustering": _sql_link_clustering(),
+        "geo_mentions": _sql_geo_mentions(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
