@@ -5203,6 +5203,55 @@ def _sql_geo_mentions() -> str:
     """
 
 
+# Variogram fixture: digit-decomposed raster scan (the dbscan layout
+# idea) — lat sweeps a 32-unit column on a 0.125 grid, lon advances one
+# 0.125 step per completed column, so density stays ~64 pts/unit² at
+# EVERY scale factor (pairs grow linearly with n, never quadratically)
+# and all four lag bins under radius 1.0 are populated. Value = integer
+# linear trend 2·(lat+lon) + doc_id%5 nugget noise: the classic rising
+# gamma curve with a nonzero nugget. Exact binary fractions; BIGINT
+# values. NOT the modular-lattice shape ((a·d)%m scaled): that set's
+# minimum cross-position distance exceeds any small radius and only the
+# collision bin survives (measured: 1 populated bin).
+_VGM_LAT = "(doc_id % 256) * 0.125"
+_VGM_LON = "((doc_id DIV 256) % 256) * 0.125"
+_VGM_VAL = ("CAST((doc_id % 256) DIV 4 + ((doc_id DIV 256) % 256) DIV 4"
+            " + doc_id % 5 AS BIGINT)")
+_VGM_LAG, _VGM_BINS = 0.25, 4
+
+
+def q_variogram(spark, sf_dir):
+    """Empirical semivariogram (operators/variogram.py): Matheron's
+    gamma(h) per distance bin — spatial autocorrelation diagnostics
+    over geoparsed origins. Composes the audited epsilon-grid pair
+    kernel (range_join_pairs: ×9 replication, ONE equi shuffle, exact
+    integer dist_sq_micro) with radius = lag·n_bins, attaches BIGINT
+    values via two uniform hash joins, bins by one exactly-rounded
+    IEEE sqrt (bit-agreed cross-engine, unlike forbidden trig), and
+    aggregates EXACT integer squared-diff sums; gamma is the single
+    trailing IEEE division riding beside its exact numerator. Oracle:
+    the honest O(n²) cross join + the same binning text."""
+    from core_spark.operators.variogram import variogram
+
+    pts = _docs(spark, sf_dir, wide=False).selectExpr(
+        "doc_id",
+        f"{_VGM_LAT} AS lat",
+        f"{_VGM_LON} AS lon",
+        f"{_VGM_VAL} AS value",
+    )
+    return variogram(pts, _VGM_LAG, _VGM_BINS)
+
+
+def _sql_variogram() -> str:
+    from core_spark.operators.variogram import sql_variogram
+
+    pts = (
+        f"SELECT doc_id, {_VGM_LAT} AS lat, {_VGM_LON} AS lon,"
+        f" {_VGM_VAL} AS value FROM documents"
+    ).replace(" DIV ", " // ")
+    return sql_variogram(pts, _VGM_LAG, _VGM_BINS)
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery entry point (robots.robots_sitemap_urls):
     sitemaps.org designates robots.txt as the canonical place a site
@@ -6455,6 +6504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_kcore": q_link_kcore,
         "link_clustering": q_link_clustering,
         "geo_mentions": q_geo_mentions,
+        "variogram": q_variogram,
     }
 
 
@@ -6948,6 +6998,7 @@ def oracle_sql() -> dict[str, str]:
         "link_kcore": _sql_link_kcore(),
         "link_clustering": _sql_link_clustering(),
         "geo_mentions": _sql_geo_mentions(),
+        "variogram": _sql_variogram(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
