@@ -5220,6 +5220,56 @@ _VGM_VAL = ("CAST((doc_id % 256) DIV 4 + ((doc_id DIV 256) % 256) DIV 4"
 _VGM_LAG, _VGM_BINS = 0.25, 4
 
 
+# Link-prediction fixture (t = doc_id % 480, SF-invariant since every
+# SF has >= 480 docs): ring+chord graph on hosts 0..59 (edges ±1, ±7 —
+# degree 5 with the hub link), a portal hub 100 wired to ALL of 0..59
+# (degree 60 — capped at max_center_degree=8, so its 1,770 pairs of
+# hub-only evidence vanish and only structural ring/bipartite evidence
+# survives), a complete-bipartite block 200..204 × 210..216 (degrees
+# 7/5 — contrasting ra_fp weights), and a NULL-dst hygiene arm.
+_LP_T = "(doc_id % 480)"
+_LP_SRC = (
+    f"CASE WHEN {_LP_T} < 60 THEN {_LP_T}"
+    f" WHEN {_LP_T} < 120 THEN {_LP_T} - 60"
+    f" WHEN {_LP_T} < 240 THEN 100"
+    f" WHEN {_LP_T} < 360 THEN 200 + {_LP_T} % 5"
+    f" ELSE ({_LP_T} - 360) % 60 END"
+)
+_LP_DST = (
+    f"CASE WHEN {_LP_T} < 60 THEN ({_LP_T} + 1) % 60"
+    f" WHEN {_LP_T} < 120 THEN ({_LP_T} - 60 + 7) % 60"
+    f" WHEN {_LP_T} < 240 THEN ({_LP_T} - 120) % 60"
+    f" WHEN {_LP_T} < 360 THEN 210 + {_LP_T} % 7"
+    " ELSE NULL END"
+)
+_LP_CAP = 8
+
+
+def q_link_predict(spark, sf_dir):
+    """Neighborhood link prediction (operators/linkpred.py): common
+    neighbors + fixed-point resource allocation + Jaccard for every
+    non-adjacent host pair — related-site candidates / spam-ring
+    inversion, the prediction flavor the graph family lacked. Hub
+    centers above max_center_degree drop BEFORE wedging (covisit's
+    Crandall inverse-crowd rule = the cap² skew bound; orientation
+    can't help here, both wedge legs are needed). ra_fp = Σ (1e6 DIV
+    deg) exact BIGINT, order-free; jaccard = ONE trailing IEEE chain
+    beside exact factors. Oracle: the INDEPENDENT neighbor-list +
+    list_intersect set-algebra plan."""
+    from core_spark.operators.linkpred import link_predictions
+
+    edges = _docs(spark, sf_dir, wide=False).selectExpr(
+        f"{_LP_SRC} AS src", f"{_LP_DST} AS dst")
+    return link_predictions(edges, _LP_CAP)
+
+
+def _sql_link_predict() -> str:
+    from core_spark.operators.linkpred import sql_link_predictions
+
+    edges = f"SELECT {_LP_SRC} AS src, {_LP_DST} AS dst FROM documents"
+    return sql_link_predictions(edges, _LP_CAP)
+
+
 def q_variogram(spark, sf_dir):
     """Empirical semivariogram (operators/variogram.py): Matheron's
     gamma(h) per distance bin — spatial autocorrelation diagnostics
@@ -6505,6 +6555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_clustering": q_link_clustering,
         "geo_mentions": q_geo_mentions,
         "variogram": q_variogram,
+        "link_predict": q_link_predict,
     }
 
 
@@ -6999,6 +7050,7 @@ def oracle_sql() -> dict[str, str]:
         "link_clustering": _sql_link_clustering(),
         "geo_mentions": _sql_geo_mentions(),
         "variogram": _sql_variogram(),
+        "link_predict": _sql_link_predict(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
