@@ -5203,6 +5203,79 @@ def _sql_geo_mentions() -> str:
     """
 
 
+def q_kn_counts(spark, sf_dir):
+    """Kneser-Ney n-gram count tables (operators/kneserney.py): the
+    four integer statistics interpolated-KN smoothing needs — c(gram),
+    history mass, distinct continuations N1+(h•), distinct
+    predecessors N1+(•s) — over whitespace trigrams of the corpus
+    text. ONE big gram hash-agg (map-side combine absorbs stopword
+    skew); history/continuation stats re-aggregate the PINNED gram
+    table and join back on prefix/suffix keys; short docs drop via a
+    plain filter BEFORE the HOF (never a CASE around it); min_count
+    prunes output AFTER full-distribution stats. Oracle: the
+    INDEPENDENT window plan — all four stats as COUNT/COUNT-DISTINCT
+    windows over RAW gram rows, no re-agg, no joins."""
+    from core_spark.operators.kneserney import kn_ngram_stats
+
+    return kn_ngram_stats(_docs(spark, sf_dir), n=3, min_count=2)
+
+
+def _sql_kn_counts() -> str:
+    from core_spark.operators.kneserney import sql_kn_ngram_stats
+
+    return sql_kn_ngram_stats(
+        "SELECT text FROM documents", n=3, min_count=2)
+
+
+# IDW fixture: digit-decomposed raster of scattered readings (the
+# variogram layout idea at a coarser 0.25 step, both axes mod 50 so the
+# frame is bounded 12.25x12.25 at EVERY scale factor — beyond 2,500
+# docs positions repeat with fresh nugget values, which IDW handles as
+# coincident readings). Value = integer trend 2*lat_step + lon_step +
+# doc_id%7 nugget. cell 2.0 puts node centers on the 0.25 lattice
+# (exact-hit arm: d2=0, w=scale); radius 1.0 keeps ~50 readings per
+# node at 16 pts/unit^2 AND populates the rim nodes whose centers sit
+# 0.75 outside the point hull (radius 0.75 left them empty: 6 rows).
+_IDW_LAT = "(doc_id % 50) * 0.25"
+_IDW_LON = "((doc_id DIV 50) % 50) * 0.25"
+_IDW_VAL = ("CAST((doc_id % 50) * 2 + (doc_id DIV 50) % 50"
+            " + doc_id % 7 AS BIGINT)")
+_IDW_CELL, _IDW_RADIUS = 2.0, 1.0
+
+
+def q_idw(spark, sf_dir):
+    """Inverse-distance-weighted raster fill (operators/idw.py):
+    Shepard power-2 interpolation from scattered readings to a
+    complete lattice — zonal's missing cousin (field AT each node,
+    not contents IN each cell). Weights are FIXED-POINT scale DIV
+    (d2_micro+1) so numerator and denominator are exact BIGINTs,
+    order-free under any shuffle; the estimate is ONE trailing IEEE
+    division. Nodes generate JVM-side from a broadcast 1-row bbox
+    (bm25 literal-table rule) with an in-plan raise_error node-count
+    guard; the epsilon-grid join replicates the cheap NODE side x9
+    (points outnumber nodes at web scale) into ONE uniform equi
+    shuffle. Oracle: the honest O(nodes*points) cross join over the
+    same generated lattice — gates 3x3 neighborhood completeness."""
+    from core_spark.operators.idw import idw_fill
+
+    pts = _docs(spark, sf_dir, wide=False).selectExpr(
+        f"{_IDW_LAT} AS lat",
+        f"{_IDW_LON} AS lon",
+        f"{_IDW_VAL} AS value",
+    )
+    return idw_fill(pts, _IDW_CELL, _IDW_RADIUS)
+
+
+def _sql_idw() -> str:
+    from core_spark.operators.idw import sql_idw_fill
+
+    pts = (
+        f"SELECT {_IDW_LAT} AS lat, {_IDW_LON} AS lon,"
+        f" {_IDW_VAL} AS value FROM documents"
+    ).replace(" DIV ", " // ")
+    return sql_idw_fill(pts, _IDW_CELL, _IDW_RADIUS)
+
+
 # Variogram fixture: digit-decomposed raster scan (the dbscan layout
 # idea) — lat sweeps a 32-unit column on a 0.125 grid, lon advances one
 # 0.125 step per completed column, so density stays ~64 pts/unit² at
@@ -6556,6 +6629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_mentions": q_geo_mentions,
         "variogram": q_variogram,
         "link_predict": q_link_predict,
+        "kn_counts": q_kn_counts,
+        "idw": q_idw,
     }
 
 
@@ -7051,6 +7126,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_mentions": _sql_geo_mentions(),
         "variogram": _sql_variogram(),
         "link_predict": _sql_link_predict(),
+        "kn_counts": _sql_kn_counts(),
+        "idw": _sql_idw(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
