@@ -5276,6 +5276,29 @@ def _sql_idw() -> str:
     return sql_idw_fill(pts, _IDW_CELL, _IDW_RADIUS)
 
 
+def q_collocations(spark, sf_dir):
+    """PMI collocation extraction (operators/collocations.py): adjacent
+    bigrams lift-ranked by c_xy*N/(c_x*c_y) — Church & Hanks' PMI
+    ordering WITHOUT the forbidden log (monotone transform; counts
+    exact BIGINT, lift IEEE double products/quotient in fixed order).
+    Two raw-stream hash-aggs (vocab + bigrams, map-side combine eats
+    the Zipf head), vocab PINNED for its three consumers, N broadcast
+    from a 1-row re-agg; min_count prunes OUTPUT only, after
+    full-distribution counts. Oracle: the INDEPENDENT positional plan
+    — tokens at (doc,pos), bigrams via pos+1 self-join, unigram
+    counts as windows over raw token rows."""
+    from core_spark.operators.collocations import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir), min_count=3)
+
+
+def _sql_collocations() -> str:
+    from core_spark.operators.collocations import sql_pmi_collocations
+
+    return sql_pmi_collocations(
+        "SELECT text FROM documents", min_count=3)
+
+
 # Variogram fixture: digit-decomposed raster scan (the dbscan layout
 # idea) — lat sweeps a 32-unit column on a 0.125 grid, lon advances one
 # 0.125 step per completed column, so density stays ~64 pts/unit² at
@@ -6631,6 +6654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_predict": q_link_predict,
         "kn_counts": q_kn_counts,
         "idw": q_idw,
+        "collocations": q_collocations,
     }
 
 
@@ -7128,6 +7152,7 @@ def oracle_sql() -> dict[str, str]:
         "link_predict": _sql_link_predict(),
         "kn_counts": _sql_kn_counts(),
         "idw": _sql_idw(),
+        "collocations": _sql_collocations(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
