@@ -5299,6 +5299,36 @@ def _sql_collocations() -> str:
         "SELECT text FROM documents", min_count=3)
 
 
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend slopes (operators/theilsen.py): the
+    Mann-Kendall family's missing half — emerging.py tests IS there a
+    trend (integer sign test), this estimates HOW STEEP, robustly
+    (median of pairwise slopes, ~29% breakdown point). Hourly event
+    volume per event_type; each slope ONE IEEE division of exact
+    BIGINT diffs, median by RANK SELECTION over the sorted within-row
+    slope array (no accumulation ever crosses a shuffle); the O(m²)
+    pair build is within-row AFTER the bucketing hash-agg, guarded by
+    an in-plan raise_error at max_points. Oracle: the INDEPENDENT
+    t<t' self-join row plan with explicit row_number ranks."""
+    from core_spark.operators.theilsen import theil_sen
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type AS key",
+        "CAST(unix_timestamp(ts) AS BIGINT) DIV 3600 AS t",
+        "1 AS y",
+    )
+    return theil_sen(ev)
+
+
+def _sql_theil_sen() -> str:
+    from core_spark.operators.theilsen import sql_theil_sen
+
+    ev = ("SELECT event_type AS key,"
+          " CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS t,"
+          " 1 AS y FROM events")
+    return sql_theil_sen(ev)
+
+
 # Variogram fixture: digit-decomposed raster scan (the dbscan layout
 # idea) — lat sweeps a 32-unit column on a 0.125 grid, lon advances one
 # 0.125 step per completed column, so density stays ~64 pts/unit² at
@@ -6655,6 +6685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_counts": q_kn_counts,
         "idw": q_idw,
         "collocations": q_collocations,
+        "theil_sen": q_theil_sen,
     }
 
 
@@ -7153,6 +7184,7 @@ def oracle_sql() -> dict[str, str]:
         "kn_counts": _sql_kn_counts(),
         "idw": _sql_idw(),
         "collocations": _sql_collocations(),
+        "theil_sen": _sql_theil_sen(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
