@@ -5329,6 +5329,51 @@ def _sql_theil_sen() -> str:
     return sql_theil_sen(ev)
 
 
+# Hausdorff fixture: each user's footprint scatters over a 2x2-unit
+# box anchored at a center chosen by user_id % 64 on an 8x8 grid of
+# 4-unit spacing — same-center trajectories (users congruent mod 64)
+# overlap with holes (67 events sample 256 offset cells ~23%), so H
+# varies and threshold 0.4 splits the 108-pair same-center universe
+# 92 pass / 16 fail at sf0.01; cross-center pairs sit >= 2.1 apart
+# and die in the blocking (provably H > t by the bbox-corner lemma).
+_HSD_LAT = ("CAST(user_id % 8 AS DOUBLE) * 4.0"
+            " + CAST(event_id % 16 AS DOUBLE) * 0.125")
+_HSD_LON = ("CAST((user_id DIV 8) % 8 AS DOUBLE) * 4.0"
+            " + CAST((event_id DIV 16) % 16 AS DOUBLE) * 0.125")
+_HSD_T = 0.4
+
+
+def q_hausdorff(spark, sf_dir):
+    """Discrete Hausdorff similarity join (operators/hausdorff.py):
+    every trajectory pair with H <= t — set-to-set path similarity
+    (Huttenlocher 1993). Hausdorff is max-of-min, PURE ORDER
+    STATISTICS: the rangejoin d2_micro quantization carries the whole
+    decision in exact BIGINTs (max-min over d² = (max-min over d)² by
+    monotonicity), no float sum anywhere; hdist = one trailing /1e6 +
+    IEEE-correctly-rounded SQRT. Blocking is SOUND by the bbox-corner
+    lemma (H<=t forces bbox mins within t componentwise): epsilon-grid
+    on the (min_lat,min_lon) corner, 3x3 replication, pinned traj
+    self-join, each pair found in exactly one cell; the m*n verify is
+    a within-row nested HOF behind a raise_error max_points guard.
+    Oracle: the INDEPENDENT no-blocking plan — all point pairs, two
+    directed GROUP BY cascades — gating blocking completeness."""
+    from core_spark.operators.hausdorff import hausdorff_join
+
+    pts = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id AS tid", f"{_HSD_LAT} AS lat", f"{_HSD_LON} AS lon")
+    return hausdorff_join(pts, _HSD_T)
+
+
+def _sql_hausdorff() -> str:
+    from core_spark.operators.hausdorff import sql_hausdorff_join
+
+    pts = (
+        f"SELECT user_id AS tid, {_HSD_LAT} AS lat,"
+        f" {_HSD_LON} AS lon FROM events"
+    ).replace(" DIV ", " // ")
+    return sql_hausdorff_join(pts, _HSD_T)
+
+
 # Variogram fixture: digit-decomposed raster scan (the dbscan layout
 # idea) — lat sweeps a 32-unit column on a 0.125 grid, lon advances one
 # 0.125 step per completed column, so density stays ~64 pts/unit² at
@@ -6686,6 +6731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw": q_idw,
         "collocations": q_collocations,
         "theil_sen": q_theil_sen,
+        "hausdorff": q_hausdorff,
     }
 
 
@@ -7185,6 +7231,7 @@ def oracle_sql() -> dict[str, str]:
         "idw": _sql_idw(),
         "collocations": _sql_collocations(),
         "theil_sen": _sql_theil_sen(),
+        "hausdorff": _sql_hausdorff(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
