@@ -5364,6 +5364,35 @@ def q_hausdorff(spark, sf_dir):
     return hausdorff_join(pts, _HSD_T)
 
 
+def q_link_assortativity(spark, sf_dir):
+    """Newman degree assortativity (operators/assortativity.py) over
+    the SAME host-edge fixture triangles/clustering rank — the
+    one-number who-links-to-whom summary (r > 0 hubs↔hubs, r < 0
+    hubs↔leaves). The undirected simplification makes r fully
+    RATIONAL: the two Pearson denominator factors coincide, so num
+    and den are exact BIGINT hash-agg sums and r is ONE trailing IEEE
+    division — no sqrt, no float sum crossing a shuffle. The DuckDB
+    twin is the INDEPENDENT window plan (directed half-edges, degrees
+    as COUNT(*) windows — no degree table, no joins)."""
+    from core_spark.operators.assortativity import degree_assortativity
+
+    edges = _docs(spark, sf_dir, wide=False).selectExpr(
+        TRI_EDGE_SPARK.format(side="a") + " AS src",
+        TRI_EDGE_SPARK.format(side="b") + " AS dst",
+    )
+    return degree_assortativity(edges)
+
+
+def _sql_link_assortativity() -> str:
+    from core_spark.operators.assortativity import sql_degree_assortativity
+
+    a = TRI_EDGE_DUCK.format(side="a")
+    b = TRI_EDGE_DUCK.format(side="b")
+    return sql_degree_assortativity(
+        f"SELECT {a} AS src, {b} AS dst FROM documents"
+    )
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -6732,6 +6761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "theil_sen": q_theil_sen,
         "hausdorff": q_hausdorff,
+        "link_assortativity": q_link_assortativity,
     }
 
 
@@ -7232,6 +7262,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations": _sql_collocations(),
         "theil_sen": _sql_theil_sen(),
         "hausdorff": _sql_hausdorff(),
+        "link_assortativity": _sql_link_assortativity(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
