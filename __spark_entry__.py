@@ -5393,6 +5393,29 @@ def _sql_link_assortativity() -> str:
     )
 
 
+def q_skipgram(spark, sf_dir):
+    """Skip-gram (center, context, dist) pair counts
+    (operators/skipgram.py) — the word2vec/GloVe co-occurrence
+    extraction step. Forward-only within-row HOF pair build (half the
+    exploded volume), ONE hash-agg on (center, context, dist) with
+    map-side combine eating the Zipf head, backward direction derived
+    from the AGGREGATED forward table by mirroring (zero extra
+    shuffle); min_count prunes OUTPUT rows only. Pure BIGINT counts —
+    no float anywhere. Oracle: the INDEPENDENT positional plan (tokens
+    WITH ORDINALITY, forward pairs from a positional range self-join,
+    same mirror/prune tail)."""
+    from core_spark.operators.skipgram import skipgram_pairs
+
+    return skipgram_pairs(_docs(spark, sf_dir), window=2, min_count=3)
+
+
+def _sql_skipgram() -> str:
+    from core_spark.operators.skipgram import sql_skipgram_pairs
+
+    return sql_skipgram_pairs(
+        "SELECT text FROM documents", window=2, min_count=3)
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -6762,6 +6785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "hausdorff": q_hausdorff,
         "link_assortativity": q_link_assortativity,
+        "skipgram": q_skipgram,
     }
 
 
@@ -7263,6 +7287,7 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen": _sql_theil_sen(),
         "hausdorff": _sql_hausdorff(),
         "link_assortativity": _sql_link_assortativity(),
+        "skipgram": _sql_skipgram(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
