@@ -5416,6 +5416,29 @@ def _sql_skipgram() -> str:
         "SELECT text FROM documents", window=2, min_count=3)
 
 
+def q_host_gini(spark, sf_dir):
+    """Gini crawl concentration (operators/gini.py) over the SAME
+    ruler-host fixture the heavy-hitter/host-cap family uses — the
+    one-number BEFORE/AFTER meter for per-host capping (h0 holds half
+    the corpus: G is high by construction). Fully RATIONAL: exact
+    BIGINT num/den at the tie-collapsed distinct-count grain (closed
+    form ranks — NEVER a global row_number over the host table), ONE
+    trailing IEEE division. Oracle: the INDEPENDENT textbook plan
+    (literal row_number over (cnt, host), direct rank formula)."""
+    from core_spark.operators.gini import gini_concentration
+
+    items = _docs(spark, sf_dir, wide=False).selectExpr(
+        _ruler_host_sql("spark") + " AS item")
+    return gini_concentration(items)
+
+
+def _sql_host_gini() -> str:
+    from core_spark.operators.gini import sql_gini_concentration
+
+    return sql_gini_concentration(
+        f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents")
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -6786,6 +6809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff": q_hausdorff,
         "link_assortativity": q_link_assortativity,
         "skipgram": q_skipgram,
+        "host_gini": q_host_gini,
     }
 
 
@@ -7288,6 +7312,7 @@ def oracle_sql() -> dict[str, str]:
         "hausdorff": _sql_hausdorff(),
         "link_assortativity": _sql_link_assortativity(),
         "skipgram": _sql_skipgram(),
+        "host_gini": _sql_host_gini(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
