@@ -5439,6 +5439,34 @@ def _sql_host_gini() -> str:
         f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents")
 
 
+def q_tile_diversity(spark, sf_dir):
+    """Simpson host-diversity per hexgrid r5 cell (operators/
+    diversity.py) — the tiling twin of host_gini: instead of ONE
+    global concentration number, a per-tile monoculture meter
+    (D = 0: one ruler-host owns the cell — the geographic link-farm /
+    mirror shape; D → 1: evenly mixed). Fuses G3 tiling (exact JVM
+    cell arithmetic) with the Zipf(2) ruler-host fixture at the
+    (cell, host) grain. Fully RATIONAL: exact BIGINT num/den, ONE
+    trailing IEEE division; N=1 cells report NULL via an integer
+    CASE. Oracle: the INDEPENDENT list-aggregate plan in DuckDB."""
+    from core_spark.operators.diversity import simpson_diversity
+    from core_spark.operators.tiles import assign_tiles
+
+    pts = assign_tiles(_points(spark, sf_dir), resolutions=(5,))
+    rows = pts.selectExpr(
+        "h3_r5 AS grp", _ruler_host_sql("spark") + " AS item")
+    return simpson_diversity(rows)
+
+
+def _sql_tile_diversity() -> str:
+    from core_spark.operators.diversity import sql_simpson_diversity
+
+    return sql_simpson_diversity(
+        f"SELECT {hx.sql_cell('lat', 'lon', 5)} AS grp,"
+        f" {_ruler_host_sql('duckdb')} AS item FROM ({_POINTS_SQL})"
+    )
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -6810,6 +6838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_assortativity": q_link_assortativity,
         "skipgram": q_skipgram,
         "host_gini": q_host_gini,
+        "tile_diversity": q_tile_diversity,
     }
 
 
@@ -7313,6 +7342,7 @@ def oracle_sql() -> dict[str, str]:
         "link_assortativity": _sql_link_assortativity(),
         "skipgram": _sql_skipgram(),
         "host_gini": _sql_host_gini(),
+        "tile_diversity": _sql_tile_diversity(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
