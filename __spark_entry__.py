@@ -5576,6 +5576,37 @@ def _sql_variogram() -> str:
     return sql_variogram(pts, _VGM_LAG, _VGM_BINS)
 
 
+def q_ripley(spark, sf_dir):
+    """Ripley's K (operators/ripley.py): second-order point-pattern
+    clustering vs CSR over the SAME digit-decomposed raster fixture
+    the variogram uses (density scale-invariant, pairs linear in n) —
+    variogram asks "does the VALUE cluster", Ripley asks "do the
+    POSITIONS cluster". Composes the audited epsilon-grid pair kernel
+    + ONE hash-agg to per-annulus EXACT BIGINT counts, densified
+    against a JVM-side spark.range and cumulated by a window over the
+    4-row bin table; khat = the single trailing IEEE division beside
+    its exact factors, NULL under n<2 via integer CASE. Oracle: the
+    honest O(n²) cross join + generate_series densification."""
+    from core_spark.operators.ripley import ripley_k
+
+    pts = _docs(spark, sf_dir, wide=False).selectExpr(
+        "doc_id",
+        f"{_VGM_LAT} AS lat",
+        f"{_VGM_LON} AS lon",
+    )
+    return ripley_k(pts, _VGM_LAG, _VGM_BINS, area=1024.0)
+
+
+def _sql_ripley() -> str:
+    from core_spark.operators.ripley import sql_ripley_k
+
+    pts = (
+        f"SELECT doc_id, {_VGM_LAT} AS lat, {_VGM_LON} AS lon"
+        " FROM documents"
+    ).replace(" DIV ", " // ")
+    return sql_ripley_k(pts, _VGM_LAG, _VGM_BINS, area=1024.0)
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery entry point (robots.robots_sitemap_urls):
     sitemaps.org designates robots.txt as the canonical place a site
@@ -6839,6 +6870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram": q_skipgram,
         "host_gini": q_host_gini,
         "tile_diversity": q_tile_diversity,
+        "ripley": q_ripley,
     }
 
 
@@ -7343,6 +7375,7 @@ def oracle_sql() -> dict[str, str]:
         "skipgram": _sql_skipgram(),
         "host_gini": _sql_host_gini(),
         "tile_diversity": _sql_tile_diversity(),
+        "ripley": _sql_ripley(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
