@@ -5467,6 +5467,36 @@ def _sql_tile_diversity() -> str:
     )
 
 
+def q_tile_richness(spark, sf_dir):
+    """Chao1 unseen-richness + Good-Turing coverage per hexgrid r5
+    cell (operators/richness.py) — the OTHER half of tile_diversity's
+    question: Simpson measures how mixed the hosts you SAW are; Chao1
+    estimates how many hosts you HAVEN'T seen (frontier sizing per
+    cell) and coverage = what share of the cell's mass the crawl
+    already holds (stop criterion). Same (cell, ruler-host) grain,
+    same two-hash-agg shape; every factor (s_obs, f1, f2, N) exact
+    BIGINT, each estimate ONE trailing IEEE division — always defined
+    (N≥1 per emitted group; f2=0 is the bias-corrected form's point).
+    Oracle: the INDEPENDENT count-of-counts plan (an extra
+    frequency-of-frequencies grain level)."""
+    from core_spark.operators.richness import chao1_richness
+    from core_spark.operators.tiles import assign_tiles
+
+    pts = assign_tiles(_points(spark, sf_dir), resolutions=(5,))
+    rows = pts.selectExpr(
+        "h3_r5 AS grp", _ruler_host_sql("spark") + " AS item")
+    return chao1_richness(rows)
+
+
+def _sql_tile_richness() -> str:
+    from core_spark.operators.richness import sql_chao1_richness
+
+    return sql_chao1_richness(
+        f"SELECT {hx.sql_cell('lat', 'lon', 5)} AS grp,"
+        f" {_ruler_host_sql('duckdb')} AS item FROM ({_POINTS_SQL})"
+    )
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -6871,6 +6901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_gini": q_host_gini,
         "tile_diversity": q_tile_diversity,
         "ripley": q_ripley,
+        "tile_richness": q_tile_richness,
     }
 
 
@@ -7376,6 +7407,7 @@ def oracle_sql() -> dict[str, str]:
         "host_gini": _sql_host_gini(),
         "tile_diversity": _sql_tile_diversity(),
         "ripley": _sql_ripley(),
+        "tile_richness": _sql_tile_richness(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
