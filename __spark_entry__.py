@@ -5497,6 +5497,59 @@ def _sql_tile_richness() -> str:
     )
 
 
+# Rank-stability fixture: per event_type, each user's activity count
+# in the first vs second half of the 30-day events window — the
+# snapshot-drift shape (did the user-popularity ranking hold?). The
+# half predicate is a plain timestamp comparison (portable text; no
+# date arithmetic crosses the compared values — x/y are BIGINT counts).
+_KT_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"
+
+
+def q_rank_stability(spark, sf_dir):
+    """Kendall tau-b rank correlation (operators/kendall.py): per
+    event_type, did the user-activity RANKING hold between the two
+    halves of the month — the drift meter between crawl snapshots
+    (emerging.py's Mann-Kendall S is exactly cd against time; this
+    generalizes to arbitrary paired columns + the tie-corrected
+    normalizer). ONE hash-agg buckets events to (type, user, x, y),
+    then per key a within-row HOF aggregate over the i<j pair stream
+    (struct accumulator, raise_error guard; swap symmetry makes pair
+    order irrelevant). cd/n0/n1/n2 EXACT BIGINT; tau_b = ONE trailing
+    IEEE division over one exactly-rounded SQRT. Oracle: the
+    INDEPENDENT rn<rn' self-join row plan."""
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.kendall import kendall_tau
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = (
+        ev.where("event_type IS NOT NULL AND user_id IS NOT NULL")
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.expr(f"SUM(CASE WHEN ts < {_KT_SPLIT} THEN 1 ELSE 0 END)")
+            .alias("x"),
+            F.expr(f"SUM(CASE WHEN ts >= {_KT_SPLIT} THEN 1 ELSE 0 END)")
+            .alias("y"),
+        )
+        .selectExpr("event_type AS key", "x", "y")
+    )
+    return kendall_tau(pairs)
+
+
+def _sql_rank_stability() -> str:
+    from core_spark.operators.kendall import sql_kendall_tau
+
+    pairs = f"""
+        SELECT event_type AS key,
+               SUM(CASE WHEN ts < {_KT_SPLIT} THEN 1 ELSE 0 END) AS x,
+               SUM(CASE WHEN ts >= {_KT_SPLIT} THEN 1 ELSE 0 END) AS y
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY event_type, user_id
+    """
+    return sql_kendall_tau(pairs)
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -6902,6 +6955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_diversity": q_tile_diversity,
         "ripley": q_ripley,
         "tile_richness": q_tile_richness,
+        "rank_stability": q_rank_stability,
     }
 
 
@@ -7408,6 +7462,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_diversity": _sql_tile_diversity(),
         "ripley": _sql_ripley(),
         "tile_richness": _sql_tile_richness(),
+        "rank_stability": _sql_rank_stability(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
