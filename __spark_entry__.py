@@ -5550,6 +5550,39 @@ def _sql_rank_stability() -> str:
     return sql_kendall_tau(pairs)
 
 
+def q_quality_shift(spark, sf_dir):
+    """Mann-Whitney U / rank-sum test (operators/mannwhitney.py): per
+    language, is the document-length distribution on the ruler
+    mega-host h0 (doc_id%2=1 — half the corpus) DIFFERENT from the
+    long tail? The nonparametric A/B quality-shift detector, with the
+    ROC identity auc = U/(n_a·n_b) as the effect size. Ranks never
+    materialize per row — closed-form doubled average ranks at the
+    tie-collapsed distinct-value grain (the gini recipe); u2/tie_sum
+    exact BIGINT; auc and z are short fixed-order IEEE tails beside
+    exact factors (z NULL on zero variance via integer CASE). Oracle:
+    the INDEPENDENT literal-ranks plan (row_number + exactly-divisible
+    block averages)."""
+    from core_spark.operators.mannwhitney import rank_sum_test
+
+    rows = _docs(spark, sf_dir, wide=False).selectExpr(
+        "lang AS key",
+        "CASE WHEN doc_id % 2 = 1 THEN 'mega' ELSE 'tail' END AS grp",
+        "LENGTH(text) AS value",
+    )
+    return rank_sum_test(rows, "mega")
+
+
+def _sql_quality_shift() -> str:
+    from core_spark.operators.mannwhitney import sql_rank_sum_test
+
+    rows = (
+        "SELECT lang AS key,"
+        " CASE WHEN doc_id % 2 = 1 THEN 'mega' ELSE 'tail' END AS grp,"
+        " LENGTH(text) AS value FROM documents"
+    )
+    return sql_rank_sum_test(rows, "mega")
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -6956,6 +6989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley": q_ripley,
         "tile_richness": q_tile_richness,
         "rank_stability": q_rank_stability,
+        "quality_shift": q_quality_shift,
     }
 
 
@@ -7463,6 +7497,7 @@ def oracle_sql() -> dict[str, str]:
         "ripley": _sql_ripley(),
         "tile_richness": _sql_tile_richness(),
         "rank_stability": _sql_rank_stability(),
+        "quality_shift": _sql_quality_shift(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
