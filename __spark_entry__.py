@@ -5583,6 +5583,56 @@ def _sql_quality_shift() -> str:
     return sql_rank_sum_test(rows, "mega")
 
 
+# Knox fixture: a 250x40 background lattice (100k-µdeg spacing, eps
+# 150k reaches the 8-neighborhood) with pseudo-uniform times, plus a
+# ~3% outbreak clump (event_id % 33 = 0) packed into a 3x3 micro-cell
+# AND a 400-tick window — close-in-space pairs and close-in-time pairs
+# both exist independently in the background (live margins), but joint
+# closeness concentrates in the clump: ratio >> 1 by construction.
+_KX_C = "event_id % 33 = 0"
+_KX_X = (f"CASE WHEN {_KX_C} THEN 12500000 + (event_id % 3) * 10000"
+         " ELSE (event_id % 250) * 100000 END")
+_KX_Y = (f"CASE WHEN {_KX_C} THEN 2500000"
+         " + ((event_id DIV 3) % 3) * 10000"
+         " ELSE ((event_id DIV 250) % 40) * 100000 END")
+_KX_T = (f"CASE WHEN {_KX_C} THEN 500000 + (event_id % 400)"
+         " ELSE (event_id * 7919) % 1000000 END")
+_KX_EPS, _KX_TAU = 150_000, 500
+_KX_EPS_INF, _KX_TAU_INF = 400_000_000, 2_000_000
+
+
+def q_knox(spark, sf_dir):
+    """Knox space-time interaction test (operators/knox.py): do
+    close-in-space event pairs ALSO cluster in time — the outbreak /
+    flashmob / coordinated-crawl-burst detector that Ripley (space
+    only) and the burst family (time only) each miss. Composes three
+    counts of the AUDITED stjoin.contact_pairs kernel (27-key
+    composite-grid blocking, exact BIGINT conjunction), marginals via
+    degenerate-axis bounds whose sufficiency the oracle's UNBOUNDED
+    predicates gate; all counts EXACT BIGINT, ratio = fixed-order IEEE
+    mul/div beside exact factors, NULL margin via integer comparisons
+    (never an overflowable BIGINT product). Oracle: ONE honest O(n²)
+    cross join with conditional sums."""
+    from core_spark.operators.knox import knox_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id",
+        f"{_KX_X} AS x", f"{_KX_Y} AS y", f"{_KX_T} AS t",
+    )
+    return knox_test(
+        ev, _KX_EPS, _KX_TAU, eps_inf=_KX_EPS_INF, tau_inf=_KX_TAU_INF)
+
+
+def _sql_knox() -> str:
+    from core_spark.operators.knox import sql_knox_test
+
+    ev = (
+        f"SELECT event_id, {_KX_X} AS x, {_KX_Y} AS y, {_KX_T} AS t"
+        " FROM events"
+    ).replace(" DIV ", " // ")
+    return sql_knox_test(ev, _KX_EPS, _KX_TAU)
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -6990,6 +7040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_richness": q_tile_richness,
         "rank_stability": q_rank_stability,
         "quality_shift": q_quality_shift,
+        "knox": q_knox,
     }
 
 
@@ -7498,6 +7549,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_richness": _sql_tile_richness(),
         "rank_stability": _sql_rank_stability(),
         "quality_shift": _sql_quality_shift(),
+        "knox": _sql_knox(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
