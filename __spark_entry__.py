@@ -5633,6 +5633,58 @@ def _sql_knox() -> str:
     return sql_knox_test(ev, _KX_EPS, _KX_TAU)
 
 
+# Colocation fixture: click+purchase share a dense 20x20-unit zone
+# (0.5 spacing, radius 1.0 reaches ~12 neighbors — high PI by
+# construction), signup+view share a sparse zone where only lattice
+# COLLISIONS pair (2.0 spacing > radius — moderate PI), and error is
+# isolated at 5.0 spacing (no cross pairs -> its rows are ABSENT,
+# the no-evidence arm).
+_CL_LAT = (
+    "CASE WHEN event_type IN ('click', 'purchase')"
+    " THEN (event_id % 40) * 0.5"
+    " WHEN event_type IN ('signup', 'view')"
+    " THEN 100.0 + (event_id % 60) * 2.0"
+    " ELSE 1000.0 + (event_id % 2014) * 5.0 END"
+)
+_CL_LON = (
+    "CASE WHEN event_type IN ('click', 'purchase')"
+    " THEN ((event_id DIV 40) % 40) * 0.5"
+    " WHEN event_type IN ('signup', 'view')"
+    " THEN ((event_id DIV 60) % 60) * 2.0"
+    " ELSE 500.0 END"
+)
+_CL_R = 1.0
+
+
+def q_colocation(spark, sf_dir):
+    """Colocation participation index (operators/colocation.py):
+    Shekhar-Huang PI = min(pr_a, pr_b) per unordered event-type pair
+    — the k=2 stage every Apriori-style colocation miner prunes on
+    ("which event types fire at the same places"). Neighbor pairs
+    from the audited epsilon-grid kernel; participants via ONE
+    distinct on the uniform (pair, member) key; every factor EXACT
+    BIGINT, pr/pi trailing IEEE divisions + LEAST beside exact
+    factors; pairless category pairs ABSENT. Oracle: the honest
+    O(n²) neighbor plan with the same participation algebra."""
+    from core_spark.operators.colocation import colocation_pi
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "event_type AS cat",
+        f"{_CL_LAT} AS lat", f"{_CL_LON} AS lon",
+    )
+    return colocation_pi(ev, _CL_R, key="event_id", cat_col="cat")
+
+
+def _sql_colocation() -> str:
+    from core_spark.operators.colocation import sql_colocation_pi
+
+    ev = (
+        f"SELECT event_id, event_type AS cat, {_CL_LAT} AS lat,"
+        f" {_CL_LON} AS lon FROM events"
+    ).replace(" DIV ", " // ")
+    return sql_colocation_pi(ev, _CL_R, key="event_id", cat_col="cat")
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7041,6 +7093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_stability": q_rank_stability,
         "quality_shift": q_quality_shift,
         "knox": q_knox,
+        "colocation": q_colocation,
     }
 
 
@@ -7550,6 +7603,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_stability": _sql_rank_stability(),
         "quality_shift": _sql_quality_shift(),
         "knox": _sql_knox(),
+        "colocation": _sql_colocation(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
