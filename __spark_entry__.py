@@ -5685,6 +5685,33 @@ def _sql_colocation() -> str:
     return sql_colocation_pi(ev, _CL_R, key="event_id", cat_col="cat")
 
 
+def q_volume_shift(spark, sf_dir):
+    """CUSUM changepoint (operators/changepoint.py): per event_type,
+    WHERE in the 30-day window did the daily volume regime shift —
+    Page's max-|CUSUM| split, the single step every recursive
+    segmentation is built from (theil_sen says HOW STEEP, emerging
+    says IS there a trend; this says WHEN it broke). Mean-clearing
+    makes the argmax ALL-INTEGER: D_k = n·S_k − k·T exact BIGINT,
+    tie-break to smallest t on integers; cusum/mean_left/mean_right
+    are trailing IEEE divisions beside exact factors; windows run at
+    the daily-bucket grain only. Oracle: the INDEPENDENT t'<=t
+    self-join prefix plan + QUALIFY row_number selection."""
+    from core_spark.operators.changepoint import cusum_changepoint
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type AS key", "EXTRACT(DAY FROM ts) AS t", "1 AS x")
+    return cusum_changepoint(ev)
+
+
+def _sql_volume_shift() -> str:
+    from core_spark.operators.changepoint import sql_cusum_changepoint
+
+    return sql_cusum_changepoint(
+        "SELECT event_type AS key, EXTRACT(DAY FROM ts) AS t, 1 AS x"
+        " FROM events"
+    )
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7094,6 +7121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_shift": q_quality_shift,
         "knox": q_knox,
         "colocation": q_colocation,
+        "volume_shift": q_volume_shift,
     }
 
 
@@ -7604,6 +7632,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_shift": _sql_quality_shift(),
         "knox": _sql_knox(),
         "colocation": _sql_colocation(),
+        "volume_shift": _sql_volume_shift(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
