@@ -5712,6 +5712,47 @@ def _sql_volume_shift() -> str:
     )
 
 
+# Keyness fixture: the real 31-word corpus vocabulary (ORs hover near
+# 1 — the null arm) plus one planted marker token per slice appended to
+# the text (slam-dunk b=0 / a=0 arms at the extremes, exercising the
+# Haldane smoothing that keeps them finite).
+_KY_TEXT = (
+    "concat(text, CASE WHEN doc_id % 2 = 1"
+    " THEN ' megamarker' ELSE ' tailmarker' END)"
+)
+
+
+def q_host_keyness(spark, sf_dir):
+    """Odds-ratio keyness (operators/keyness.py): which terms
+    over-index on the ruler mega-host h0 vs the long tail — the
+    contrastive-vocabulary audit for domain skew / filter-drop
+    analysis (tfidf = distinctive of THIS doc, PMI = words attracting
+    each other, keyness = what slice A says that B doesn't). Log-free
+    via the doubled Haldane form: num=(2a+1)(2d+1), den=(2b+1)(2c+1)
+    EXACT BIGINT, odds_ratio ONE trailing IEEE division (rank-
+    equivalent to log-odds by monotonicity); document-frequency grain
+    (within-row distinct BEFORE the explode) makes spam repetition
+    keyness-neutral; ONE uniform term hash-agg + broadcast totals.
+    Oracle: the INDEPENDENT two-subquery FULL-OUTER plan."""
+    from core_spark.operators.keyness import odds_ratio_keyness
+
+    docs = _docs(spark, sf_dir, wide=False).selectExpr(
+        "doc_id % 2 = 1 AS is_a",
+        f"split(trim({_KY_TEXT}), ' ') AS toks",
+    )
+    return odds_ratio_keyness(docs, min_count=5)
+
+
+def _sql_host_keyness() -> str:
+    from core_spark.operators.keyness import sql_odds_ratio_keyness
+
+    docs = (
+        f"SELECT doc_id, doc_id % 2 = 1 AS is_a, {_KY_TEXT} AS text"
+        " FROM documents"
+    )
+    return sql_odds_ratio_keyness(docs, min_count=5)
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7122,6 +7163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knox": q_knox,
         "colocation": q_colocation,
         "volume_shift": q_volume_shift,
+        "host_keyness": q_host_keyness,
     }
 
 
@@ -7633,6 +7675,7 @@ def oracle_sql() -> dict[str, str]:
         "knox": _sql_knox(),
         "colocation": _sql_colocation(),
         "volume_shift": _sql_volume_shift(),
+        "host_keyness": _sql_host_keyness(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
