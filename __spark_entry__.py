@@ -5753,6 +5753,39 @@ def _sql_host_keyness() -> str:
     return sql_odds_ratio_keyness(docs, min_count=5)
 
 
+_ACF_T = "(EXTRACT(DAY FROM ts) - 1) * 24 + EXTRACT(HOUR FROM ts)"
+_ACF_LAGS = (1, 24)
+
+
+def q_volume_acf(spark, sf_dir):
+    """Sample autocorrelation (operators/acf.py): per event_type, is
+    the hourly crawl volume PERIODIC — r_1 (momentum) and r_24 (daily
+    seasonality) over the month, the screen before any forecast or
+    anomaly model (emerging = IS there a trend, theil_sen = how
+    steep, cusum = when it broke, acf = does it repeat). The moran
+    denominator-clearing recipe: d_t = n·x_t − S exact BIGINT behind
+    an in-plan overflow guard, num/den exact integer aggregates with
+    the n² factors cancelling, acf ONE trailing IEEE division, NULL
+    on constant series via integer CASE; lag pairs at EXACT bucket
+    distance through ONE uniform equi join on (key, t+L). Oracle:
+    the INDEPENDENT no-window plan (GROUP BY stats joined back, one
+    explicit self-join per lag UNION ALL'd)."""
+    from core_spark.operators.acf import acf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type AS key", f"{_ACF_T} AS t", "1 AS x")
+    return acf(ev, _ACF_LAGS)
+
+
+def _sql_volume_acf() -> str:
+    from core_spark.operators.acf import sql_acf
+
+    return sql_acf(
+        f"SELECT event_type AS key, {_ACF_T} AS t, 1 AS x FROM events",
+        _ACF_LAGS,
+    )
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7164,6 +7197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colocation": q_colocation,
         "volume_shift": q_volume_shift,
         "host_keyness": q_host_keyness,
+        "volume_acf": q_volume_acf,
     }
 
 
@@ -7676,6 +7710,7 @@ def oracle_sql() -> dict[str, str]:
         "colocation": _sql_colocation(),
         "volume_shift": _sql_volume_shift(),
         "host_keyness": _sql_host_keyness(),
+        "volume_acf": _sql_volume_acf(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
