@@ -5786,6 +5786,34 @@ def _sql_volume_acf() -> str:
     )
 
 
+def q_quadrat(spark, sf_dir):
+    """Quadrat variance-to-mean dispersion (operators/quadrat.py):
+    the O(n) first-order CSR screen run BEFORE Ripley's O(n·density)
+    second-order pass — one number (VMR = 1 Poisson, >> 1 clustered,
+    < 1 regular) over a 16×16 grid of 2-unit quadrats covering the
+    SAME digit-decomposed raster window ripley/variogram use. Empty
+    cells enter via the CLOSED-FORM universe N = nx·ny (never a
+    scan); num = N·Σc² − T², den = N·T exact BIGINT, vmr ONE trailing
+    IEEE division, NULL on empty window; out-of-window points audited
+    in n_outside, never silently dropped. Oracle: the INDEPENDENT
+    textbook plan (generate_series universe with empties
+    materialized)."""
+    from core_spark.operators.quadrat import quadrat_dispersion
+
+    pts = _docs(spark, sf_dir, wide=False).selectExpr(
+        f"{_VGM_LAT} AS lat", f"{_VGM_LON} AS lon")
+    return quadrat_dispersion(pts, 0.0, 0.0, 2.0, 16, 16)
+
+
+def _sql_quadrat() -> str:
+    from core_spark.operators.quadrat import sql_quadrat_dispersion
+
+    pts = (
+        f"SELECT {_VGM_LAT} AS lat, {_VGM_LON} AS lon FROM documents"
+    ).replace(" DIV ", " // ")
+    return sql_quadrat_dispersion(pts, 0.0, 0.0, 2.0, 16, 16)
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7198,6 +7226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shift": q_volume_shift,
         "host_keyness": q_host_keyness,
         "volume_acf": q_volume_acf,
+        "quadrat": q_quadrat,
     }
 
 
@@ -7711,6 +7740,7 @@ def oracle_sql() -> dict[str, str]:
         "volume_shift": _sql_volume_shift(),
         "host_keyness": _sql_host_keyness(),
         "volume_acf": _sql_volume_acf(),
+        "quadrat": _sql_quadrat(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
