@@ -5814,6 +5814,47 @@ def _sql_quadrat() -> str:
     return sql_quadrat_dispersion(pts, 0.0, 0.0, 2.0, 16, 16)
 
 
+# Join-count fixture: the occupied 2-unit lattice cells of the raster
+# window, labeled in width-4 stripes — same-label cells border each
+# other except at stripe seams, so BW lands far BELOW its random-
+# labeling expectation (bw_ratio << 1, the segregation regime).
+_JC_CELLS = (
+    "SELECT DISTINCT (doc_id % 256) DIV 16 AS ix,"
+    " ((doc_id DIV 256) % 256) DIV 16 AS iy"
+    " FROM documents"
+)
+
+
+def q_lang_segregation(spark, sf_dir):
+    """Join-count statistics (operators/joincount.py): the CATEGORICAL
+    twin of the moran family — over a labeled cell surface, are BW
+    (mixed-label) rook adjacencies rarer than random labeling expects
+    (segregation: language regions, topic enclaves, spam farms)?
+    Adjacency via two shifted equi-joins on the ONCE-pinned cell
+    table (right/down orientation — each unordered pair exactly
+    once, no distance math); BB/WW/BW and the expectation factors
+    2·J·nB·nW / n(n−1) all EXACT BIGINT; the two reported doubles are
+    single fixed-order IEEE divisions, NULL margins via integer
+    comparisons. Oracle: the INDEPENDENT |dix|+|diy|=1 distance-
+    predicate cross join under lexicographic ordering."""
+    from core_spark.operators.joincount import join_counts
+
+    cells = _docs(spark, sf_dir, wide=False).selectExpr(
+        "(doc_id % 256) DIV 16 AS ix",
+        "((doc_id DIV 256) % 256) DIV 16 AS iy",
+    ).distinct().selectExpr("ix", "iy", "(ix DIV 4) % 2 = 0 AS is_b")
+    return join_counts(cells)
+
+
+def _sql_lang_segregation() -> str:
+    from core_spark.operators.joincount import sql_join_counts
+
+    cells = (
+        f"SELECT ix, iy, (ix DIV 4) % 2 = 0 AS is_b FROM ({_JC_CELLS}) c"
+    ).replace(" DIV ", " // ")
+    return sql_join_counts(cells)
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7227,6 +7268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_keyness": q_host_keyness,
         "volume_acf": q_volume_acf,
         "quadrat": q_quadrat,
+        "lang_segregation": q_lang_segregation,
     }
 
 
@@ -7741,6 +7783,7 @@ def oracle_sql() -> dict[str, str]:
         "host_keyness": _sql_host_keyness(),
         "volume_acf": _sql_volume_acf(),
         "quadrat": _sql_quadrat(),
+        "lang_segregation": _sql_lang_segregation(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
