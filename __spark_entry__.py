@@ -5633,25 +5633,30 @@ def _sql_knox() -> str:
     return sql_knox_test(ev, _KX_EPS, _KX_TAU)
 
 
-# Colocation fixture: click+purchase share a dense 20x20-unit zone
-# (0.5 spacing, radius 1.0 reaches ~12 neighbors — high PI by
-# construction), signup+view share a sparse zone where only lattice
-# COLLISIONS pair (2.0 spacing > radius — moderate PI), and error is
-# isolated at 5.0 spacing (no cross pairs -> its rows are ABSENT,
-# the no-evidence arm).
+# Colocation fixture — digit-decomposed lattices (the variogram
+# lesson: the occupied area GROWS with n, so density and pairs stay
+# LINEAR in corpus size; the first stacked-lattice version measured
+# 62s at sf0.1 from quadratic per-position multiplicity). Three
+# regimes: click+purchase interleave on a dense 0.5-spacing lattice
+# (8-neighborhood at r=1.0 — PI ≈ 1), signup+view interleave along
+# 2.0-spaced corridors where only the ±0.5-lon in-row neighbors reach
+# (cross-type with coin-flip odds — moderate PI), and error sits at
+# 5.0 spacing with unique positions (no pairs -> ABSENT, the
+# no-evidence arm). Positions are unique below event_id 262144 per
+# zone, so no pair is a distance-0 collision.
 _CL_LAT = (
     "CASE WHEN event_type IN ('click', 'purchase')"
-    " THEN (event_id % 40) * 0.5"
+    " THEN (event_id % 64) * 0.5"
     " WHEN event_type IN ('signup', 'view')"
-    " THEN 100.0 + (event_id % 60) * 2.0"
-    " ELSE 1000.0 + (event_id % 2014) * 5.0 END"
+    " THEN 200.0 + (event_id % 16) * 2.0"
+    " ELSE 1000.0 + (event_id % 8) * 5.0 END"
 )
 _CL_LON = (
     "CASE WHEN event_type IN ('click', 'purchase')"
-    " THEN ((event_id DIV 40) % 40) * 0.5"
+    " THEN ((event_id DIV 64) % 4096) * 0.5"
     " WHEN event_type IN ('signup', 'view')"
-    " THEN ((event_id DIV 60) % 60) * 2.0"
-    " ELSE 500.0 END"
+    " THEN ((event_id DIV 16) % 16384) * 0.5"
+    " ELSE ((event_id DIV 8) % 32768) * 5.0 END"
 )
 _CL_R = 1.0
 

@@ -87,7 +87,10 @@ def colocation_pi(
     totals = pts.groupBy(F.col("_c").alias("cat")).agg(
         F.count("*").cast("long").alias("total"))
     pairs = range_join_pairs(pts, radius, key="_k")
-    labeled = (
+    # pinned: three consumers (n_pairs + both union branches) would
+    # otherwise re-run the pair kernel and both label joins 3x
+    # (CLAUDE.md multi-consumer rule; measured 47s -> ~1/3 at sf0.1)
+    labeled = pin(
         pairs
         .join(pts.selectExpr("_k AS a", "_c AS la"), "a")
         .join(pts.selectExpr("_k AS b", "_c AS lb"), "b")

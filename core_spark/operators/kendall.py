@@ -25,13 +25,15 @@ contributions are symmetric under swap (both signs flip, the product
 doesn't), so NO item identity or ordering is needed — any pair
 enumeration gives the same sums.
 
-Scale shape (the theilsen recipe): ONE hash-agg buckets the raw rows
-to (key, x, y) — callers usually aggregate upstream — then per key a
-collect_list + ONE within-row HOF aggregate over the i<j pair stream
-with a struct accumulator (zero joins, zero Python; interpreted-HOF
-volume bounded by the in-plan raise_error guard at ``max_points`` —
-PLANS §109 budget: the default 2000 points = 2M lambda evals per
-key). Keys with < 2 items are ABSENT (no pair, no evidence).
+Scale shape: callers aggregate the raw stream to (key, x, y) rows
+upstream; the O(m²) pair sums then run as ONE Arrow-batched numpy
+stage per key group (applyInPandas) — a nested-HOF formulation is
+interpreted per element and measured 27s vs <1s at 1.5k points/key
+(the hausdorff lesson, PLANS §109); numpy int64 sign/compare/sum is
+exact, so the SQL twin still bit-agrees. Transient m×m matrices are
+bounded by 256-row blocks; groups beyond ``max_points`` fail loudly
+inside the stage. Keys with < 2 items are ABSENT (no pair, no
+evidence).
 
 The DuckDB twin is the INDEPENDENT row plan: an rn < rn' self-join
 over row_number'd items generates pair ROWS (no arrays, no HOFs)
@@ -62,10 +64,6 @@ _FINAL = (
 )
 
 
-def _sgn(d: str) -> str:
-    return f"CASE WHEN {d} > 0 THEN 1L WHEN {d} < 0 THEN -1L ELSE 0L END"
-
-
 def kendall_tau(
     pairs: DataFrame,
     key_col: str = "key",
@@ -75,47 +73,65 @@ def kendall_tau(
 ) -> DataFrame:
     """(key, n_points, n0, cd, n1, n2, tau_b): Kendall tau-b of the
     paired (x, y) rows per key; keys with < 2 rows absent, constant
-    x or y reports NULL tau_b, groups beyond ``max_points`` raise
-    in-plan."""
+    x or y reports NULL tau_b, groups beyond ``max_points`` fail
+    loudly inside the Arrow stage.
+
+    The O(m²) pair sums run as ONE Arrow-batched numpy stage per key
+    group (applyInPandas) — nested HOF lambdas are interpreted, never
+    codegen'd, and measured 27s vs <1s at 1.5k points/key (the
+    hausdorff/PLANS §109 rule). All arithmetic is int64 sign/compare/
+    sum — exact, so the SQL twin still bit-agrees. Row blocks of 256
+    bound the transient m×m matrices regardless of max_points.
+    """
     if int(max_points) < 2:
         raise ValueError(
             f"kendall_tau: max_points must be >= 2, got {max_points}")
-    dx = "(element_at(_a, i).x - element_at(_a, j).x)"
-    dy = "(element_at(_a, i).y - element_at(_a, j).y)"
-    pair = (
-        f"struct({_sgn(dx)} * {_sgn(dy)} AS cd,"
-        f" CASE WHEN {dx} = 0 THEN 1L ELSE 0L END AS tx,"
-        f" CASE WHEN {dy} = 0 THEN 1L ELSE 0L END AS ty)"
+    import numpy as np
+    import pandas as pd
+
+    key_type = pairs.schema[key_col].dataType.simpleString()
+    limit = int(max_points)
+
+    def _sums(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"key": [], "n": [], "cd": [], "tx": [], "ty": []}
+            ).astype({"n": "int64", "cd": "int64",
+                      "tx": "int64", "ty": "int64"})
+        if m > limit:
+            raise ValueError(
+                f"kendall_tau: group exceeds {limit} points"
+                " — aggregate coarser")
+        x = pdf["_x"].to_numpy(dtype=np.int64)
+        y = pdf["_y"].to_numpy(dtype=np.int64)
+        cd = tx = ty = 0
+        for lo in range(0, m, 256):
+            hi = min(lo + 256, m)
+            dx = x[lo:hi, None] - x[None, :]
+            dy = y[lo:hi, None] - y[None, :]
+            # strict upper triangle of the (block-rows x all) slab
+            cols = np.arange(m)[None, :]
+            mask = cols > np.arange(lo, hi)[:, None]
+            sgn = np.sign(dx) * np.sign(dy)
+            cd += int(sgn[mask].sum())
+            tx += int(((dx == 0) & mask).sum())
+            ty += int(((dy == 0) & mask).sum())
+        return pd.DataFrame({
+            "key": [pdf["key"].iloc[0]], "n": [m],
+            "cd": [cd], "tx": [tx], "ty": [ty],
+        })
+
+    cleaned = pairs.selectExpr(
+        f"{key_col} AS key",
+        f"CAST({x_col} AS BIGINT) AS _x",
+        f"CAST({y_col} AS BIGINT) AS _y",
+    ).where("key IS NOT NULL AND _x IS NOT NULL AND _y IS NOT NULL")
+    sums = cleaned.groupBy("key").applyInPandas(
+        _sums,
+        schema=(f"key {key_type}, n long, cd long, tx long, ty long"),
     )
-    guard = (
-        f"CASE WHEN size(_a) > {int(max_points)} THEN"
-        f" CAST(raise_error('kendall_tau: group exceeds"
-        f" {int(max_points)} points — aggregate coarser') AS INT)"
-        " ELSE size(_a) END"
-    )
-    return (
-        pairs.selectExpr(
-            f"{key_col} AS key",
-            f"CAST({x_col} AS BIGINT) AS _x",
-            f"CAST({y_col} AS BIGINT) AS _y",
-        )
-        .where("key IS NOT NULL AND _x IS NOT NULL AND _y IS NOT NULL")
-        .groupBy("key")
-        .agg(F.expr("collect_list(struct(_x AS x, _y AS y)) AS _a"))
-        .selectExpr("key", "_a", f"{guard} AS _n")
-        .where("_n >= 2")
-        .selectExpr(
-            "key", "_n AS n",
-            "aggregate(flatten(transform(sequence(2, _n),"
-            " i -> transform(sequence(1, i - 1),"
-            f" j -> {pair}))),"
-            " struct(0L AS cd, 0L AS tx, 0L AS ty),"
-            " (a, p) -> struct(a.cd + p.cd AS cd, a.tx + p.tx AS tx,"
-            " a.ty + p.ty AS ty)) AS _s",
-        )
-        .selectExpr("key", "n", "_s.cd AS cd", "_s.tx AS tx", "_s.ty AS ty")
-        .selectExpr(*_FINAL)
-    )
+    return sums.selectExpr(*_FINAL)
 
 
 def sql_kendall_tau(
