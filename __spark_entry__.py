@@ -5860,6 +5860,38 @@ def _sql_lang_segregation() -> str:
     return sql_join_counts(cells)
 
 
+# minute-grain tick: integer EXTRACTs only (EPOCH/SECOND differ in
+# fractional handling across engines; minute parts are unambiguous)
+_BU_T = ("(EXTRACT(DAY FROM ts) - 1) * 1440"
+         " + EXTRACT(HOUR FROM ts) * 60 + EXTRACT(MINUTE FROM ts)")
+
+
+def q_crawl_burstiness(spark, sf_dir):
+    """Goh-Barabási burstiness (operators/burstiness.py): per user,
+    are event arrivals CLUMPED (B→1 bursts+silences), Poisson (B≈0),
+    or metronomic (B→−1 cron/polling bots) — the traffic-shape
+    fingerprint for bot detection and politeness tuning; acf asks
+    does VOLUME repeat, this asks are ARRIVALS clumped. Gaps from ONE
+    lag window on the uniform user key (tie order irrelevant: the
+    sorted-sequence difference multiset is unique); m/S/Q exact
+    BIGINT, variance cleared to m·Q−S², B = one exactly-rounded IEEE
+    sqrt + fixed-order tail beside exact factors, NULL via integer
+    CASE under 2 gaps or all-zero gaps. Oracle: the INDEPENDENT
+    rn=rn'+1 self-join plan (no lag window)."""
+    from core_spark.operators.burstiness import burstiness
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id AS key", f"{_BU_T} AS t")
+    return burstiness(ev)
+
+
+def _sql_crawl_burstiness() -> str:
+    from core_spark.operators.burstiness import sql_burstiness
+
+    return sql_burstiness(
+        f"SELECT user_id AS key, {_BU_T} AS t FROM events")
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7274,6 +7306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_acf": q_volume_acf,
         "quadrat": q_quadrat,
         "lang_segregation": q_lang_segregation,
+        "crawl_burstiness": q_crawl_burstiness,
     }
 
 
@@ -7789,6 +7822,7 @@ def oracle_sql() -> dict[str, str]:
         "volume_acf": _sql_volume_acf(),
         "quadrat": _sql_quadrat(),
         "lang_segregation": _sql_lang_segregation(),
+        "crawl_burstiness": _sql_crawl_burstiness(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
