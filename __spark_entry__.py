@@ -5892,6 +5892,32 @@ def _sql_crawl_burstiness() -> str:
         f"SELECT user_id AS key, {_BU_T} AS t FROM events")
 
 
+def q_user_streaks(spark, sf_dir):
+    """Longest activity streak (operators/streaks.py): per user, the
+    longest unbroken run of active days over the month — the
+    continuity metric crawl-ops dashboards key on (how long has this
+    host been continuously reachable / this user continuously
+    active). Gaps-and-islands via the day − dense_rank constant-
+    difference trick (staypoints' calendar-grain sibling): ONE
+    distinct on the uniform (key, day) grain eats raw volume, windows
+    at the distinct-day grain only, ALL-INTEGER end to end (no
+    doubles anywhere), tie-break longest-then-earliest on BIGINTs.
+    Oracle: the INDEPENDENT lag-flag cumulative-sum island plan +
+    QUALIFY selection."""
+    from core_spark.operators.streaks import longest_streaks
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id AS key", "EXTRACT(DAY FROM ts) AS day")
+    return longest_streaks(ev)
+
+
+def _sql_user_streaks() -> str:
+    from core_spark.operators.streaks import sql_longest_streaks
+
+    return sql_longest_streaks(
+        "SELECT user_id AS key, EXTRACT(DAY FROM ts) AS day FROM events")
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7307,6 +7333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadrat": q_quadrat,
         "lang_segregation": q_lang_segregation,
         "crawl_burstiness": q_crawl_burstiness,
+        "user_streaks": q_user_streaks,
     }
 
 
@@ -7823,6 +7850,7 @@ def oracle_sql() -> dict[str, str]:
         "quadrat": _sql_quadrat(),
         "lang_segregation": _sql_lang_segregation(),
         "crawl_burstiness": _sql_crawl_burstiness(),
+        "user_streaks": _sql_user_streaks(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
