@@ -5918,6 +5918,38 @@ def _sql_user_streaks() -> str:
         "SELECT user_id AS key, EXTRACT(DAY FROM ts) AS day FROM events")
 
 
+_FN_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel(spark, sf_dir):
+    """Strict-order funnel (operators/funnel.py): how many users
+    view THEN click THEN purchase (strictly increasing ticks — equal
+    ticks do not chain) — the product-analytics staple over the
+    events stream. Greedy earliest-match is provably optimal for
+    reachability (exchange argument), so ONE ordered within-row
+    linear fold per user decides the whole funnel (lambda volume =
+    events-per-user, the LINEAR case HOFs are right for — unlike the
+    O(m²) kendall core); raw stream filtered to step labels map-side
+    BEFORE the collect; counts exact BIGINT, conversion ONE trailing
+    IEEE division. Oracle: the INDEPENDENT chained-CTE plan (one
+    min-after-t CTE per step, no arrays)."""
+    from core_spark.operators.funnel import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id AS key", f"{_BU_T} AS t", "event_type AS label")
+    return funnel(ev, _FN_STEPS)
+
+
+def _sql_funnel() -> str:
+    from core_spark.operators.funnel import sql_funnel
+
+    return sql_funnel(
+        f"SELECT user_id AS key, {_BU_T} AS t, event_type AS label"
+        " FROM events",
+        _FN_STEPS,
+    )
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7334,6 +7366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_segregation": q_lang_segregation,
         "crawl_burstiness": q_crawl_burstiness,
         "user_streaks": q_user_streaks,
+        "funnel": q_funnel,
     }
 
 
@@ -7851,6 +7884,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_segregation": _sql_lang_segregation(),
         "crawl_burstiness": _sql_crawl_burstiness(),
         "user_streaks": _sql_user_streaks(),
+        "funnel": _sql_funnel(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
