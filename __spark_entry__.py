@@ -5950,6 +5950,38 @@ def _sql_funnel() -> str:
     )
 
 
+def q_kanon_audit(spark, sf_dir):
+    """k-anonymity audit (operators/kanonymity.py): under the
+    (lang, length-decile, ruler-host-class) quasi-identifier tuple,
+    how much of the corpus sits in equivalence classes below k=10 —
+    the INDIRECT re-identification surface a release review gates on
+    after pii.py strips direct identifiers. ONE hash-agg on the
+    uniform quasi tuple + ONE 1-row conditional re-agg; all counts
+    exact BIGINT, risk_share the single trailing IEEE division; NULL
+    quasi values form their own class (dropping them would
+    understate risk). Oracle: the INDEPENDENT count-of-counts
+    frequency-of-frequencies plan."""
+    from core_spark.operators.kanonymity import k_anonymity
+
+    rows = _docs(spark, sf_dir, wide=False).selectExpr(
+        "lang",
+        "LENGTH(text) DIV 10 AS lbucket",
+        "CASE WHEN doc_id % 2 = 1 THEN 'mega' ELSE 'tail' END AS hclass",
+    )
+    return k_anonymity(rows, ("lang", "lbucket", "hclass"), 10)
+
+
+def _sql_kanon_audit() -> str:
+    from core_spark.operators.kanonymity import sql_k_anonymity
+
+    rows = (
+        "SELECT lang, LENGTH(text) DIV 10 AS lbucket,"
+        " CASE WHEN doc_id % 2 = 1 THEN 'mega' ELSE 'tail' END AS hclass"
+        " FROM documents"
+    ).replace(" DIV ", " // ")
+    return sql_k_anonymity(rows, ("lang", "lbucket", "hclass"), 10)
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7367,6 +7399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_burstiness": q_crawl_burstiness,
         "user_streaks": q_user_streaks,
         "funnel": q_funnel,
+        "kanon_audit": q_kanon_audit,
     }
 
 
@@ -7885,6 +7918,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_burstiness": _sql_crawl_burstiness(),
         "user_streaks": _sql_user_streaks(),
         "funnel": _sql_funnel(),
+        "kanon_audit": _sql_kanon_audit(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
