@@ -5982,6 +5982,44 @@ def _sql_kanon_audit() -> str:
     return sql_k_anonymity(rows, ("lang", "lbucket", "hclass"), 10)
 
 
+# Cohort fixture: stagger user onboarding deterministically (drop
+# each user's events before day user_id % 20) so weekly cohorts 0..4
+# all exist; retention then decays as later weeks thin out.
+_CO_ROWS = (
+    "SELECT user_id AS key,"
+    " (EXTRACT(DAY FROM ts) - 1) DIV 7 AS period"
+    " FROM events WHERE EXTRACT(DAY FROM ts) > user_id % 20"
+)
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (operators/cohorts.py): of the users
+    first active in week W, how many were still active k weeks later
+    — the decay curve recrawl scheduling and capacity planning key on
+    (cohort = first-seen period, age = periods since). ONE distinct
+    on the uniform (user, period) grain eats raw volume, cohort via
+    ONE min hash-agg + ONE uniform equi join (never a window over
+    events), cell counts exact BIGINT, retention ONE trailing IEEE
+    division; age-0 rows are the retention-1.0 verification arm,
+    empty cells ABSENT (sparse semantics). Oracle: the INDEPENDENT
+    min-window plan (window semantics instead of join semantics)."""
+    from core_spark.operators.cohorts import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "ts").selectExpr(
+        "user_id AS key",
+        "(EXTRACT(DAY FROM ts) - 1) DIV 7 AS period",
+        "EXTRACT(DAY FROM ts) > user_id % 20 AS _keep",
+    ).where("_keep").select("key", "period")
+    return cohort_retention(ev)
+
+
+def _sql_cohort_retention() -> str:
+    from core_spark.operators.cohorts import sql_cohort_retention
+
+    return sql_cohort_retention(_CO_ROWS.replace(" DIV ", " // "))
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7400,6 +7438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_streaks": q_user_streaks,
         "funnel": q_funnel,
         "kanon_audit": q_kanon_audit,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -7919,6 +7958,7 @@ def oracle_sql() -> dict[str, str]:
         "user_streaks": _sql_user_streaks(),
         "funnel": _sql_funnel(),
         "kanon_audit": _sql_kanon_audit(),
+        "cohort_retention": _sql_cohort_retention(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
