@@ -6020,6 +6020,39 @@ def _sql_cohort_retention() -> str:
     return sql_cohort_retention(_CO_ROWS.replace(" DIV ", " // "))
 
 
+def q_ldiv_audit(spark, sf_dir):
+    """l-diversity audit (operators/kanonymity.py::l_diversity,
+    Machanavajjhala 2007): the attribute-leak complement of
+    kanon_audit — a class can be k-anonymous yet expose its sensitive
+    column when it takes < l distinct values there. Quasi =
+    (lang, ruler-host-class), sensitive = length decile, l=3.
+    Two-level distinct plan (ONE distinct on the uniform
+    (quasi, sensitive) grain — never a memory-heavy COUNT(DISTINCT)
+    agg at scale — re-aggregated to per-class diversity + a parallel
+    row-count hash-agg joined on the same uniform tuple); NULL
+    sensitive counts as a value on both engines. Oracle: the
+    INDEPENDENT one-pass COUNT(DISTINCT)+NULL-presence plan."""
+    from core_spark.operators.kanonymity import l_diversity
+
+    rows = _docs(spark, sf_dir, wide=False).selectExpr(
+        "lang",
+        "CASE WHEN doc_id % 2 = 1 THEN 'mega' ELSE 'tail' END AS hclass",
+        "LENGTH(text) DIV 10 AS sens",
+    )
+    return l_diversity(rows, ("lang", "hclass"), "sens", 3)
+
+
+def _sql_ldiv_audit() -> str:
+    from core_spark.operators.kanonymity import sql_l_diversity
+
+    rows = (
+        "SELECT lang,"
+        " CASE WHEN doc_id % 2 = 1 THEN 'mega' ELSE 'tail' END AS hclass,"
+        " LENGTH(text) DIV 10 AS sens FROM documents"
+    ).replace(" DIV ", " // ")
+    return sql_l_diversity(rows, ("lang", "hclass"), "sens", 3)
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7439,6 +7472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "kanon_audit": q_kanon_audit,
         "cohort_retention": q_cohort_retention,
+        "ldiv_audit": q_ldiv_audit,
     }
 
 
@@ -7959,6 +7993,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _sql_funnel(),
         "kanon_audit": _sql_kanon_audit(),
         "cohort_retention": _sql_cohort_retention(),
+        "ldiv_audit": _sql_ldiv_audit(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",

@@ -75,6 +75,110 @@ def k_anonymity(
     return agg.selectExpr(f"{k} AS k", "*").selectExpr(*_FINAL)
 
 
+# identical final projection text for the l-diversity audit
+_L_FINAL = (
+    "CAST(l AS BIGINT) AS l",
+    "CAST(n_rows AS BIGINT) AS n_rows",
+    "CAST(n_groups AS BIGINT) AS n_groups",
+    "CAST(n_violating AS BIGINT) AS n_violating",
+    "CAST(rows_at_risk AS BIGINT) AS rows_at_risk",
+    "CAST(min_diversity AS BIGINT) AS min_diversity",
+    "CASE WHEN n_rows <> 0 THEN"
+    " CAST(rows_at_risk AS DOUBLE) / CAST(n_rows AS DOUBLE)"
+    " END AS risk_share",
+)
+
+
+def l_diversity(
+    rows: DataFrame,
+    quasi_cols: tuple[str, ...],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """One row (l, n_rows, n_groups, n_violating, rows_at_risk,
+    min_diversity, risk_share): the (distinct) l-diversity audit
+    (Machanavajjhala 2007) — equivalence classes whose SENSITIVE
+    column takes < l distinct values leak the attribute even when
+    k-anonymous; NULL sensitive values count as a value (they leak
+    "unknown", which is information). Two-level distinct plan: ONE
+    distinct on the uniform (quasi..., sensitive) grain (the
+    termstats rule — never a memory-heavy COUNT(DISTINCT) agg at
+    scale), re-aggregated to per-class diversity, row counts joined
+    from a parallel hash-agg on the same uniform tuple."""
+    quasi_cols = tuple(quasi_cols)
+    if not quasi_cols or int(l) < 2:
+        raise ValueError(
+            f"l_diversity: need >= 1 quasi column and l >= 2,"
+            f" got {quasi_cols!r}, {l}")
+    l = int(l)
+    qcols = [F.col(c) for c in quasi_cols]
+    div = (
+        rows.select(*qcols, F.col(sensitive_col))
+        .distinct()
+        .groupBy(*qcols)
+        .agg(F.count("*").cast("long").alias("ldiv"))
+    )
+    cnt = rows.groupBy(*qcols).agg(
+        F.count("*").cast("long").alias("c"))
+    per = cnt.join(div, list(quasi_cols))
+    agg = per.agg(
+        F.expr("CAST(COALESCE(SUM(c), 0) AS BIGINT)").alias("n_rows"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_groups"),
+        F.expr(
+            f"CAST(COALESCE(SUM(CASE WHEN ldiv < {l} THEN 1 ELSE 0 END),"
+            " 0) AS BIGINT)").alias("n_violating"),
+        F.expr(
+            f"CAST(COALESCE(SUM(CASE WHEN ldiv < {l} THEN c ELSE 0 END),"
+            " 0) AS BIGINT)").alias("rows_at_risk"),
+        F.expr("CAST(COALESCE(MIN(ldiv), 0) AS BIGINT)").alias(
+            "min_diversity"),
+    )
+    return agg.selectExpr(f"{l} AS l", "*").selectExpr(*_L_FINAL)
+
+
+def sql_l_diversity(
+    rows_sql: str,
+    quasi_cols: tuple[str, ...],
+    sensitive_col: str,
+    l: int,
+) -> str:
+    """DuckDB twin via the INDEPENDENT one-pass plan: a direct
+    COUNT(DISTINCT sensitive) per class (no two-level distinct, no
+    join); same final projection text. NULL sensitive counts as a
+    value on both engines (COALESCE-tagged before the distinct)."""
+    quasi_cols = tuple(quasi_cols)
+    l = int(l)
+    cols = ", ".join(quasi_cols)
+    # COUNT(DISTINCT x) ignores NULL; add back a NULL-presence term so
+    # NULL counts as a value (no sentinel string can collide this way)
+    ldiv = (
+        f"COUNT(DISTINCT {sensitive_col})"
+        f" + MAX(CASE WHEN {sensitive_col} IS NULL THEN 1 ELSE 0 END)"
+    )
+    return f"""
+        WITH per AS (
+          SELECT {cols},
+                 CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST({ldiv} AS BIGINT) AS ldiv
+          FROM ({rows_sql}) s
+          GROUP BY {cols}
+        ),
+        agg AS (
+          SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_groups,
+                 CAST(COALESCE(SUM(CASE WHEN ldiv < {l} THEN 1 ELSE 0
+                   END), 0) AS BIGINT) AS n_violating,
+                 CAST(COALESCE(SUM(CASE WHEN ldiv < {l} THEN c ELSE 0
+                   END), 0) AS BIGINT) AS rows_at_risk,
+                 CAST(COALESCE(MIN(ldiv), 0) AS BIGINT) AS min_diversity
+          FROM per
+        )
+        SELECT {", ".join(_L_FINAL)} FROM (
+          SELECT {l} AS l, * FROM agg
+        ) t
+    """
+
+
 def sql_k_anonymity(
     rows_sql: str, quasi_cols: tuple[str, ...], k: int
 ) -> str:

@@ -82,3 +82,77 @@ def test_empty_and_validation(spark):
         k_anonymity(empty, (), K)
     with pytest.raises(ValueError):
         k_anonymity(empty, QUASI, 1)
+
+
+# --- l-diversity -----------------------------------------------------
+
+from core_spark.operators.kanonymity import l_diversity, sql_l_diversity
+
+L = 2
+LROWS = (
+    [("en", 1, "s1")] * 3                      # diverse? one value -> viol
+    + [("en", 2, "s1"), ("en", 2, "s2")]       # 2 values -> safe
+    + [("de", 1, "s1"), ("de", 1, None)]       # NULL counts as a value
+    + [("fr", 3, "s9")]                        # singleton -> violating
+)
+
+
+def lmodel(rows, l=L):
+    classes = {}
+    for lang, b, s in rows:
+        classes.setdefault((lang, b), []).append(s)
+    n = len(rows)
+    viol_rows = 0
+    viol = 0
+    mindiv = None
+    for vals in classes.values():
+        d = len(set(vals))
+        mindiv = d if mindiv is None else min(mindiv, d)
+        if d < l:
+            viol += 1
+            viol_rows += len(vals)
+    return (l, n, len(classes), viol, viol_rows, mindiv or 0,
+            (viol_rows / n) if n else None)
+
+
+def test_l_model_hand_checks():
+    l, n, g, v, risk, mn, share = lmodel(LROWS)
+    assert (n, g, v, risk, mn) == (8, 4, 2, 4, 1)
+
+
+def _lvals(rows):
+    sql_rows = ", ".join(
+        "(" + ", ".join(
+            "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v))
+            for v in r) + ")"
+        for r in rows
+    )
+    return f"SELECT * FROM (VALUES {sql_rows}) t(lang, bucket, sens)"
+
+
+def test_l_duckdb_twin_matches_model():
+    got = duckdb.sql(
+        sql_l_diversity(_lvals(LROWS), QUASI, "sens", L)).fetchall()[0]
+    assert tuple(got) == lmodel(LROWS)
+
+
+@pytest.mark.spark
+def test_l_spark_matches_model(spark):
+    df = spark.createDataFrame(
+        LROWS, "lang string, bucket long, sens string")
+    got = tuple(l_diversity(df, QUASI, "sens", L).collect()[0])
+    assert got == lmodel(LROWS)
+
+
+@pytest.mark.spark
+def test_l_bit_identity_and_validation(spark):
+    rows = [(f"l{i % 5}", (i * 3) % 7, f"s{(i * i) % 4}")
+            for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "lang string, bucket long, sens string")
+    srow = tuple(l_diversity(df, QUASI, "sens", 3).collect()[0])
+    orow = tuple(duckdb.sql(
+        sql_l_diversity(_lvals(rows), QUASI, "sens", 3)).fetchall()[0])
+    assert srow == orow
+    with pytest.raises(ValueError):
+        l_diversity(df, QUASI, "sens", 1)
