@@ -6053,6 +6053,38 @@ def _sql_ldiv_audit() -> str:
     return sql_l_diversity(rows, ("lang", "hclass"), "sens", 3)
 
 
+_XC_LAGS = (-24, -1, 0, 1, 24)
+
+
+def q_click_leads_purchase(spark, sf_dir):
+    """Cross-correlation (operators/xcorr.py): does the hourly CLICK
+    volume lead the hourly PURCHASE volume — the lead-lag screen of
+    transfer-function modeling, the two-series generalization of
+    volume_acf, at lags ±1 and ±24 plus the contemporaneous 0. Five
+    exact-BIGINT aggregates per lag from ONE hash-agg over the
+    matched-bucket join (a-side exploded once per lag into ONE
+    uniform equi join); the Pearson combination deliberately crosses
+    to a FIXED-ORDER IEEE double tail (m·Sxx exceeds int64 long
+    before the inputs are big — unlike acf's deviation form), exact
+    factors emitted beside it; NULL via double-zero comparisons on
+    constant support or m<2. Oracle: the INDEPENDENT one-self-join-
+    per-lag UNION ALL plan."""
+    from core_spark.operators.xcorr import cross_correlation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type AS key", f"{_ACF_T} AS t", "1 AS x")
+    return cross_correlation(ev, "click", "purchase", _XC_LAGS)
+
+
+def _sql_click_leads_purchase() -> str:
+    from core_spark.operators.xcorr import sql_cross_correlation
+
+    return sql_cross_correlation(
+        f"SELECT event_type AS key, {_ACF_T} AS t, 1 AS x FROM events",
+        "click", "purchase", _XC_LAGS,
+    )
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7473,6 +7505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kanon_audit": q_kanon_audit,
         "cohort_retention": q_cohort_retention,
         "ldiv_audit": q_ldiv_audit,
+        "click_leads_purchase": q_click_leads_purchase,
     }
 
 
@@ -7994,6 +8027,7 @@ def oracle_sql() -> dict[str, str]:
         "kanon_audit": _sql_kanon_audit(),
         "cohort_retention": _sql_cohort_retention(),
         "ldiv_audit": _sql_ldiv_audit(),
+        "click_leads_purchase": _sql_click_leads_purchase(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
