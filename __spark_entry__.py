@@ -6085,6 +6085,66 @@ def _sql_click_leads_purchase() -> str:
     )
 
 
+# geo_report capstone: one (metric, qualifier, num, den, value) row
+# per global statistic — num/den carry each metric's OWN exact
+# factors (documented per arm), value its trailing double.
+_GR_ARMS = (
+    ("quadrat_vmr", "0", "num", "den", "vmr"),
+    ("ripley_khat", "bin", "cum_pairs", "n_points", "khat"),
+    ("knox_ratio", "0", "n_st", "n0", "knox_ratio"),
+    ("host_gini", "0", "num", "den", "gini"),
+    ("link_assortativity", "0", "num", "den", "assortativity"),
+)
+_GR_PROJ = (
+    "'{m}' AS metric", "CAST({q} AS BIGINT) AS qualifier",
+    "CAST({n} AS BIGINT) AS num", "CAST({d} AS BIGINT) AS den",
+    "{v} AS value",
+)
+
+
+def q_geo_report(spark, sf_dir):
+    """Geo-audit report capstone: the five global statistics a
+    spatial corpus review opens with — quadrat VMR (first-order
+    screen), Ripley K per annulus (second-order), Knox space-time
+    interaction, host Gini concentration, link assortativity — as
+    ONE (metric, qualifier, num, den, value) table, each row carrying
+    its own exact BIGINT factors beside the trailing double. The
+    CHAIN is what this query gates (the corpus_refinery precedent):
+    every component is the standalone audited operator, and the
+    oracle is the UNION ALL of the component oracles under the same
+    projection."""
+    base = {
+        "quadrat_vmr": q_quadrat,
+        "ripley_khat": q_ripley,
+        "knox_ratio": q_knox,
+        "host_gini": q_host_gini,
+        "link_assortativity": q_link_assortativity,
+    }
+    out = None
+    for m, q, n, d, v in _GR_ARMS:
+        part = base[m](spark, sf_dir).selectExpr(
+            *[s.format(m=m, q=q, n=n, d=d, v=v) for s in _GR_PROJ])
+        out = part if out is None else out.union(part)
+    return out
+
+
+def _sql_geo_report() -> str:
+    oracles = {
+        "quadrat_vmr": _sql_quadrat(),
+        "ripley_khat": _sql_ripley(),
+        "knox_ratio": _sql_knox(),
+        "host_gini": _sql_host_gini(),
+        "link_assortativity": _sql_link_assortativity(),
+    }
+    parts = [
+        "SELECT "
+        + ", ".join(s.format(m=m, q=q, n=n, d=d, v=v) for s in _GR_PROJ)
+        + f" FROM ({oracles[m]}) sub_{m}"
+        for m, q, n, d, v in _GR_ARMS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7506,6 +7566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "ldiv_audit": q_ldiv_audit,
         "click_leads_purchase": q_click_leads_purchase,
+        "geo_report": q_geo_report,
     }
 
 
@@ -8028,6 +8089,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _sql_cohort_retention(),
         "ldiv_audit": _sql_ldiv_audit(),
         "click_leads_purchase": _sql_click_leads_purchase(),
+        "geo_report": _sql_geo_report(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
