@@ -6145,6 +6145,80 @@ def _sql_geo_report() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+# WARC fixture: each doc becomes one response record (HTTP preamble +
+# text payload; corpus verified ASCII and 'WARC/'-free, so byte length
+# = char length and resync cannot land inside a payload), 10 records
+# per file in doc_id order; every 37th doc gets a corrupted
+# Content-Length -> the error-as-data + salvaged-URI + resync arm.
+_WC_CRLF = "chr(13), chr(10)"
+_WC_BAD = "doc_id % 37 = 0"
+_WC_URI = "'http://h', CAST(doc_id % 7 AS STRING), '.example/doc/', CAST(doc_id AS STRING)"
+_WC_PAYLOAD = (
+    f"concat('HTTP/1.1 200 OK', {_WC_CRLF}, {_WC_CRLF}, text)"
+)
+_WC_REC = (
+    "concat("
+    f"'WARC/1.0', {_WC_CRLF},"
+    f"'WARC-Type: response', {_WC_CRLF},"
+    f"'WARC-Record-ID: <urn:doc:', CAST(doc_id AS STRING), '>', {_WC_CRLF},"
+    f"'WARC-Target-URI: ', {_WC_URI}, {_WC_CRLF},"
+    f"'Content-Length: ', CASE WHEN {_WC_BAD} THEN 'XX'"
+    f" ELSE CAST(LENGTH({_WC_PAYLOAD}) AS STRING) END, {_WC_CRLF},"
+    f"{_WC_CRLF}, {_WC_PAYLOAD}, {_WC_CRLF}, {_WC_CRLF})"
+)
+
+
+def q_warc_scan(spark, sf_dir):
+    """WARC archive scan (sources/warc.py): build per-file WARC blobs
+    IN SQL from the doc generation rules (10 records/file, a
+    corrupted Content-Length every 37th doc), then parse them back
+    through the from-scratch ISO 28500 reader — ONE Arrow-batched
+    mapInPandas stage, Content-Length-authoritative skip (payload
+    bytes can't desync well-formed records), error-as-data rows with
+    salvaged URIs and deterministic resync. The oracle NEVER parses:
+    DuckDB emits the EXPECTED record rows straight from the same
+    generation rules (the inventory oracle trick), gating version/
+    header/length/md5/resync behavior end to end; md5 is the
+    engine-portable digest."""
+    from pyspark.sql import functions as F
+
+    from core_spark.sources.warc import scan_warc
+
+    blobs = (
+        _docs(spark, sf_dir).selectExpr(
+            "doc_id DIV 10 AS file_id",
+            "doc_id",
+            f"{_WC_REC} AS rec",
+        )
+        .groupBy("file_id")
+        .agg(F.expr(
+            "array_join(transform(sort_array(collect_list("
+            "struct(doc_id, rec))), s -> s.rec), '') AS warc"))
+    )
+    return scan_warc(blobs, blob_col="warc", keep_cols=("file_id",))
+
+
+def _sql_warc_scan() -> str:
+    bad = _WC_BAD
+    payload = _WC_PAYLOAD
+    return f"""
+        SELECT doc_id // 10 AS file_id,
+               CAST(row_number() OVER (PARTITION BY doc_id // 10
+                                       ORDER BY doc_id) - 1 AS INT)
+                 AS rec_index,
+               'response' AS warc_type,
+               concat({_WC_URI}) AS target_uri,
+               CASE WHEN {bad} THEN NULL
+                    ELSE CAST(LENGTH({payload}) AS BIGINT)
+               END AS content_length,
+               CASE WHEN {bad} THEN NULL ELSE md5({payload})
+               END AS payload_md5,
+               CASE WHEN {bad} THEN 'bad-content-length'
+               END AS parse_error
+        FROM documents
+    """
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7567,6 +7641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ldiv_audit": q_ldiv_audit,
         "click_leads_purchase": q_click_leads_purchase,
         "geo_report": q_geo_report,
+        "warc_scan": q_warc_scan,
     }
 
 
@@ -8090,6 +8165,7 @@ def oracle_sql() -> dict[str, str]:
         "ldiv_audit": _sql_ldiv_audit(),
         "click_leads_purchase": _sql_click_leads_purchase(),
         "geo_report": _sql_geo_report(),
+        "warc_scan": _sql_warc_scan(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
