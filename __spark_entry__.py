@@ -6219,6 +6219,36 @@ def _sql_warc_scan() -> str:
     """
 
 
+def q_langid_eval(spark, sf_dir):
+    """Classifier evaluation capstone (operators/confusion.py):
+    the langid heuristic audited against the lang label as a
+    confusion matrix with per-cell precision/recall contributions —
+    evaluation as a first-class oracle-gated query (diagonal rows =
+    class recall/precision, off-diagonal rows NAME which confusion
+    costs what). Composes the audited text_langid stepwise kernel;
+    cell and marginal counts exact BIGINT (ONE hash-agg + two
+    broadcast marginal joins), contributions single trailing IEEE
+    divisions. Oracle: sql_lang_id's portable CASE expression feeding
+    the INDEPENDENT window-marginal twin."""
+    from core_spark.operators.confusion import confusion_matrix
+
+    preds = hx.apply_steps(
+        _docs(spark, sf_dir, wide=False).select("doc_id", "lang", "text"),
+        ts.lang_id_steps("text"),
+    ).select("lang", "lang_pred")
+    return confusion_matrix(preds, "lang", "lang_pred")
+
+
+def _sql_langid_eval() -> str:
+    from core_spark.operators.confusion import sql_confusion_matrix
+
+    pairs = (
+        f"SELECT lang AS truth, {ts.sql_lang_id('text')} AS pred"
+        " FROM documents"
+    )
+    return sql_confusion_matrix(pairs)
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7642,6 +7672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_leads_purchase": q_click_leads_purchase,
         "geo_report": q_geo_report,
         "warc_scan": q_warc_scan,
+        "langid_eval": q_langid_eval,
     }
 
 
@@ -8166,6 +8197,7 @@ def oracle_sql() -> dict[str, str]:
         "click_leads_purchase": _sql_click_leads_purchase(),
         "geo_report": _sql_geo_report(),
         "warc_scan": _sql_warc_scan(),
+        "langid_eval": _sql_langid_eval(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
