@@ -6249,6 +6249,31 @@ def _sql_langid_eval() -> str:
     return sql_confusion_matrix(pairs)
 
 
+def q_robust_host_score(spark, sf_dir):
+    """Exact trimmed mean (operators/trimmed.py): per language, the
+    doc-length center with the 25 most extreme documents dropped from
+    each side — the robust LEVEL summary that survives spam outliers
+    without the median's information loss (theil_sen robustifies
+    slopes; this robustifies levels). Rows never rank individually:
+    kept-mass per value block via pure BIGINT interval arithmetic at
+    the tie-collapsed value grain (the gini recipe), deterministic
+    even when ties straddle a cut; trimmed_sum exact, mean ONE
+    trailing IEEE division; n ≤ 2k keys ABSENT. Oracle: the
+    INDEPENDENT literal row_number row-grain plan."""
+    from core_spark.operators.trimmed import trimmed_mean
+
+    rows = _docs(spark, sf_dir, wide=False).selectExpr(
+        "lang AS key", "LENGTH(text) AS value")
+    return trimmed_mean(rows, 25)
+
+
+def _sql_robust_host_score() -> str:
+    from core_spark.operators.trimmed import sql_trimmed_mean
+
+    return sql_trimmed_mean(
+        "SELECT lang AS key, LENGTH(text) AS value FROM documents", 25)
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7673,6 +7698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_report": q_geo_report,
         "warc_scan": q_warc_scan,
         "langid_eval": q_langid_eval,
+        "robust_host_score": q_robust_host_score,
     }
 
 
@@ -8198,6 +8224,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_report": _sql_geo_report(),
         "warc_scan": _sql_warc_scan(),
         "langid_eval": _sql_langid_eval(),
+        "robust_host_score": _sql_robust_host_score(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
