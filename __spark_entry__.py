@@ -6274,6 +6274,73 @@ def _sql_robust_host_score() -> str:
         "SELECT lang AS key, LENGTH(text) AS value FROM documents", 25)
 
 
+# Directed-graph fixture for the structural-hygiene pair: a forward
+# ring (one edge per node), a 1/3-reciprocated backward arm + chords,
+# and a mega-hub fanning out to doc_id % 500 (self-loop included when
+# the fan hits 100) — handshakes, citations, a heavy tail and the
+# excluded-self-loop arm all live.
+_RC_I = "(doc_id % 60)"
+_RC_SRC = (
+    f"CASE doc_id % 3 WHEN 0 THEN {_RC_I}"
+    f" WHEN 1 THEN CASE WHEN {_RC_I} % 3 = 0"
+    f" THEN ({_RC_I} + 1) % 60 ELSE {_RC_I} END"
+    " ELSE 100 END"
+)
+_RC_DST = (
+    f"CASE doc_id % 3 WHEN 0 THEN ({_RC_I} + 1) % 60"
+    f" WHEN 1 THEN CASE WHEN {_RC_I} % 3 = 0"
+    f" THEN {_RC_I} ELSE ({_RC_I} + 7) % 60 END"
+    " ELSE doc_id % 500 END"
+)
+
+
+def q_link_reciprocity(spark, sf_dir):
+    """Directed reciprocity (operators/reciprocity.py): the share of
+    distinct directed edges whose reverse exists — citations vs
+    handshakes; link-exchange / mirror rings detected STRUCTURALLY
+    (mirrors.py finds the same shape by content). Distinct edge set
+    pinned once; membership via ONE left-semi self-join on the
+    swapped key (never a full join); self-loops counted apart and
+    excluded from the ratio; counts exact BIGINT, ratio ONE trailing
+    IEEE division. Oracle: the INDEPENDENT EXISTS-predicate plan."""
+    from core_spark.operators.reciprocity import reciprocity
+
+    links = _docs(spark, sf_dir, wide=False).selectExpr(
+        f"{_RC_SRC} AS src", f"{_RC_DST} AS dst")
+    return reciprocity(links)
+
+
+def _sql_link_reciprocity() -> str:
+    from core_spark.operators.reciprocity import sql_reciprocity
+
+    return sql_reciprocity(
+        f"SELECT {_RC_SRC} AS src, {_RC_DST} AS dst FROM documents")
+
+
+def q_degree_tail(spark, sf_dir):
+    """Out-degree CCDF at powers of two (operators/reciprocity.py):
+    #hosts with degree ≥ 2^j — the LOG-FREE heavy-tail diagnostic
+    (doubling thresholds ARE the log axis; a power law reads as a
+    near-constant ratio between consecutive exact counts — no float
+    fit ever enters the engine). Degrees from ONE hash-agg over the
+    distinct non-self edge set; thresholds from a JVM-side
+    spark.range crossed with the tie-collapsed degree-count grain
+    (gini's trick — never the node table). Oracle: the INDEPENDENT
+    direct degree≥threshold join on generate_series."""
+    from core_spark.operators.reciprocity import degree_ccdf
+
+    links = _docs(spark, sf_dir, wide=False).selectExpr(
+        f"{_RC_SRC} AS src", f"{_RC_DST} AS dst")
+    return degree_ccdf(links, 10)
+
+
+def _sql_degree_tail() -> str:
+    from core_spark.operators.reciprocity import sql_degree_ccdf
+
+    return sql_degree_ccdf(
+        f"SELECT {_RC_SRC} AS src, {_RC_DST} AS dst FROM documents", 10)
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7699,6 +7766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_scan": q_warc_scan,
         "langid_eval": q_langid_eval,
         "robust_host_score": q_robust_host_score,
+        "link_reciprocity": q_link_reciprocity,
+        "degree_tail": q_degree_tail,
     }
 
 
@@ -8225,6 +8294,8 @@ def oracle_sql() -> dict[str, str]:
         "warc_scan": _sql_warc_scan(),
         "langid_eval": _sql_langid_eval(),
         "robust_host_score": _sql_robust_host_score(),
+        "link_reciprocity": _sql_link_reciprocity(),
+        "degree_tail": _sql_degree_tail(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
