@@ -6341,6 +6341,61 @@ def _sql_degree_tail() -> str:
         f"SELECT {_RC_SRC} AS src, {_RC_DST} AS dst FROM documents", 10)
 
 
+# Survival fixture: every real user is active through day 30, so
+# churn is planted — each user goes quiet after a staggered horizon
+# 10 + user_id % 20; duration = last active day within the horizon,
+# and durations landing in the final 3 days are CENSORED (the window
+# closed while they were alive) — the truncation that makes a naive
+# mean lifetime wrong and KM right. Stratified into 3 user cohorts.
+_SV_ROWS = (
+    "SELECT CAST(user_id % 3 AS STRING) AS key, duration,"
+    " CASE WHEN duration <= 27 THEN 1 ELSE 0 END AS event"
+    " FROM (SELECT user_id,"
+    "   MAX(CASE WHEN EXTRACT(DAY FROM ts) <= 10 + user_id % 20"
+    "       THEN EXTRACT(DAY FROM ts) END) AS duration"
+    "   FROM events WHERE user_id IS NOT NULL GROUP BY user_id) u"
+    " WHERE duration IS NOT NULL"
+)
+
+
+def q_user_survival(spark, sf_dir):
+    """Kaplan-Meier survival (operators/survival.py): per user
+    cohort, the censoring-aware churn curve — subjects last seen in
+    the final 3 days are censored, the truncation that makes a naive
+    mean lifetime WRONG and the product-limit estimator right.
+    d/c/n exact BIGINT with n in closed form at the tie-collapsed
+    duration grain; the survival product multiplies STRICTLY
+    left-to-right on both engines (Spark per-prefix within-row fold,
+    DuckDB recursive CTE — never a windowed product aggregate, whose
+    segment-tree order is unspecified), identical factor text →
+    bit-identical curves. Oracle: that INDEPENDENT correlated-join +
+    recursive-CTE plan."""
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.survival import kaplan_meier
+
+    subj = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("user_id", "EXTRACT(DAY FROM ts) AS d")
+        .where("user_id IS NOT NULL")
+        .groupBy("user_id")
+        .agg(F.expr(
+            "MAX(CASE WHEN d <= 10 + user_id % 20 THEN d END)"
+        ).alias("duration"))
+        .where("duration IS NOT NULL")
+        .selectExpr(
+            "CAST(user_id % 3 AS STRING) AS key", "duration",
+            "CASE WHEN duration <= 27 THEN 1 ELSE 0 END AS event")
+    )
+    return kaplan_meier(subj)
+
+
+def _sql_user_survival() -> str:
+    from core_spark.operators.survival import sql_kaplan_meier
+
+    return sql_kaplan_meier(_SV_ROWS)
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7768,6 +7823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_host_score": q_robust_host_score,
         "link_reciprocity": q_link_reciprocity,
         "degree_tail": q_degree_tail,
+        "user_survival": q_user_survival,
     }
 
 
@@ -8296,6 +8352,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_host_score": _sql_robust_host_score(),
         "link_reciprocity": _sql_link_reciprocity(),
         "degree_tail": _sql_degree_tail(),
+        "user_survival": _sql_user_survival(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
