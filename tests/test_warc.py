@@ -1,101 +1,178 @@
-"""WARC: roundtrip, Content-Length-authoritative skip (marker inside
-payload), error-as-data arms with resync, truncation, Spark face."""
+"""WARC source (ISO 28500): round trips, gzip members, malformed tails,
+and the Spark read path."""
 
 from __future__ import annotations
 
-import hashlib
+import gzip
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from core_spark.sources.warc import (
-    build_warc,
-    parse_warc,
-    records_frame,
-    scan_warc,
+    encode_warc,
+    parse_warc_bytes,
+    read_warc,
 )
 
+RECS = [
+    {"url": "https://a.example/x", "ts": "2026-01-02T03:04:05Z",
+     "payload": b"<html>hello</html>"},
+    {"url": "https://b.example/y?q=1", "ts": "2026-02-03T04:05:06Z",
+     "payload": b""},  # empty block is legal
+    {"url": "https://c.example/z", "ts": "2026-03-04T05:06:07Z",
+     "payload": b"\x00\x01\xff binary \r\n\r\n embedded delimiter",
+     "rec_type": "resource"},  # delimiter bytes INSIDE the block
+]
 
-def _recs():
+
+def _fields(rs):
     return [
-        {"warc_type": "warcinfo", "payload": b"software: test\r\n"},
-        {"warc_type": "response", "target_uri": "http://a.example/",
-         "payload": b"HTTP/1.1 200 OK\r\n\r\n<html>hello</html>"},
-        # payload CONTAINS a fake record marker: must not desync
-        {"warc_type": "response", "target_uri": "http://b.example/",
-         "payload": b"binary WARC/1.0 lookalike\r\n\r\ninside"},
+        (r["url"], r["ts"], r["rec_type"], r["payload"], r["error"])
+        for r in rs
     ]
 
 
-def test_roundtrip():
-    data = build_warc(_recs())
-    rows = parse_warc(data)
-    assert [r["parse_error"] for r in rows] == [None, None, None]
-    assert [r["warc_type"] for r in rows] == [
-        "warcinfo", "response", "response"]
-    assert rows[1]["target_uri"] == "http://a.example/"
-    assert rows[2]["payload"] == _recs()[2]["payload"]
-    assert rows[2]["content_length"] == len(_recs()[2]["payload"])
+def _expected():
+    return [
+        (r["url"], r["ts"], r.get("rec_type", "response"),
+         r["payload"], None)
+        for r in RECS
+    ]
 
 
-def test_bad_content_length_resyncs():
-    recs = _recs()
-    recs[1]["content_length"] = "XXX"          # corrupt header
-    data = build_warc(recs)
-    rows = parse_warc(data)
-    assert len(rows) == 3
-    assert rows[1]["parse_error"] == "bad-content-length"
-    assert rows[1]["target_uri"] == "http://a.example/"   # salvaged
-    assert rows[1]["content_length"] is None
-    # NOTE: record 1's payload starts with "HTTP/..." (no WARC/
-    # marker), so resync finds record 2 cleanly
-    assert rows[2]["parse_error"] is None
-    assert rows[2]["target_uri"] == "http://b.example/"
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip(gz):
+    data = encode_warc(RECS, per_record_gzip=gz)
+    assert _fields(parse_warc_bytes(data)) == _expected()
 
 
-def test_truncated_payload_and_headers():
-    data = build_warc(_recs()[:2])
-    rows = parse_warc(data[:-12])              # cut into payload
-    assert rows[-1]["parse_error"] == "truncated-payload"
-    rows = parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\nno-end")
-    assert rows[0]["parse_error"] == "truncated-headers"
-    assert parse_warc(b"") == []
-    assert parse_warc(b"garbage with no marker") == []
+def test_no_space_after_header_colon():
+    """The grammar allows zero whitespace after ':' — a hand-built
+    record with 'Content-Length:N' and 'WARC-Target-URI:u' (no space)
+    must parse, not abort the archive tail."""
+    body = b"payload!"
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type:response\r\n"
+        b"WARC-Target-URI:https://nospace.example/p\r\n"
+        b"WARC-Date:  2026-04-05T06:07:08Z \r\n"   # extra padding trims
+        b"Content-Length:" + str(len(body)).encode() + b"\r\n"
+        b"\r\n" + body + b"\r\n\r\n"
+    )
+    # followed by a normal record: the tail must survive
+    data = raw + encode_warc(RECS[:1])
+    rs = parse_warc_bytes(data)
+    assert _fields(rs)[0] == (
+        "https://nospace.example/p", "2026-04-05T06:07:08Z",
+        "response", body, None,
+    )
+    assert _fields(rs)[1] == _expected()[0]
 
 
-def test_bad_version_errors():
-    data = b"WARC/9.9\r\nWARC-Type: x\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
-    data += build_warc(_recs()[:1])
-    rows = parse_warc(data)
-    assert rows[0]["parse_error"] == "bad-version"
-    assert rows[1]["parse_error"] is None
+def test_content_length_is_authoritative():
+    """The block is sliced by Content-Length, never by scanning for the
+    delimiter — record 3 embeds \\r\\n\\r\\n inside its payload."""
+    rs = parse_warc_bytes(encode_warc(RECS))
+    assert rs[2]["payload"] == RECS[2]["payload"]
 
 
-def test_records_frame_digest():
-    rows = records_frame(parse_warc(build_warc(_recs())))
-    assert rows[1][4] == hashlib.md5(_recs()[1]["payload"]).hexdigest()
-    assert all(r[5] is None for r in rows)
+@pytest.mark.parametrize(
+    "mangle, msg",
+    [
+        # corrupt (not remove) the final record delimiter bytes
+        (lambda d: d[:-4] + b"XXXX", "missing record delimiter"),
+        # cut into the last record's payload
+        (lambda d: d[:-6], "truncated record block"),
+        # trailing header block with no Content-Length
+        (lambda d: d + b"WARC/1.0\r\nNo-Length: x\r\n\r\n",
+         "missing/invalid Content-Length"),
+        # trailing header block that never terminates
+        (lambda d: d + b"WARC/1.0\r\nWARC-Target-URI: u",
+         "truncated header block"),
+        (lambda d: d + b"GARBAGE" + b"\r\n\r\n", "bad version line"),
+    ],
+)
+def test_malformed_tail_is_error_as_data(mangle, msg):
+    # prefix = record 1 (non-empty payload) stays intact in every case
+    data = mangle(encode_warc([RECS[0], RECS[0]]))
+    rs = parse_warc_bytes(data)
+    good = [r for r in rs if r["error"] is None]
+    bad = [r for r in rs if r["error"] is not None]
+    assert len(bad) == 1 and msg in bad[0]["error"]
+    assert len(good) >= 1  # well-formed prefix always kept
+    assert _fields(good) == _expected()[:1] * len(good)
+
+
+def test_gzip_garbage_is_error_as_data():
+    rs = parse_warc_bytes(b"\x1f\x8b not actually gzip")
+    assert len(rs) == 1 and rs[0]["error"].startswith("gzip:")
+
+
+def test_gzip_members_are_independent():
+    """Standard warc.gz: one member per record, so a member boundary
+    exists between records (prefix of members decompresses cleanly)."""
+    data = encode_warc(RECS, per_record_gzip=True)
+    one = encode_warc(RECS[:1], per_record_gzip=True)
+    assert data.startswith(one)  # record 1's member is byte-identical
+    assert _fields(parse_warc_bytes(one)) == _expected()[:1]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=33, max_codepoint=126
+                ),
+                min_size=1,
+                max_size=30,
+            ),
+            st.binary(max_size=200),
+        ),
+        max_size=6,
+    ),
+    st.booleans(),
+)
+def test_roundtrip_fuzz(pairs, gz):
+    recs = [
+        {"url": "https://f.example/" + u, "ts": "2026-01-01T00:00:00Z",
+         "payload": p}
+        for u, p in pairs
+    ]
+    got = parse_warc_bytes(encode_warc(recs, per_record_gzip=gz))
+    assert [(r["url"], r["payload"], r["error"]) for r in got] == [
+        (r["url"], r["payload"], None) for r in recs
+    ]
 
 
 @pytest.mark.spark
-def test_scan_warc_spark_face(spark):
-    recs = _recs()
-    recs_bad = list(recs)
-    recs_bad[0] = dict(recs[0], content_length="nope")
-    rows = [
-        (1, bytearray(build_warc(recs))),
-        (2, bytearray(build_warc(recs_bad))),
-        (3, None),
-    ]
-    df = spark.createDataFrame(rows, "file_id long, warc binary")
-    got = sorted(
-        (r["file_id"], r["rec_index"], r["warc_type"], r["parse_error"])
-        for r in scan_warc(df).collect()
+def test_read_warc_spark(spark, tmp_path):
+    """Two archive files (one plain, one .warc.gz) through the real
+    binaryFile → Arrow path; one corrupt file yields error rows, not a
+    stage failure."""
+    (tmp_path / "a.warc").write_bytes(encode_warc(RECS[:2]))
+    (tmp_path / "b.warc.gz").write_bytes(
+        encode_warc(RECS[2:], per_record_gzip=True)
     )
-    assert got == [
-        (1, 0, "warcinfo", None),
-        (1, 1, "response", None),
-        (1, 2, "response", None),
-        (2, 0, "warcinfo", "bad-content-length"),
-        (2, 1, "response", None),
-        (2, 2, "response", None),
-    ]
+    (tmp_path / "c.warc").write_bytes(b"GARBAGE\r\n\r\n")
+    out = read_warc(spark, str(tmp_path)).collect()
+    good = sorted(
+        (r["url"], r["warc_ts"], bytes(r["payload"]))
+        for r in out
+        if r["error"] is None
+    )
+    assert good == sorted(
+        (r["url"], r["ts"], r["payload"]) for r in RECS
+    )
+    bad = [r for r in out if r["error"] is not None]
+    assert len(bad) == 1 and bad[0]["path"].endswith("c.warc")
+    plan = (
+        read_warc(spark, str(tmp_path))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") >= 1
+    assert "BatchEvalPython" not in plan
