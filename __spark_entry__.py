@@ -6396,6 +6396,32 @@ def _sql_user_survival() -> str:
     return sql_kaplan_meier(_SV_ROWS)
 
 
+def q_length_drift(spark, sf_dir):
+    """Total-variation drift (operators/drift.py): how far apart are
+    the mega-host and long-tail length-decile histograms — the
+    log-free PSI for corpus monitoring (TV bounds every event-
+    probability difference, the guarantee a drift alarm actually
+    wants; quality_shift asks IS the distribution different, this
+    reports HOW FAR in a metric). Cross-multiplied numerator
+    Σ|a_b·N_b − b_b·N_a| EXACT BIGINT (order-free), den one exact
+    product, tv ONE trailing IEEE division; one-sided buckets
+    contribute their full mass. ONE uniform bucket hash-agg + 1-row
+    re-aggs. Oracle: the INDEPENDENT two-histogram FULL-OUTER plan."""
+    from core_spark.operators.drift import tv_distance
+
+    rows = _docs(spark, sf_dir, wide=False).selectExpr(
+        "doc_id % 2 = 1 AS is_a", "LENGTH(text) DIV 10 AS bucket")
+    return tv_distance(rows)
+
+
+def _sql_length_drift() -> str:
+    from core_spark.operators.drift import sql_tv_distance
+
+    return sql_tv_distance(
+        "SELECT doc_id % 2 = 1 AS is_a, LENGTH(text) // 10 AS bucket"
+        " FROM documents")
+
+
 def _sql_hausdorff() -> str:
     from core_spark.operators.hausdorff import sql_hausdorff_join
 
@@ -7824,6 +7850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_reciprocity": q_link_reciprocity,
         "degree_tail": q_degree_tail,
         "user_survival": q_user_survival,
+        "length_drift": q_length_drift,
     }
 
 
@@ -8353,6 +8380,7 @@ def oracle_sql() -> dict[str, str]:
         "link_reciprocity": _sql_link_reciprocity(),
         "degree_tail": _sql_degree_tail(),
         "user_survival": _sql_user_survival(),
+        "length_drift": _sql_length_drift(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
