@@ -7824,6 +7824,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_assortativity": q_link_assortativity,
         "skipgram": q_skipgram,
         "host_gini": q_host_gini,
+        # -- statistics/analytics wave (fourth continuation session) ---
+        # Entries from here down are final-session additions past the
+        # driver's 50-entry window: each is gated by scripts/selfcheck
+        # (full-registry ALL MATCH, recorded in ROUND5.md) + its pytest
+        # battery; every one is DuckDB-oracled.
         "tile_diversity": q_tile_diversity,
         "ripley": q_ripley,
         "tile_richness": q_tile_richness,
