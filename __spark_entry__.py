@@ -5585,20 +5585,39 @@ def _sql_quality_shift() -> str:
 
 # Knox fixture: a 250x40 background lattice (100k-µdeg spacing, eps
 # 150k reaches the 8-neighborhood) with pseudo-uniform times, plus a
-# ~3% outbreak clump (event_id % 33 = 0) packed into a 3x3 micro-cell
-# AND a 400-tick window — close-in-space pairs and close-in-time pairs
-# both exist independently in the background (live margins), but joint
-# closeness concentrates in the clump: ratio >> 1 by construction.
-_KX_C = "event_id % 33 = 0"
+# ~0.3% outbreak clump (event_id % 333 = 0) packed into a 3x3
+# micro-cell AND a 400-tick window — close-in-space pairs and
+# close-in-time pairs both exist independently in the background
+# (live margins), but joint closeness concentrates in the clump:
+# ratio >> 1 by construction. Clump size is deliberately sublinear
+# pain: a 3% clump put C(3030,2) ≈ 4.6M pairs through EVERY marginal
+# pass at sf0.1 (measured 14.6s); at 0.3% the pair volume is ~45k
+# and the statistic's signal is unchanged in kind.
+_KX_C = "event_id % 333 = 0"
+# Background de-stacked per PLANS §111 (first cut: 10 events per
+# lattice position and a fixed 1e6-tick domain put ~4.5M pairs
+# through EACH marginal pass at sf0.1; a plain (id*7919)%2^25 retry
+# killed the temporal margin instead — an arithmetic progression mod
+# M has NO small residues at these sizes). Space: a 250x400 lattice,
+# one event per position at sf0.1. Time: 64 non-overlapping
+# 700k-tick bands keyed by id%64, position (id DIV 64)%4096 at step
+# 151 inside the band — temporal closeness then requires SAME id%64
+# and |Δid| = 64k (k ≤ 3), which is ≥ 6.4e6 µdeg apart on the space
+# lattice: both margins are LIVE and roughly linear in n, and the
+# background contributes ~zero JOINT pairs by construction (the
+# interaction signal is the clump's alone). tau_inf = 2^26 covers
+# the ≤ 45M-tick span through sf0.1 (the oracle's unbounded margins
+# fail loudly if a bigger SF ever outgrows it).
 _KX_X = (f"CASE WHEN {_KX_C} THEN 12500000 + (event_id % 3) * 10000"
          " ELSE (event_id % 250) * 100000 END")
 _KX_Y = (f"CASE WHEN {_KX_C} THEN 2500000"
          " + ((event_id DIV 3) % 3) * 10000"
-         " ELSE ((event_id DIV 250) % 40) * 100000 END")
+         " ELSE ((event_id DIV 250) % 400) * 100000 END")
 _KX_T = (f"CASE WHEN {_KX_C} THEN 500000 + (event_id % 400)"
-         " ELSE (event_id * 7919) % 1000000 END")
+         " ELSE (event_id % 64) * 700000"
+         " + ((event_id DIV 64) % 4096) * 151 END")
 _KX_EPS, _KX_TAU = 150_000, 500
-_KX_EPS_INF, _KX_TAU_INF = 400_000_000, 2_000_000
+_KX_EPS_INF, _KX_TAU_INF = 400_000_000, 67_108_864
 
 
 def q_knox(spark, sf_dir):
