@@ -7596,6 +7596,701 @@ def q_lm_fluency(spark, sf_dir):
     return lms.trigram_fluency(_docs(spark, sf_dir), vocab_size=256)
 
 
+# ---------------------------------------------------------------------------
+# Relational classics completion (fifth continuation session): the remaining
+# TPC-H query SHAPES adapted to the driver schema (no partsupp / comment /
+# phone / commit-receipt columns exist, so Q2/Q9/Q11/Q12/Q16/Q20-22 are
+# re-expressed over the columns that do — same join/subquery/aggregation
+# structure, same optimizer-relevant plan shape). All follow the battery's
+# exactness recipe: money quantized to cents (FLOOR of IDENTICAL double ops
+# on both engines) BEFORE any SUM so every aggregate is an exact BIGINT;
+# ratio outputs emit exact num/den beside ONE trailing IEEE division;
+# selective dimensions broadcast-hinted; multi-consumer tables pinned.
+# ---------------------------------------------------------------------------
+
+_REV_CENTS = "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)"
+_REV_Y0, _REV_Y1 = "1997-01-01 00:00:00", "1998-01-01 00:00:00"
+
+
+def q_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): the pure
+    scan-filter-aggregate — every predicate (ship year, discount band,
+    quantity cap) must reach the parquet scan as PushedFilters, and the
+    single global SUM is a map-side partial into a 1-row exchange.
+    Discount revenue quantized per-line to cents (FLOOR of identical
+    double ops) so the BIGINT aggregate is partition-order-free."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(
+            f"l_shipdate >= TIMESTAMP '{_REV_Y0}'"
+            f" AND l_shipdate < TIMESTAMP '{_REV_Y1}'"
+            " AND l_discount >= 0.05 AND l_discount <= 0.07"
+            " AND l_quantity < 24.0"
+        )
+        .selectExpr(
+            "CAST(FLOOR(l_extendedprice * l_discount * 100.0)"
+            " AS BIGINT) AS cents"
+        )
+        .agg(
+            F.sum("cents").alias("revenue_cents"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def _sql_revenue_forecast() -> str:
+    return f"""
+        SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100.0)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{_REV_Y0}'
+          AND l_shipdate < TIMESTAMP '{_REV_Y1}'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24.0
+    """
+
+
+_Q8_NATION = "NATION_3"
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): the deepest dimension
+    chain in the battery — region→nation→customer gates the DEMAND
+    side, nation→supplier tags the SUPPLY side, part filters the
+    product, and the one fact-fact join (orders⋈lineitem) carries only
+    pre-filtered rows. Every dimension path is broadcast-HINTED (region
+    5 → nations ~5 → customers ~300; suppliers 100; PROMO parts ~330).
+    Share = exact BIGINT num/den emitted beside ONE trailing IEEE
+    division — the repo's ratio recipe."""
+    from pyspark.sql import functions as F
+
+    sf = sf_dir
+    region = (
+        spark.read.parquet(f"{sf}/region.parquet")
+        .where("r_name = 'ASIA'").select("r_regionkey")
+    )
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    cust_nat = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    cust = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    supp = (
+        spark.read.parquet(f"{sf}/supplier.parquet")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    promo = (
+        spark.read.parquet(f"{sf}/part.parquet")
+        .where("p_type = 'PROMO'").select("p_partkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    )
+    return (
+        li.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .selectExpr(
+            "CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year",
+            f"{_REV_CENTS} AS cents",
+            f"CASE WHEN supp_nation = '{_Q8_NATION}' THEN 1 ELSE 0 END"
+            " AS is_t",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.expr("CAST(SUM(cents * is_t) AS BIGINT)").alias("num_cents"),
+            F.expr("CAST(SUM(cents) AS BIGINT)").alias("den_cents"),
+        )
+        .selectExpr(
+            "o_year", "num_cents", "den_cents",
+            "CAST(num_cents AS DOUBLE) / CAST(den_cents AS DOUBLE)"
+            " AS mkt_share",
+        )
+    )
+
+
+def _sql_market_share() -> str:
+    return f"""
+        WITH j AS (
+            SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                   {_REV_CENTS} AS cents,
+                   CASE WHEN sn.n_name = '{_Q8_NATION}' THEN 1 ELSE 0 END
+                       AS is_t
+            FROM lineitem, orders, customer, part, supplier,
+                 nation cn, nation sn, region
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND l_partkey = p_partkey AND l_suppkey = s_suppkey
+              AND c_nationkey = cn.n_nationkey
+              AND cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+              AND s_nationkey = sn.n_nationkey
+              AND p_type = 'PROMO'
+        )
+        SELECT o_year,
+               CAST(SUM(cents * is_t) AS BIGINT) AS num_cents,
+               CAST(SUM(cents) AS BIGINT) AS den_cents,
+               CAST(SUM(cents * is_t) AS DOUBLE)
+                   / CAST(SUM(cents) AS DOUBLE) AS mkt_share
+        FROM j GROUP BY o_year
+    """
+
+
+_Q9_COST = "CAST(FLOOR(p_retailprice * l_quantity * 50.0) AS BIGINT)"
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): profit per (supplier
+    nation, order year) over a name-pattern part slice. The reference
+    shape prices cost from partsupp; with no partsupp table the cost
+    proxy is retailprice·quantity/2, which preserves the plan (part
+    name filter → broadcast; supplier→nation broadcast; orders joined
+    only for the year). Profit cents = revenue cents − cost cents,
+    each FLOOR-quantized per line, so the grouped SUM is exact."""
+    from pyspark.sql import functions as F
+
+    sf = sf_dir
+    gear = (
+        spark.read.parquet(f"{sf}/part.parquet")
+        .where("p_name LIKE '%gear%'")
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = (
+        spark.read.parquet(f"{sf}/supplier.parquet")
+        .join(
+            F.broadcast(
+                spark.read.parquet(f"{sf}/nation.parquet")
+                .select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.join(F.broadcast(gear), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .selectExpr(
+            "n_name AS nation",
+            "CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year",
+            f"{_REV_CENTS} - {_Q9_COST} AS profit",
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.expr("CAST(SUM(profit) AS BIGINT)").alias("profit_cents"))
+    )
+
+
+def _sql_product_profit() -> str:
+    return f"""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM({_REV_CENTS} - {_Q9_COST}) AS BIGINT)
+                   AS profit_cents
+        FROM lineitem, part, supplier, orders, nation
+        WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+          AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%gear%'
+        GROUP BY n_name, o_year
+    """
+
+
+def q_late_shipments(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode lateness): with no
+    commit/receipt dates or ship modes, the adapted bucket is the
+    order-to-ship LAG (fast ≤30d / normal ≤90d / slow) over 1997
+    shipments, counting critical- vs normal-priority lines per bucket
+    — the same fact-fact join + CASE-pivot aggregation as the
+    original. Day arithmetic on midnight-aligned timestamps is exact
+    on both engines."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(
+            f"l_shipdate >= TIMESTAMP '{_REV_Y0}'"
+            f" AND l_shipdate < TIMESTAMP '{_REV_Y1}'"
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .selectExpr(
+            "CASE WHEN datediff(l_shipdate, o_orderdate) <= 30 THEN 'fast'"
+            " WHEN datediff(l_shipdate, o_orderdate) <= 90 THEN 'normal'"
+            " ELSE 'slow' END AS lag_bucket",
+            "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+            " THEN 1 ELSE 0 END AS is_high",
+        )
+        .groupBy("lag_bucket")
+        .agg(
+            F.expr("CAST(SUM(is_high) AS BIGINT)").alias("high_lines"),
+            F.expr("CAST(SUM(1 - is_high) AS BIGINT)").alias("low_lines"),
+        )
+    )
+
+
+def _sql_late_shipments() -> str:
+    return f"""
+        SELECT CASE
+                 WHEN datediff('day', o_orderdate, l_shipdate) <= 30
+                     THEN 'fast'
+                 WHEN datediff('day', o_orderdate, l_shipdate) <= 90
+                     THEN 'normal'
+                 ELSE 'slow' END AS lag_bucket,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+        FROM lineitem, orders
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate >= TIMESTAMP '{_REV_Y0}'
+          AND l_shipdate < TIMESTAMP '{_REV_Y1}'
+        GROUP BY 1
+    """
+
+
+def q_cust_order_dist(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): the one
+    classic built on a LEFT OUTER join — zero-order customers MUST
+    survive into the c_count=0 bucket, so the priority exclusion
+    lives on the orders side BEFORE the join (equivalent to the
+    original's ON-clause NOT LIKE), never as a post-join WHERE. Two
+    hash-aggs: per-customer count, then the count-of-counts
+    histogram."""
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey"
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where("o_orderpriority <> '4-NOT SPECIFIED'")
+        .select("o_orderkey", "o_custkey")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.expr("CAST(COUNT(o_orderkey) AS BIGINT)").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("custdist"))
+    )
+
+
+def _sql_cust_order_dist() -> str:
+    return """
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                 AND o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """
+
+
+_Q11_NUM, _Q11_DEN = 3, 4000  # keep parts holding > 0.075% of total value
+# (~1.5x the 0.05% uniform share: 29 parts qualify at sf0.01; at sf0.001
+# every one of the 200 parts holds ~0.5% so all qualify — live both ways)
+
+
+def q_part_value_share(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): parts whose lineitem value
+    exceeds a FRACTION of the corpus total — the scalar-subquery
+    HAVING. The total rides a 1-row broadcast cross join and the
+    threshold compares by BIGINT cross-multiplication (value·DEN >
+    total·NUM), so no double ever crosses an engine boundary. The
+    per-part value table is pinned: it feeds BOTH the total and the
+    filter (the CLAUDE.md multi-consumer rule)."""
+    from pyspark.sql import functions as F
+
+    vals = pin(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr("l_partkey", f"{_REV_CENTS} AS cents")
+        .groupBy("l_partkey")
+        .agg(F.expr("CAST(SUM(cents) AS BIGINT)").alias("value_cents"))
+    )
+    total = vals.agg(
+        F.expr("CAST(SUM(value_cents) AS BIGINT)").alias("total_cents")
+    )
+    return (
+        vals.join(F.broadcast(total))
+        .where(f"value_cents * {_Q11_DEN} > total_cents * {_Q11_NUM}")
+        .select("l_partkey", "value_cents")
+    )
+
+
+def _sql_part_value_share() -> str:
+    return f"""
+        WITH vals AS (
+            SELECT l_partkey,
+                   CAST(SUM({_REV_CENTS}) AS BIGINT) AS value_cents
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, value_cents
+        FROM vals
+        WHERE value_cents * {_Q11_DEN} >
+              (SELECT CAST(SUM(value_cents) AS BIGINT) FROM vals)
+              * {_Q11_NUM}
+    """
+
+
+def q_supplier_cardinality(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): DISTINCT
+    supplier counts per (brand, size) class, excluding one brand and
+    every 'complained-about' supplier (negative balance — the NOT IN
+    subquery, resolved as a broadcast LEFT-ANTI join, the only
+    NOT-IN-safe distributed shape). The count-distinct is the
+    expensive aggregate; its input is pre-shrunk to distinct
+    (part, supplier) pairs map-side."""
+    from pyspark.sql import functions as F
+
+    bad = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .where("s_acctbal < 0.0").select("s_suppkey")
+    )
+    parts = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .where("p_brand <> 'Brand#9'")
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    pairs = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey").distinct()
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+    )
+    return (
+        pairs.join(F.broadcast(parts),
+                   F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.expr("CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)")
+             .alias("supplier_cnt"))
+    )
+
+
+def _sql_supplier_cardinality() -> str:
+    return """
+        SELECT p_brand, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey AND p_brand <> 'Brand#9'
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        GROUP BY p_brand, p_size
+    """
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): lines below
+    20% of their part's average quantity — the correlated-average
+    predicate. Quantities are integral doubles, so the 0.2·avg
+    comparison clears its denominator into pure BIGINTs
+    (qty·5·cnt < Σqty, strict): no float threshold anywhere. The
+    brand slice is pinned because it feeds BOTH the per-part stats
+    and the line-level filter; the stats side (~85 parts) broadcasts
+    back."""
+    from pyspark.sql import functions as F
+
+    brand = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .where("p_brand = 'Brand#3'").select("p_partkey")
+    )
+    li = pin(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .selectExpr(
+            "l_partkey AS pk",
+            "CAST(l_quantity AS BIGINT) AS qty_i",
+            "CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS cents",
+        )
+    )
+    stats = li.groupBy("pk").agg(
+        F.expr("CAST(SUM(qty_i) AS BIGINT)").alias("sum_qty"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(stats.withColumnRenamed("pk", "spk")),
+                F.col("pk") == F.col("spk"))
+        .where("qty_i * 5 * cnt < sum_qty")
+        .agg(
+            F.expr("CAST(SUM(cents) AS BIGINT)").alias("total_cents"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_lines"),
+        )
+        .selectExpr(
+            "total_cents", "n_lines",
+            "CAST(total_cents AS DOUBLE) / 7.0 AS avg_yearly_cents",
+        )
+    )
+
+
+def _sql_small_qty_revenue() -> str:
+    return """
+        WITH li AS (
+            SELECT l_partkey AS pk, CAST(l_quantity AS BIGINT) AS qty_i,
+                   CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS cents
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey AND p_brand = 'Brand#3'
+        ),
+        st AS (
+            SELECT pk, CAST(SUM(qty_i) AS BIGINT) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM li GROUP BY pk
+        )
+        SELECT CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(cents) AS DOUBLE) / 7.0 AS avg_yearly_cents
+        FROM li, st
+        WHERE li.pk = st.pk AND qty_i * 5 * cnt < sum_qty
+    """
+
+
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): in every
+    finished multi-supplier order, the supplier whose shipment came
+    STRICTLY last (the EXISTS another-supplier / NOT-EXISTS
+    later-supplier pair). Resolved without correlated subqueries:
+    per-(order, supplier) max ship date, order-level stats joined
+    back, uniqueness of the max enforced by counting its achievers —
+    ties disqualify everyone, exactly the NOT-EXISTS semantics. Both
+    intermediate tables are pinned (each feeds two consumers)."""
+    from pyspark.sql import functions as F
+
+    fo = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where("o_orderstatus = 'F'").select("o_orderkey")
+    )
+    per = pin(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("smax"))
+    )
+    ostats = per.groupBy("l_orderkey").agg(
+        F.max("smax").alias("omax"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("nsupp"),
+    )
+    winners = pin(
+        per.join(
+            ostats.withColumnRenamed("l_orderkey", "ok"),
+            F.col("l_orderkey") == F.col("ok"),
+        )
+        .where("smax = omax AND nsupp >= 2")
+        .select("l_orderkey", "l_suppkey")
+    )
+    wstats = winners.groupBy(F.col("l_orderkey").alias("wok")).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("nmax")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        winners.join(F.broadcast(wstats),
+                     F.col("l_orderkey") == F.col("wok"))
+        .where("nmax = 1")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("waits"))
+        .orderBy(F.desc("waits"), "s_name")
+        .limit(10)
+    )
+
+
+def _sql_waiting_suppliers() -> str:
+    return """
+        WITH per AS (
+            SELECT l_orderkey AS ok, l_suppkey AS sk,
+                   MAX(l_shipdate) AS smax
+            FROM lineitem, orders
+            WHERE l_orderkey = o_orderkey AND o_orderstatus = 'F'
+            GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT ok, sk, smax,
+                   MAX(smax) OVER (PARTITION BY ok) AS omax,
+                   COUNT(*) OVER (PARTITION BY ok) AS nsupp
+            FROM per
+        ),
+        m AS (
+            SELECT ok, sk
+            FROM (
+                SELECT ok, sk, smax, omax, nsupp,
+                       SUM(CASE WHEN smax = omax THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY ok) AS nmax
+                FROM w
+            )
+            WHERE smax = omax AND nmax = 1 AND nsupp >= 2
+        )
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS waits
+        FROM m, supplier WHERE sk = s_suppkey
+        GROUP BY s_name
+        ORDER BY waits DESC, s_name
+        LIMIT 10
+    """
+
+
+_Q22_SINCE = "1999-01-01 00:00:00"
+
+
+def q_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balances who never ordered — the
+    scalar-average subquery plus NOT EXISTS, grouped by nation (the
+    phone-prefix analog; no phone column exists). 'Never ordered' is
+    scoped to the trailing window (no orders since 1999 — every
+    customer has SOME order in this data, so the unscoped test is
+    vacuous). The positive-balance average comparison is
+    cross-multiplied (bal·cnt > Σbal, cents BIGINT), the no-recent-
+    order test is a LEFT-ANTI join on the fact key, and the 2-column
+    1-row stats table broadcasts."""
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey", "c_nationkey",
+        "CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS bal_cents",
+    )
+    stats = (
+        cust.where("bal_cents > 0")
+        .agg(
+            F.expr("CAST(SUM(bal_cents) AS BIGINT)").alias("sum_pos"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("cnt_pos"),
+        )
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(f"o_orderdate >= TIMESTAMP '{_Q22_SINCE}'")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti")
+        .join(F.broadcast(stats))
+        .where("bal_cents * cnt_pos > sum_pos")
+        .groupBy("c_nationkey")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("numcust"),
+            F.expr("CAST(SUM(bal_cents) AS BIGINT)").alias("totbal_cents"),
+        )
+    )
+
+
+def _sql_idle_customers() -> str:
+    return f"""
+        WITH cust AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS bal_cents
+            FROM customer
+        ),
+        st AS (
+            SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_pos,
+                   CAST(COUNT(*) AS BIGINT) AS cnt_pos
+            FROM cust WHERE bal_cents > 0
+        )
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(bal_cents) AS BIGINT) AS totbal_cents
+        FROM cust, st
+        WHERE bal_cents * cnt_pos > sum_pos
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >=
+                                TIMESTAMP '{_Q22_SINCE}')
+        GROUP BY c_nationkey
+    """
+
+
+_Q2_UNIT = "CAST(FLOOR(l_extendedprice * 100.0 / l_quantity) AS BIGINT)"
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): for each part in a
+    size class, the supplier offering the MINIMUM unit price — the
+    correlated-min subquery. With no partsupp, unit price derives
+    from lineitem (extprice/quantity, FLOOR-quantized with identical
+    IEEE op order on both engines). Per-part min via one hash-agg
+    (never a window), achievers re-joined through a broadcast, ties
+    broken to the lowest supplier key — the original's multi-row
+    output pinned to one deterministic row per part. The size-class
+    line slice is pinned (feeds min + achiever scan)."""
+    from pyspark.sql import functions as F
+
+    psel = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .where("p_size = 15").select("p_partkey", "p_name")
+    )
+    li = pin(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(F.broadcast(psel), F.col("l_partkey") == F.col("p_partkey"))
+        .selectExpr(
+            "p_partkey", "p_name", "l_suppkey",
+            f"{_Q2_UNIT} AS unit_cents",
+        )
+    )
+    mins = li.groupBy(F.col("p_partkey").alias("mpk")).agg(
+        F.expr("CAST(MIN(unit_cents) AS BIGINT)").alias("min_unit_cents")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        li.join(F.broadcast(mins), F.col("p_partkey") == F.col("mpk"))
+        .where("unit_cents = min_unit_cents")
+        .groupBy("p_partkey", "p_name", "min_unit_cents")
+        .agg(F.expr("CAST(MIN(l_suppkey) AS BIGINT)").alias("s_suppkey"))
+        .join(F.broadcast(supp), "s_suppkey")
+        .select("p_partkey", "p_name", "min_unit_cents",
+                "s_suppkey", "s_name")
+    )
+
+
+def _sql_min_cost_supplier() -> str:
+    return f"""
+        WITH li AS (
+            SELECT p_partkey, p_name, l_suppkey,
+                   {_Q2_UNIT} AS unit_cents
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey AND p_size = 15
+        ),
+        w AS (
+            SELECT p_partkey, p_name, l_suppkey, unit_cents,
+                   MIN(unit_cents) OVER (PARTITION BY p_partkey)
+                       AS min_unit_cents
+            FROM li
+        ),
+        a AS (
+            SELECT p_partkey, p_name, min_unit_cents,
+                   CAST(MIN(l_suppkey) AS BIGINT) AS s_suppkey
+            FROM w
+            WHERE unit_cents = min_unit_cents
+            GROUP BY p_partkey, p_name, min_unit_cents
+        )
+        SELECT p_partkey, p_name, min_unit_cents, a.s_suppkey, s_name
+        FROM a, supplier
+        WHERE a.s_suppkey = supplier.s_suppkey
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness harness
     # checks the FIRST 50 entries (CORRECTNESS_r04 stopped at entry 50
@@ -7875,6 +8570,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_tail": q_degree_tail,
         "user_survival": q_user_survival,
         "length_drift": q_length_drift,
+        # -- relational classics completion (fifth continuation) --------
+        # Adapted TPC-H shapes over the driver schema; same gating as the
+        # rest of the post-window block: selfcheck ALL MATCH + pytest
+        # (tests/test_relational.py invariant battery).
+        "revenue_forecast": q_revenue_forecast,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "late_shipments": q_late_shipments,
+        "cust_order_dist": q_cust_order_dist,
+        "part_value_share": q_part_value_share,
+        "supplier_cardinality": q_supplier_cardinality,
+        "small_qty_revenue": q_small_qty_revenue,
+        "waiting_suppliers": q_waiting_suppliers,
+        "idle_customers": q_idle_customers,
+        "min_cost_supplier": q_min_cost_supplier,
     }
 
 
@@ -8405,6 +9115,17 @@ def oracle_sql() -> dict[str, str]:
         "degree_tail": _sql_degree_tail(),
         "user_survival": _sql_user_survival(),
         "length_drift": _sql_length_drift(),
+        "revenue_forecast": _sql_revenue_forecast(),
+        "market_share": _sql_market_share(),
+        "product_profit": _sql_product_profit(),
+        "late_shipments": _sql_late_shipments(),
+        "cust_order_dist": _sql_cust_order_dist(),
+        "part_value_share": _sql_part_value_share(),
+        "supplier_cardinality": _sql_supplier_cardinality(),
+        "small_qty_revenue": _sql_small_qty_revenue(),
+        "waiting_suppliers": _sql_waiting_suppliers(),
+        "idle_customers": _sql_idle_customers(),
+        "min_cost_supplier": _sql_min_cost_supplier(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
