@@ -8291,6 +8291,244 @@ def _sql_min_cost_supplier() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Warehouse analytics wave: the relational capabilities a reporting layer
+# expects beyond joins/aggs — grouping sets (ROLLUP + GROUPING bits), pivot,
+# and window FRAMES (moving/cumulative/lag) — each the standard-SQL shape on
+# both engines, BIGINT-exact end to end.
+# ---------------------------------------------------------------------------
+
+_TOT_CENTS = "CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)"
+
+
+def q_rollup_report(spark, sf_dir):
+    """GROUPING SETS / ROLLUP report: order counts + revenue at three
+    grains at once — (year, priority), (year), grand total — with the
+    standard GROUPING bit vector distinguishing them. One Expand +
+    one hash-agg (Spark's rollup physical plan); subtotal keys COALESCEd to
+    sentinels (-1 / 'ALL') so no NULL group key reaches the compare.
+    grouping_id() follows the SQL-standard bit order on both engines
+    (2·g(first) + g(second)) — that agreement is itself oracled."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year",
+        "o_orderpriority", f"{_TOT_CENTS} AS cents",
+    )
+    return (
+        o.rollup("o_year", "o_orderpriority")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_orders"),
+            F.expr("CAST(SUM(cents) AS BIGINT)").alias("revenue_cents"),
+            F.expr("CAST(grouping_id() AS BIGINT)").alias("gid"),
+        )
+        .selectExpr(
+            "COALESCE(o_year, -1) AS o_year",
+            "COALESCE(o_orderpriority, 'ALL') AS o_orderpriority",
+            "gid", "n_orders", "revenue_cents",
+        )
+    )
+
+
+def _sql_rollup_report() -> str:
+    return f"""
+        SELECT COALESCE(o_year, -1) AS o_year,
+               COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               CAST(GROUPING(o_year, o_orderpriority) AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM (
+            SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+                       AS o_year,
+                   o_orderpriority, {_TOT_CENTS} AS cents
+            FROM orders
+        )
+        GROUP BY ROLLUP(o_year, o_orderpriority)
+    """
+
+
+_PIVOT_PRIOS = [
+    ("1-URGENT", "urgent_cents"),
+    ("2-HIGH", "high_cents"),
+    ("3-MEDIUM", "medium_cents"),
+    ("4-NOT SPECIFIED", "notspec_cents"),
+    ("5-LOW", "low_cents"),
+]
+
+
+def q_pivot_report(spark, sf_dir):
+    """Pivot report: yearly revenue spread into one column per order
+    priority — Spark's .pivot() with the value list EXPLICIT (an
+    implicit pivot adds a blocking distinct pass to discover values;
+    at 100 TB the caller names the columns). The oracle is the
+    conditional-aggregation rewrite every engine lowers pivot to, so
+    the gate pins Spark's pivot lowering against hand-written
+    CASE-sums; absent combinations are NULL on both paths."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year",
+        "o_orderpriority", f"{_TOT_CENTS} AS cents",
+    )
+    piv = (
+        o.groupBy("o_year")
+        .pivot("o_orderpriority", [p for p, _ in _PIVOT_PRIOS])
+        .agg(F.expr("CAST(SUM(cents) AS BIGINT)"))
+    )
+    for raw, alias in _PIVOT_PRIOS:
+        piv = piv.withColumnRenamed(raw, alias)
+    return piv
+
+
+def _sql_pivot_report() -> str:
+    arms = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN o_orderpriority = '{raw}' THEN cents END)"
+        f" AS BIGINT) AS {alias}"
+        for raw, alias in _PIVOT_PRIOS
+    )
+    return f"""
+        SELECT o_year,
+               {arms}
+        FROM (
+            SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+                       AS o_year,
+                   o_orderpriority, {_TOT_CENTS} AS cents
+            FROM orders
+        )
+        GROUP BY o_year
+    """
+
+
+def q_revenue_trend(spark, sf_dir):
+    """Window-FRAME analytics: per-priority monthly revenue with a
+    3-month moving sum (ROWS 2 PRECEDING), running cumulative total,
+    and month-over-month delta (LAG) — the three frame shapes every
+    reporting layer needs, in ONE window pass. Partitioned by
+    priority so window state is bounded per key (a global ORDER BY
+    window is a single-task bottleneck at scale — the partition key
+    IS the scale design). All sums BIGINT cents; first-month delta
+    NULL on both engines."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    m = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "o_orderpriority AS prio",
+            "date_trunc('month', o_orderdate) AS mon",
+            f"{_TOT_CENTS} AS cents",
+        )
+        .groupBy("prio", "mon")
+        .agg(F.expr("CAST(SUM(cents) AS BIGINT)").alias("cents"))
+    )
+    w = Window.partitionBy("prio").orderBy("mon")
+    return m.select(
+        "prio", "mon", "cents",
+        F.sum("cents").over(w.rowsBetween(-2, 0)).alias("mov3_cents"),
+        F.sum("cents").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum_cents"),
+        (F.col("cents") - F.lag("cents").over(w)).alias("delta_cents"),
+    )
+
+
+def _sql_revenue_trend() -> str:
+    return f"""
+        WITH m AS (
+            SELECT o_orderpriority AS prio,
+                   date_trunc('month', o_orderdate) AS mon,
+                   CAST(SUM({_TOT_CENTS}) AS BIGINT) AS cents
+            FROM orders
+            GROUP BY 1, 2
+        )
+        SELECT prio, mon, cents,
+               CAST(SUM(cents) OVER (PARTITION BY prio ORDER BY mon
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS mov3_cents,
+               CAST(SUM(cents) OVER (PARTITION BY prio ORDER BY mon
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_cents,
+               cents - LAG(cents) OVER (PARTITION BY prio ORDER BY mon)
+                   AS delta_cents
+        FROM m
+    """
+
+
+def q_session_markov(spark, sf_dir):
+    """First-order Markov transitions (operators/markov.py): P(next
+    event type | current) per user session stream — the navigation
+    model next-page prediction and anomalous-flow detection read.
+    ONE entity-keyed Exchange (LEAD window), bounded S² transition
+    table, totals via BROADCAST join; prob = one IEEE division
+    beside exact BIGINT n/src_total. The twin normalizes through a
+    window SUM instead — a different tail on purpose."""
+    from core_spark.operators.markov import transition_matrix
+
+    return transition_matrix(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def _sql_session_markov() -> str:
+    from core_spark.operators.markov import sql_transition_matrix
+
+    return sql_transition_matrix("SELECT * FROM events")
+
+
+_PROFILE_COLS = [
+    ("event_id", "event_id"),
+    ("user_id", "user_id"),
+    ("value_cents", "FLOOR(value * 100.0)"),
+    ("props_len", "LENGTH(props)"),
+    ("type_len", "LENGTH(event_type)"),
+]
+
+
+def q_profile_table(spark, sf_dir):
+    """One-pass column profiler (operators/profile.py): per column —
+    via its caller-named BIGINT derivation (cents for doubles,
+    LENGTH for strings) — exact non-null / null / distinct counts
+    and range, all five columns in ONE aggregation pass (Expand for
+    the exact COUNT DISTINCTs; approx_count_distinct is the
+    documented at-scale mode, never oracled). The 1-row wide result
+    explodes JVM-side into the long layout. Twin: the INDEPENDENT
+    per-column UNION ALL plan."""
+    from core_spark.operators.profile import profile_table
+
+    return profile_table(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), _PROFILE_COLS
+    )
+
+
+def _sql_profile_table() -> str:
+    from core_spark.operators.profile import sql_profile_table
+
+    return sql_profile_table("SELECT * FROM events", _PROFILE_COLS)
+
+
+def q_benford_audit(spark, sf_dir):
+    """Benford first-digit audit (operators/benford.py) over line
+    extended prices: observed leading-digit histogram vs the fixed
+    per-mille Benford literals, deviation as exact cross-multiplied
+    BIGINT mass (the uniform-ish synthetic prices deviate heavily —
+    the audit's live arm: dev ≫ 0 for most digits). 9-digit
+    JVM-range spine keeps zero-count digits reporting; log-free by
+    construction."""
+    from core_spark.operators.benford import first_digit_audit
+
+    return first_digit_audit(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        "l_extendedprice",
+    )
+
+
+def _sql_benford_audit() -> str:
+    from core_spark.operators.benford import sql_first_digit_audit
+
+    return sql_first_digit_audit("SELECT * FROM lineitem",
+                                 "l_extendedprice")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness harness
     # checks the FIRST 50 entries (CORRECTNESS_r04 stopped at entry 50
@@ -8585,6 +8823,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "idle_customers": q_idle_customers,
         "min_cost_supplier": q_min_cost_supplier,
+        # -- warehouse analytics wave (fifth continuation) --------------
+        "rollup_report": q_rollup_report,
+        "pivot_report": q_pivot_report,
+        "revenue_trend": q_revenue_trend,
+        "session_markov": q_session_markov,
+        "profile_table": q_profile_table,
+        "benford_audit": q_benford_audit,
     }
 
 
@@ -9126,6 +9371,12 @@ def oracle_sql() -> dict[str, str]:
         "waiting_suppliers": _sql_waiting_suppliers(),
         "idle_customers": _sql_idle_customers(),
         "min_cost_supplier": _sql_min_cost_supplier(),
+        "rollup_report": _sql_rollup_report(),
+        "pivot_report": _sql_pivot_report(),
+        "revenue_trend": _sql_revenue_trend(),
+        "session_markov": _sql_session_markov(),
+        "profile_table": _sql_profile_table(),
+        "benford_audit": _sql_benford_audit(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
