@@ -8529,6 +8529,101 @@ def _sql_benford_audit() -> str:
                                  "l_extendedprice")
 
 
+# Planted heavy tail for the MAD fixture (generation-rule trick): every
+# 53rd doc gains 900..1500 extra chars — far past 3 MADs of the tight
+# synthetic length distribution (0 organic outliers, 10 planted, all 10
+# flagged at both SFs), so the detector's positive arm is live and the
+# negative arm is the whole corpus.
+_MAD_X = (
+    "n_chars + CASE WHEN doc_id % 53 = 0"
+    " THEN 900 + (doc_id % 7) * 100 ELSE 0 END"
+)
+
+
+def q_host_outliers(spark, sf_dir):
+    """Robust MAD outliers (operators/outliers.py): per-language
+    doc-length anomalies under Hampel's rule |x − med| > 3·MAD,
+    computed entirely in BIGINT via the doubled-statistic recipe
+    (med2, dev = |2x − med2|, mad2d; flag ⇔ 2·dev > k·mad2d). Two
+    ranking windows + two group medians ALL clustered on the group
+    key — one Exchange; group-bounded medians broadcast back.
+    Flag-style output (every doc with its verdict)."""
+    from core_spark.operators.outliers import mad_outliers
+
+    rows = _docs(spark, sf_dir, wide=False).selectExpr(
+        "lang AS g", "doc_id AS id", f"{_MAD_X} AS x"
+    )
+    return mad_outliers(rows, k=3)
+
+
+def _sql_host_outliers() -> str:
+    from core_spark.operators.outliers import sql_mad_outliers
+
+    return sql_mad_outliers(
+        f"SELECT lang AS g, doc_id AS id, {_MAD_X} AS x FROM documents",
+        k=3,
+    )
+
+
+def q_volume_spikes(spark, sf_dir):
+    """Trailing-window spike detection (operators/spikes.py): daily
+    event counts per type flagged when x·W·den > num·Σ(prev W) —
+    the moving-average control chart with cleared denominators (no
+    mean, no float). Full-history gating: the first W days report
+    NULL, not false. 17 organic spikes at sf0.01 under the 8/7
+    threshold (Poisson noise exceeds 14% routinely — the docstring
+    notes production thresholds run ~2x)."""
+    from pyspark.sql import functions as F
+    from core_spark.operators.spikes import trailing_spikes
+
+    series = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("event_type AS k", "EXTRACT(DAY FROM ts) AS t")
+        .groupBy("k", "t")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("x"))
+    )
+    return trailing_spikes(series, window=7, num=8, den=7)
+
+
+def _sql_volume_spikes() -> str:
+    from core_spark.operators.spikes import sql_trailing_spikes
+
+    return sql_trailing_spikes(
+        "SELECT event_type AS k, EXTRACT(DAY FROM ts) AS t,"
+        " CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2",
+        window=7, num=8, den=7,
+    )
+
+
+def q_link_communities(spark, sf_dir):
+    """Label propagation communities (operators/communities.py) over
+    the derived host link graph — the graph family's partition-into-
+    dense-regions flavor (CC = reachability, kcore = density shells,
+    pagerank/hits = node ranks). Synchronous rounds, min-tie-break
+    plurality, fixed 3-round horizon: a pure function of the input.
+    Per round ONE uniform-key equi-join + two hash-aggs, labels
+    pinned per round. Twin: unrolled AS MATERIALIZED rounds with a
+    correlated ORDER BY/LIMIT argmax — an independent tie-break
+    formulation."""
+    from core_spark.operators.communities import label_propagation
+
+    docs = _docs(spark, sf_dir, wide=False).select("doc_id")
+    edges = lg.derive_host_edges(docs, n_hosts=97, k_out=4)
+    return label_propagation(edges, iters=3)
+
+
+def _sql_link_communities() -> str:
+    from core_spark.operators.communities import sql_label_propagation
+    from core_spark.operators.linkgraph import sql_derived_host_edges
+
+    return sql_label_propagation(
+        sql_derived_host_edges(
+            "SELECT doc_id FROM documents", n_hosts=97, k_out=4
+        ),
+        iters=3,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness harness
     # checks the FIRST 50 entries (CORRECTNESS_r04 stopped at entry 50
@@ -8830,6 +8925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_markov": q_session_markov,
         "profile_table": q_profile_table,
         "benford_audit": q_benford_audit,
+        "host_outliers": q_host_outliers,
+        "volume_spikes": q_volume_spikes,
+        "link_communities": q_link_communities,
     }
 
 
@@ -9377,6 +9475,9 @@ def oracle_sql() -> dict[str, str]:
         "session_markov": _sql_session_markov(),
         "profile_table": _sql_profile_table(),
         "benford_audit": _sql_benford_audit(),
+        "host_outliers": _sql_host_outliers(),
+        "volume_spikes": _sql_volume_spikes(),
+        "link_communities": _sql_link_communities(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
