@@ -8624,6 +8624,76 @@ def _sql_link_communities() -> str:
     )
 
 
+_AB_CONV = 14  # median-ish purchase count: live splits at both SFs
+
+
+def q_ab_test(spark, sf_dir):
+    """Two-proportion A/B readout (operators/abtest.py): users split
+    by id parity (the experiment arm), converted = ≥14 purchases —
+    a median-ish threshold so both arms are live and non-degenerate
+    at both SFs (26/75 vs 43/75 at sf0.01). One per-unit hash-agg →
+    four exact BIGINT sufficient statistics; rates and the pooled z
+    are a FIXED-ORDER IEEE chain over identical projection text
+    (sqrt carve-out, the hotspots_gi precedent) — the driver hash
+    compares the doubles bit-for-bit."""
+    from pyspark.sql import functions as F
+    from core_spark.operators.abtest import two_proportion
+
+    units = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0"
+            " END) AS BIGINT)"
+        ).alias("np"))
+        .selectExpr(
+            "user_id % 2 = 0 AS is_a", f"np >= {_AB_CONV} AS converted"
+        )
+    )
+    return two_proportion(units)
+
+
+def _sql_ab_test() -> str:
+    from core_spark.operators.abtest import sql_two_proportion
+
+    return sql_two_proportion(f"""
+        SELECT user_id % 2 = 0 AS is_a,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= {_AB_CONV} AS converted
+        FROM events GROUP BY user_id
+    """)
+
+
+def q_decayed_counts(spark, sf_dir):
+    """Exact power-of-two decayed counters (operators/decay.py):
+    per-event-type recency-weighted daily volume, half-life 3 days,
+    horizon = the data's max day (1-row broadcast). Every weight is
+    1 << (40 − age-steps) so the scaled sum is an exact order-free
+    BIGINT under ANY partitioning; decayed = one trailing division
+    by the 2^40 literal. The staircase DIV is the documented
+    exactness trade vs smooth float decay."""
+    from pyspark.sql import functions as F
+    from core_spark.operators.decay import decayed_counts
+
+    series = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("event_type AS k", "EXTRACT(DAY FROM ts) AS t")
+        .groupBy("k", "t")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("x"))
+    )
+    return decayed_counts(series, halflife=3)
+
+
+def _sql_decayed_counts() -> str:
+    from core_spark.operators.decay import sql_decayed_counts
+
+    return sql_decayed_counts(
+        "SELECT event_type AS k, EXTRACT(DAY FROM ts) AS t,"
+        " CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2",
+        halflife=3,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness harness
     # checks the FIRST 50 entries (CORRECTNESS_r04 stopped at entry 50
@@ -8928,6 +8998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_outliers": q_host_outliers,
         "volume_spikes": q_volume_spikes,
         "link_communities": q_link_communities,
+        "ab_test": q_ab_test,
+        "decayed_counts": q_decayed_counts,
     }
 
 
@@ -9478,6 +9550,8 @@ def oracle_sql() -> dict[str, str]:
         "host_outliers": _sql_host_outliers(),
         "volume_spikes": _sql_volume_spikes(),
         "link_communities": _sql_link_communities(),
+        "ab_test": _sql_ab_test(),
+        "decayed_counts": _sql_decayed_counts(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
