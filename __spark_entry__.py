@@ -8694,6 +8694,118 @@ def _sql_decayed_counts() -> str:
     )
 
 
+def q_time_weighted_avg(spark, sf_dir):
+    """Left-constant time-weighted average (operators/twa.py): the
+    gauge rollup — per event type, event values held until the next
+    sample, weighted by exact integer second gaps (epoch-micros DIV
+    1e6 on BOTH engines: unix_timestamp/epoch() truncate vs round
+    differently on sub-second stamps, integer micros don't). num and
+    span exact BIGINT, twa one trailing division, NULL on zero span.
+    One LEAD window + one hash-agg on the same key clustering."""
+    from core_spark.operators.twa import time_weighted_avg
+
+    samples = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type AS k",
+        # NTZ column: CAST to TIMESTAMP first (UTC session — the
+        # covisit precedent), then exact integer micros DIV
+        "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000 AS t",
+        "FLOOR(value * 100.0) AS v",
+        "event_id AS id",
+    )
+    return time_weighted_avg(samples)
+
+
+def _sql_time_weighted_avg() -> str:
+    from core_spark.operators.twa import sql_time_weighted_avg
+
+    return sql_time_weighted_avg(
+        "SELECT event_type AS k, epoch_us(ts) // 1000000 AS t,"
+        " FLOOR(value * 100.0) AS v, event_id AS id FROM events"
+    )
+
+
+_RATE_W, _RATE_LIMIT = 6 * 3600, 2  # trailing 6 h, >2 events flags
+
+
+def q_sliding_rate(spark, sf_dir):
+    """Sliding-window rate audit (operators/ratelimit.py): per-user
+    trailing-6h event counts via a RANGE frame — the one workload
+    that genuinely needs time-distance frames over positional ROWS,
+    and the only RANGE-frame surface in the registry (peer-row
+    semantics: equal-second bursts count fully for every member —
+    both engines agree, and that agreement is what the oracle
+    gates). Verdict BIGINT 1/0 per §116."""
+    from core_spark.operators.ratelimit import sliding_rate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id AS k",
+        "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000 AS t_sec",
+        "event_id AS id",
+    )
+    return sliding_rate(ev, window_sec=_RATE_W, limit=_RATE_LIMIT)
+
+
+def _sql_sliding_rate() -> str:
+    from core_spark.operators.ratelimit import sql_sliding_rate
+
+    return sql_sliding_rate(
+        "SELECT user_id AS k, epoch_us(ts) // 1000000 AS t_sec,"
+        " event_id AS id FROM events",
+        window_sec=_RATE_W, limit=_RATE_LIMIT,
+    )
+
+
+# CDC fixture (generation-rule trick): keys are doc_id % 211 residues.
+# base = even docs (one row per key via MIN), changelog = every 3rd doc
+# (seq = doc_id, naturally unique; ~2.4 changes per colliding key), op
+# by residue — all three arms live: deletes remove existing AND absent
+# keys, inserts create change-only keys, untouched base keys survive.
+_CDC_BASE = (
+    "SELECT doc_id % 211 AS key, CAST(MIN(n_chars) AS BIGINT) AS val"
+    " FROM documents WHERE doc_id % 2 = 0 GROUP BY doc_id % 211"
+)
+_CDC_CHANGES = (
+    "SELECT doc_id % 211 AS key,"
+    " CASE WHEN doc_id % 7 = 0 THEN 'D'"
+    " WHEN doc_id % 7 < 4 THEN 'U' ELSE 'I' END AS op,"
+    " doc_id AS seq, CAST(n_chars AS BIGINT) AS val"
+    " FROM documents WHERE doc_id % 3 = 0"
+)
+
+
+def q_cdc_merge(spark, sf_dir):
+    """CDC merge / MERGE INTO (operators/cdc.py): apply an
+    insert/update/delete changelog to a base snapshot — highest-seq
+    winner per key via ONE hash-agg struct-max (never a window over
+    the changelog), then ONE full-outer join on the uniform key;
+    idempotent deletes, upsert I/U, untouched keys carry through.
+    Invalid ops fail loudly via an in-plan raise_error arm. The
+    url_history SCD2 operator keeps history; this resolves current
+    state (SCD1)."""
+    from pyspark.sql import functions as F
+    from core_spark.operators.cdc import cdc_merge
+
+    docs = _docs(spark, sf_dir, wide=False)
+    base = (
+        docs.where("doc_id % 2 = 0")
+        .groupBy((F.col("doc_id") % 211).alias("key"))
+        .agg(F.expr("CAST(MIN(n_chars) AS BIGINT)").alias("val"))
+    )
+    changes = docs.where("doc_id % 3 = 0").selectExpr(
+        "doc_id % 211 AS key",
+        "CASE WHEN doc_id % 7 = 0 THEN 'D'"
+        " WHEN doc_id % 7 < 4 THEN 'U' ELSE 'I' END AS op",
+        "doc_id AS seq", "CAST(n_chars AS BIGINT) AS val",
+    )
+    return cdc_merge(base, changes)
+
+
+def _sql_cdc_merge() -> str:
+    from core_spark.operators.cdc import sql_cdc_merge
+
+    return sql_cdc_merge(_CDC_BASE, _CDC_CHANGES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness harness
     # checks the FIRST 50 entries (CORRECTNESS_r04 stopped at entry 50
@@ -9000,6 +9112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_communities": q_link_communities,
         "ab_test": q_ab_test,
         "decayed_counts": q_decayed_counts,
+        "time_weighted_avg": q_time_weighted_avg,
+        "sliding_rate": q_sliding_rate,
+        "cdc_merge": q_cdc_merge,
     }
 
 
@@ -9552,6 +9667,9 @@ def oracle_sql() -> dict[str, str]:
         "link_communities": _sql_link_communities(),
         "ab_test": _sql_ab_test(),
         "decayed_counts": _sql_decayed_counts(),
+        "time_weighted_avg": _sql_time_weighted_avg(),
+        "sliding_rate": _sql_sliding_rate(),
+        "cdc_merge": _sql_cdc_merge(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
