@@ -8806,6 +8806,65 @@ def _sql_cdc_merge() -> str:
     return sql_cdc_merge(_CDC_BASE, _CDC_CHANGES)
 
 
+# Geofence directory (JVM literal-table pattern — never createDataFrame
+# on a query path): six 8x8 fences tiling the ping lattice + a seventh
+# oversized fence overlapping two of them, so the lowest-id overlap
+# tie-break has a live arm.
+_GF_XMIN = ("CASE WHEN id = 6 THEN 3.0"
+            " ELSE CAST(id % 3 AS DOUBLE) * 10.0 + 1.0 END")
+_GF_YMIN = ("CASE WHEN id = 6 THEN 4.0"
+            " ELSE CAST(id DIV 3 AS DOUBLE) * 12.0 + 2.0 END")
+_GF_XMAX = f"{_GF_XMIN} + CASE WHEN id = 6 THEN 17.0 ELSE 8.0 END"
+_GF_YMAX = f"{_GF_YMIN} + CASE WHEN id = 6 THEN 12.0 ELSE 8.0 END"
+
+
+def q_geofence_events(spark, sf_dir):
+    """Geofence transitions (operators/geofence.py): enter/exit/
+    switch events per user over the trajectory lattice — stay_points
+    finds dwells ANYWHERE, this anchors state changes to NAMED
+    regions (the alerting shape). Rectangle containment keeps
+    assignment pure-JVM broadcast; overlaps resolve to the lowest
+    fence id (pip first_only tie-break, live via the oversized
+    seventh fence); ONE entity-keyed window pass extracts single-row
+    transitions ('switch' carries both ids — exit+enter pairs would
+    force an ordering convention)."""
+    from core_spark.operators.geofence import geofence_events
+
+    pings = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id AS user",
+        "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000 AS t",
+        "event_id AS id",
+        f"{_HSD_LON} AS x", f"{_HSD_LAT} AS y",
+    )
+    fences = spark.range(7).selectExpr(
+        "id AS fence_id",
+        f"{_GF_XMIN} AS xmin", f"{_GF_YMIN} AS ymin",
+        f"{_GF_XMAX} AS xmax", f"{_GF_YMAX} AS ymax",
+    )
+    return geofence_events(pings, fences)
+
+
+def _sql_geofence_events() -> str:
+    from core_spark.operators.geofence import sql_geofence_events
+
+    dd = " // "
+    fences = (
+        "SELECT id AS fence_id,"
+        f" {_GF_XMIN.replace(' DIV ', dd)} AS xmin,"
+        f" {_GF_YMIN.replace(' DIV ', dd)} AS ymin,"
+        f" {_GF_XMAX.replace(' DIV ', dd)} AS xmax,"
+        f" {_GF_YMAX.replace(' DIV ', dd)} AS ymax"
+        " FROM generate_series(0, 6) AS g(id)"
+    )
+    pings = (
+        "SELECT user_id AS \"user\","
+        " epoch_us(ts) // 1000000 AS t, event_id AS id,"
+        f" {_HSD_LON.replace(' DIV ', dd)} AS x,"
+        f" {_HSD_LAT.replace(' DIV ', dd)} AS y FROM events"
+    )
+    return sql_geofence_events(pings, fences)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness harness
     # checks the FIRST 50 entries (CORRECTNESS_r04 stopped at entry 50
@@ -9115,6 +9174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "sliding_rate": q_sliding_rate,
         "cdc_merge": q_cdc_merge,
+        "geofence_events": q_geofence_events,
     }
 
 
@@ -9670,6 +9730,7 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted_avg": _sql_time_weighted_avg(),
         "sliding_rate": _sql_sliding_rate(),
         "cdc_merge": _sql_cdc_merge(),
+        "geofence_events": _sql_geofence_events(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",

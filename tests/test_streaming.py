@@ -610,3 +610,113 @@ class TestStreamingPercolation:
         }
         assert got == want
         assert (1, "q_sort") in got and (2, "q_sort") not in got
+
+
+class TestStreamDecayAndCdc:
+    def test_stream_decayed_counts_match_batch(self, spark, tmp_path):
+        """Decayed counters via the generic ledger: at a PINNED horizon
+        the state is a plain per-key SUM of bit-shift weights, so the
+        batch_reducer (per-batch decayed partials, ≤ |keys| rows per
+        micro-batch — a true contraction) folds by addition. Stream
+        state == the one-shot batch sketch, scaled cell for cell."""
+        from pyspark.sql import functions as F
+
+        from core_spark.operators.decay import decayed_counts
+        from core_spark.streaming.incremental import (
+            resolve_ledger, stream_accumulate,
+        )
+
+        input_dir = str(tmp_path / "in")
+        rows = [("k%d" % (i % 4), i % 13, (i * 7) % 5 + 1)
+                for i in range(300)]
+        for part in range(3):
+            chunk = [r for r in rows if hash(r) % 3 == part] or rows[:1]
+            spark.createDataFrame(
+                chunk, "k string, t long, x long"
+            ).coalesce(1).write.mode("append").parquet(input_dir)
+
+        HZ, HL = 12, 3
+
+        q = stream_accumulate(
+            spark,
+            input_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            output_dir=str(tmp_path / "ledger"),
+            schema="k string, t long, x long",
+            batch_reducer=lambda df: decayed_counts(
+                df, halflife=HL, horizon=HZ
+            ).select("k", "decayed_scaled", "n"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+        got = sorted(
+            tuple(r) for r in resolve_ledger(
+                spark, str(tmp_path / "ledger"),
+                lambda df: df.groupBy("k").agg(
+                    F.expr("CAST(SUM(decayed_scaled) AS BIGINT)")
+                    .alias("decayed_scaled"),
+                    F.expr("CAST(SUM(n) AS BIGINT)").alias("n"),
+                ),
+            ).collect()
+        )
+        want = sorted(
+            (r.k, r.decayed_scaled, r.n)
+            for r in decayed_counts(
+                spark.read.parquet(input_dir), halflife=HL, horizon=HZ
+            ).collect()
+        )
+        assert got == want and len(got) == 4
+
+    def test_stream_cdc_state_matches_batch(self, spark, tmp_path):
+        """CDC via the generic ledger: collapse_changes is seq- and
+        schema-preserving, hence ASSOCIATIVE — batch-local winners
+        re-collapsed over the ledger equal the global collapse, so the
+        resolved stream state merged into base equals the one-shot
+        cdc_merge over the full changelog. Cross-batch precedence is
+        real: later batches carry higher seqs that override earlier
+        winners, and a final D erases a key an early batch inserted."""
+        from core_spark.operators.cdc import cdc_merge, collapse_changes
+        from core_spark.streaming.incremental import (
+            resolve_ledger, stream_accumulate,
+        )
+
+        input_dir = str(tmp_path / "in")
+        batches = [
+            [(1, "I", 10, 100), (2, "I", 11, 200), (3, "I", 12, 300)],
+            [(2, "U", 20, 201), (3, "D", 21, None), (4, "I", 22, 400)],
+            [(3, "I", 30, 301), (1, "D", 31, None)],
+        ]
+        for chunk in batches:
+            spark.createDataFrame(
+                chunk, "key long, op string, seq long, val long"
+            ).coalesce(1).write.mode("append").parquet(input_dir)
+
+        q = stream_accumulate(
+            spark,
+            input_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            output_dir=str(tmp_path / "ledger"),
+            schema="key long, op string, seq long, val long",
+            batch_reducer=collapse_changes,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+        base = spark.createDataFrame(
+            [(2, 2000), (5, 500)], "key long, val long")
+        got = sorted(
+            (r.key, r.val) for r in cdc_merge(
+                base,
+                resolve_ledger(
+                    spark, str(tmp_path / "ledger"), collapse_changes),
+            ).collect()
+        )
+        want = sorted(
+            (r.key, r.val) for r in cdc_merge(
+                base, spark.read.parquet(input_dir)
+            ).collect()
+        )
+        assert got == want
+        # the semantics themselves: 3 revived by seq 30, 1 deleted
+        assert got == [(2, 201), (3, 301), (4, 400), (5, 500)]
