@@ -8865,6 +8865,59 @@ def _sql_geofence_events() -> str:
     return sql_geofence_events(pings, fences)
 
 
+# Fréchet fixture: 4 users per 4-unit lattice cell (group = user DIV 4
+# tiles a 32x32 lattice), ping wiggle ≤ 1.875 < the 2.125 cross-cell
+# gap — candidate pairs grow LINEARLY with users (the dbscan density
+# lesson), every-2nd-ping sampling bounds the DP at m ~ 33. 121 of 223
+# same-cell pairs qualify at t=1.5 (sf0.01), 18/21 at sf0.001.
+_FRE_LAT = ("CAST(((user_id DIV 4) % 32) * 4.0"
+            " + (event_id % 16) * 0.125 AS DOUBLE)")
+_FRE_LON = ("CAST(((user_id DIV 128) % 32) * 4.0"
+            " + ((event_id DIV 16) % 16) * 0.125 AS DOUBLE)")
+_FRE_T = 1.5
+
+
+def q_frechet(spark, sf_dir):
+    """Discrete Fréchet similarity join (operators/frechet.py): the
+    ORDER-AWARE refinement of hausdorff — the dog-leash DP over
+    (t, id)-sequenced pings, pure order statistics on the same exact
+    d2_micro BIGINTs; blocking inherited sound (dF >= Hausdorff ⇒
+    bbox-corner lemma); the Arrow verify pays the Hausdorff lower
+    bound FIRST so most candidates never reach the sequential DP.
+    The ORACLE gates the decision (free-space reachability via an
+    UNBLOCKED recursive-CTE twin); the exact fd2_micro value is
+    pytest-gated against the Python model (split gate — documented
+    in the module docstring)."""
+    from core_spark.operators.frechet import frechet_join
+
+    pts = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where("event_id % 2 = 0")
+        .selectExpr(
+            "user_id AS tid",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS t",
+            "event_id AS id",
+            f"{_FRE_LAT} AS lat", f"{_FRE_LON} AS lon",
+        )
+    )
+    return frechet_join(pts, _FRE_T).select(
+        "tid_a", "tid_b", "n_a", "n_b"
+    )
+
+
+def _sql_frechet() -> str:
+    from core_spark.operators.frechet import sql_frechet_decision
+
+    dd = " // "
+    pts = (
+        "SELECT user_id AS tid, epoch_us(ts) AS t, event_id AS id,"
+        f" {_FRE_LAT.replace(' DIV ', dd)} AS lat,"
+        f" {_FRE_LON.replace(' DIV ', dd)} AS lon"
+        " FROM events WHERE event_id % 2 = 0"
+    )
+    return sql_frechet_decision(pts, _FRE_T)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness harness
     # checks the FIRST 50 entries (CORRECTNESS_r04 stopped at entry 50
@@ -9175,6 +9228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_rate": q_sliding_rate,
         "cdc_merge": q_cdc_merge,
         "geofence_events": q_geofence_events,
+        "frechet": q_frechet,
     }
 
 
@@ -9731,6 +9785,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_rate": _sql_sliding_rate(),
         "cdc_merge": _sql_cdc_merge(),
         "geofence_events": _sql_geofence_events(),
+        "frechet": _sql_frechet(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
