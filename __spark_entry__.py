@@ -8918,6 +8918,52 @@ def _sql_frechet() -> str:
     return sql_frechet_decision(pts, _FRE_T)
 
 
+def q_rake_keywords(spark, sf_dir):
+    """RAKE key-phrase extraction (operators/rake.py): maximal
+    stopword-free word runs scored by Σ deg(w)/freq(w) in FIXED
+    POINT (deg·1e6 DIV freq — exact both engines; float RAKE is the
+    documented alternative). tfidf_topk ranks single terms per doc;
+    this surfaces multi-word corpus phrases. Segmentation is
+    tokenize-once + IN-list membership (the textstats lesson — no
+    regex alternation), all within-row JVM."""
+    from core_spark.operators.rake import rake_keywords
+
+    return rake_keywords(_docs(spark, sf_dir, wide=False), k=20)
+
+
+def _sql_rake_keywords() -> str:
+    from core_spark.operators.rake import sql_rake_keywords
+
+    return sql_rake_keywords("SELECT text FROM documents", k=20)
+
+
+def q_attribution(spark, sf_dir):
+    """Conversion attribution (operators/attribution.py): last- and
+    first-touch channel credit for every purchase via IGNORE NULLS
+    window lookups over the strictly-preceding frame — the only
+    IGNORE NULLS surface in the registry, so that cross-engine
+    window semantics agreement is itself oracled. '(none)' collects
+    conversions with no prior touch; ONE entity-keyed window pass +
+    two bounded hash-aggs FULL-OUTER merged."""
+    from core_spark.operators.attribution import attribution
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS t",
+        "event_id AS id", "event_type",
+    )
+    return attribution(ev)
+
+
+def _sql_attribution() -> str:
+    from core_spark.operators.attribution import sql_attribution
+
+    return sql_attribution(
+        "SELECT user_id, epoch_us(ts) AS t, event_id AS id,"
+        " event_type FROM events"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness harness
     # checks the FIRST 50 entries (CORRECTNESS_r04 stopped at entry 50
@@ -9229,6 +9275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge": q_cdc_merge,
         "geofence_events": q_geofence_events,
         "frechet": q_frechet,
+        "rake_keywords": q_rake_keywords,
+        "attribution": q_attribution,
     }
 
 
@@ -9786,6 +9834,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge": _sql_cdc_merge(),
         "geofence_events": _sql_geofence_events(),
         "frechet": _sql_frechet(),
+        "rake_keywords": _sql_rake_keywords(),
+        "attribution": _sql_attribution(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
