@@ -8964,6 +8964,35 @@ def _sql_attribution() -> str:
     )
 
 
+def q_pareto_front(spark, sf_dir):
+    """2-D skyline (operators/skyline.py): docs not dominated on
+    (length, vocabulary richness) — the multi-objective shortlist
+    top-k can't express. Two shared-ordering windows (strictly-
+    greater RANGE max + equal-x partition max), BIGINT axes and
+    verdict; the twin is the INDEPENDENT NOT EXISTS dominance
+    anti-join, so the windowed algebra itself is gated. At-scale
+    path documented: skyline is a contraction — stripe-local
+    skylines then one tiny final pass."""
+    from core_spark.operators.skyline import pareto_front
+
+    rows = _docs(spark, sf_dir, wide=False).selectExpr(
+        "doc_id AS id", "n_chars AS x",
+        "CAST(size(array_distinct(split(trim(text), ' ')))"
+        " AS BIGINT) AS y",
+    )
+    return pareto_front(rows)
+
+
+def _sql_pareto_front() -> str:
+    from core_spark.operators.skyline import sql_pareto_front
+
+    return sql_pareto_front(
+        "SELECT doc_id AS id, n_chars AS x,"
+        " CAST(len(list_distinct(string_split(trim(text), ' ')))"
+        " AS BIGINT) AS y FROM documents"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness harness
     # checks the FIRST 50 entries (CORRECTNESS_r04 stopped at entry 50
@@ -9277,6 +9306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frechet": q_frechet,
         "rake_keywords": q_rake_keywords,
         "attribution": q_attribution,
+        "pareto_front": q_pareto_front,
     }
 
 
@@ -9836,6 +9866,7 @@ def oracle_sql() -> dict[str, str]:
         "frechet": _sql_frechet(),
         "rake_keywords": _sql_rake_keywords(),
         "attribution": _sql_attribution(),
+        "pareto_front": _sql_pareto_front(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",
