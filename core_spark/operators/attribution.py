@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from core_spark.plans.materialize import pin
+
 _NONE = "(none)"
 
 
@@ -60,7 +62,9 @@ def attribution(
         Window.partitionBy("u").orderBy("t", "id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    conv = (
+    # pinned: BOTH rollups consume this table — without the pin each
+    # branch re-evaluates the event-scale window (CLAUDE.md rule)
+    conv = pin(
         v.select(
             "et",
             F.last("ch", ignorenulls=True).over(w).alias("lt"),

@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from core_spark.plans.materialize import pin
+
 # log10(1 + 1/d) in per-mille, d = 1..9; sums to exactly 1000
 BENFORD_MILLIS = (301, 176, 125, 97, 79, 67, 58, 51, 46)
 
@@ -54,7 +56,9 @@ def first_digit_audit(df: DataFrame, value_expr: str) -> DataFrame:
     digits = vals.selectExpr(
         f"CASE WHEN v >= 1.0 THEN {_DIGIT} END AS d"
     )
-    counts = (
+    # pinned: totals AND the spine join both consume the histogram —
+    # unpinned, each branch re-scans the corpus
+    counts = pin(
         digits.groupBy("d")
         .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("c"))
     )

@@ -43,6 +43,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from core_spark.plans.materialize import pin
+
 _S = 40  # scale exponent: weight of "now" = 2^40
 
 
@@ -66,6 +68,9 @@ def decayed_counts(
         f"CAST({x_col} AS BIGINT) AS x",
     )
     if horizon is None:
+        # pinned: the max-t agg AND the weight join both consume the
+        # series — which may itself be a derived agg, not a raw scan
+        v = pin(v)
         hz = v.agg(F.expr("CAST(MAX(t) AS BIGINT)").alias("hz"))
         v = v.join(F.broadcast(hz))
     else:

@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from core_spark.plans.materialize import pin
+
 
 def transition_matrix(
     events: DataFrame,
@@ -58,9 +60,11 @@ def transition_matrix(
         )
         .where(F.col("dst").isNotNull())
     )
-    counts = pairs.groupBy("src", "dst").agg(
+    # pinned: the totals agg AND the final join both consume the
+    # transition table — unpinned, each branch re-runs the LEAD window
+    counts = pin(pairs.groupBy("src", "dst").agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")
-    )
+    ))
     totals = counts.groupBy(F.col("src").alias("_ts")).agg(
         F.expr("CAST(SUM(n) AS BIGINT)").alias("src_total")
     )

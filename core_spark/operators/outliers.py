@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from core_spark.plans.materialize import pin
+
 _K1 = "(n + 1) DIV 2"
 _K2 = "n DIV 2 + 1"
 
@@ -63,11 +65,13 @@ def mad_outliers(
         f"CAST({x_col} AS BIGINT) AS x",
     )
     wg = Window.partitionBy("g")
-    r1 = v.select(
+    # r1/r2 are each consumed by their median agg AND the next stage —
+    # pinned, or every branch re-runs the ranking window (CLAUDE.md)
+    r1 = pin(v.select(
         "g", "id", "x",
         F.row_number().over(wg.orderBy("x", "id")).alias("rn"),
         F.count("*").over(wg).alias("n"),
-    )
+    ))
     med = (
         r1.groupBy("g")
         .agg(F.expr(
@@ -80,11 +84,11 @@ def mad_outliers(
                 F.col("g") == F.col("_mg"))
         .selectExpr("g", "id", "x", "med2", "abs(2 * x - med2) AS dev")
     )
-    r2 = d.select(
+    r2 = pin(d.select(
         "g", "id", "x", "med2", "dev",
         F.row_number().over(wg.orderBy("dev", "id")).alias("rn"),
         F.count("*").over(wg).alias("n"),
-    )
+    ))
     mad = (
         r2.groupBy(F.col("g").alias("_ag"))
         .agg(F.expr(

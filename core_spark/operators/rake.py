@@ -40,6 +40,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from core_spark.plans.materialize import pin
+
 _SCALE = 1_000_000  # fixed-point word-score scale
 
 # function words of the synthetic corpus; callers pass their own
@@ -79,8 +81,10 @@ def rake_keywords(
         "phrase", "split(phrase, ' ') AS _ws",
         "CAST(size(split(phrase, ' ')) AS BIGINT) AS n_words",
     )
-    pw = phrases.selectExpr("phrase", "n_words",
-                            "explode(_ws) AS word")
+    # pinned: word stats AND the score join both consume the exploded
+    # phrase words — unpinned, each branch re-runs the segmentation
+    pw = pin(phrases.selectExpr("phrase", "n_words",
+                                "explode(_ws) AS word"))
     stats = (
         pw.groupBy("word")
         .agg(
