@@ -448,3 +448,152 @@ def sql_derived_host_edges(
                                CAST(s.j AS VARCHAR)), 1, 15))::BIGINT
         ) % c.n
     """
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (random walk with restart)
+# ---------------------------------------------------------------------------
+
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: list,
+    iters: int = 3,
+    r0: int = 10**12,
+) -> DataFrame:
+    """(host, rank, is_seed): PageRank personalized to a SEED set —
+    the "related hosts to X" query (random walk with restart,
+    Jeh & Widom 2003). Global PageRank asks who is important overall;
+    this asks who is important FROM the seeds' neighborhood: walkers
+    START at the seeds and every restart returns there, so rank decays
+    with graph distance from the seed set and unreachable hosts score
+    exactly 0.
+
+    Same fixed-point discipline as :func:`pagerank_weighted`
+    (truncating DIV — deterministic and bit-portable), with two
+    changes: the teleport term is seed-MASKED ((3·r0) DIV 20 per
+    seed, 0 elsewhere), and the iteration STARTS from that restart
+    mass — r_0 = teleport·e_S, so after T rounds the rank equals the
+    truncated power series (1−α)·Σ_{k≤T} α^k M^k e_S and decays
+    MONOTONICALLY with hop distance. (Starting from a full r0 pulse
+    instead sends an undamped wave down the graph: a node T hops out
+    briefly outranks everything nearer — measured on a 4-chain, the
+    motivating bug for this docstring.) Per-round plan shape is
+    identical to the weighted variant (join on src, hash-agg on dst,
+    left join to the directory, re-pinned per round); the seed mask
+    is one broadcast IN-list — never a join.
+
+    ``seeds`` must be non-empty; seeds absent from the graph
+    contribute teleport mass but receive no in-flow (documented —
+    a seed with no edges is still "near itself").
+    """
+    if not seeds:
+        raise ValueError("pagerank_personalized: seeds must be non-empty")
+    if iters < 1:
+        raise ValueError("pagerank_personalized: iters must be >= 1")
+    edges = pin(edges)
+    deg = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_total"))
+    ed = pin(
+        edges.join(deg, "src_host").select(
+            "src_host", "dst_host", "n_links", "out_total"
+        )
+    )
+    seed_list = ", ".join(str(int(s)) for s in seeds)
+    nodes = pin(
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .selectExpr(
+            "host",
+            f"CAST(host IN ({seed_list}) AS BIGINT) AS is_seed",
+        )
+    )
+    teleport = ((_DAMP_DEN - _DAMP_NUM) * r0) // _DAMP_DEN
+    ranks = nodes.selectExpr("host", f"is_seed * {teleport} AS rank")
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed.src_host == ranks.host)
+            .selectExpr(
+                "dst_host",
+                "(rank * n_links) DIV out_total AS c",
+            )
+            .groupBy("dst_host")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.host == contrib.dst_host, "left")
+            .selectExpr(
+                "host",
+                f"is_seed * {teleport}"
+                f" + ({_DAMP_NUM} * coalesce(s, 0))"
+                f" DIV {_DAMP_DEN} AS rank",
+            )
+        )
+        ranks = pin(ranks, loop=True)
+    return ranks.join(nodes.select("host", "is_seed"), "host").select(
+        "host", "rank", "is_seed"
+    )
+
+
+def sql_pagerank_personalized(
+    edges_sql: str,
+    seeds: list,
+    iters: int = 3,
+    r0: int = 10**12,
+) -> str:
+    """DuckDB twin of :func:`pagerank_personalized` (unrolled CTEs,
+    seed-masked teleport). ``edges_sql`` yields
+    (src_host, dst_host, n_links)."""
+    if not seeds:
+        raise ValueError("pagerank_personalized: seeds must be non-empty")
+    if iters < 1:
+        raise ValueError("pagerank_personalized: iters must be >= 1")
+    teleport = ((_DAMP_DEN - _DAMP_NUM) * r0) // _DAMP_DEN
+    seed_list = ", ".join(str(int(s)) for s in seeds)
+    rounds = []
+    prev = "p0"
+    for t in range(1, iters + 1):
+        rounds.append(
+            f"""pc{t} AS (
+              SELECT e.dst_host AS host,
+                     CAST(SUM((r.rank * e.n_links) // e.out_total)
+                          AS BIGINT) AS s
+              FROM ped e JOIN {prev} r ON r.host = e.src_host
+              GROUP BY e.dst_host
+            ), p{t} AS (
+              SELECT n.host,
+                     n.is_seed * {teleport}
+                       + ({_DAMP_NUM} * COALESCE(c.s, 0))
+                       // {_DAMP_DEN} AS rank,
+                     n.is_seed
+              FROM pnodes n LEFT JOIN pc{t} c USING (host)
+            )"""
+        )
+        prev = f"p{t}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+        WITH pedges AS ({edges_sql}),
+        pdeg AS (
+          SELECT src_host, SUM(n_links) AS out_total
+          FROM pedges GROUP BY src_host
+        ),
+        ped AS (
+          SELECT e.src_host, e.dst_host, e.n_links, d.out_total
+          FROM pedges e JOIN pdeg d USING (src_host)
+        ),
+        pnodes AS (
+          SELECT host,
+                 CAST(host IN ({seed_list}) AS BIGINT) AS is_seed
+          FROM (
+            SELECT src_host AS host FROM pedges
+            UNION
+            SELECT dst_host AS host FROM pedges
+          )
+        ),
+        p0 AS (
+          SELECT host, CAST(is_seed * {teleport} AS BIGINT) AS rank,
+                 is_seed
+          FROM pnodes
+        ),
+        {rounds_sql}
+        SELECT host, rank, is_seed FROM {prev}
+    """
