@@ -9036,6 +9036,166 @@ def _sql_link_ppr() -> str:
     return sql_pagerank_personalized(edges, _PPR_SEEDS, iters=3)
 
 
+_ABC_A, _ABC_B = 80, 95  # cumulative-share breakpoints (percent)
+
+
+def q_abc_classes(spark, sf_dir):
+    """ABC / Pareto-share classification: parts ranked by revenue,
+    classed A while the RUNNING total (inclusive) is ≤80% of grand
+    total, B to 95%, else C — the inventory-management standard. All
+    comparisons are BIGINT cross-multiplication (cum·100 vs pct·total
+    — no share double is ever compared); ONE ordered window with a
+    (revenue, key) tie-break + a 1-row broadcast total. The global
+    ORDER window serializes one pass over the PART-cardinality table
+    (already aggregated — bounded), never the fact table."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    vals = pin(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr("l_partkey", f"{_REV_CENTS} AS cents")
+        .groupBy("l_partkey")
+        .agg(F.expr("CAST(SUM(cents) AS BIGINT)").alias("rev"))
+    )
+    total = vals.agg(
+        F.expr("CAST(SUM(rev) AS BIGINT)").alias("total"))
+    return (
+        vals.select(
+            "l_partkey", "rev",
+            F.expr("CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey"
+                   " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                   " AS BIGINT)").alias("cum"),
+        )
+        .join(F.broadcast(total))
+        .selectExpr(
+            "l_partkey", "rev", "cum",
+            f"CASE WHEN cum * 100 <= {_ABC_A} * total THEN 'A'"
+            f" WHEN cum * 100 <= {_ABC_B} * total THEN 'B'"
+            " ELSE 'C' END AS abc",
+        )
+    )
+
+
+def _sql_abc_classes() -> str:
+    return f"""
+        WITH vals AS (
+            SELECT l_partkey,
+                   CAST(SUM({_REV_CENTS}) AS BIGINT) AS rev
+            FROM lineitem GROUP BY l_partkey
+        ),
+        c AS (
+            SELECT l_partkey, rev,
+                   CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cum,
+                   (SELECT CAST(SUM(rev) AS BIGINT) FROM vals) AS total
+            FROM vals
+        )
+        SELECT l_partkey, rev, cum,
+               CASE WHEN cum * 100 <= {_ABC_A} * total THEN 'A'
+                    WHEN cum * 100 <= {_ABC_B} * total THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM c
+    """
+
+
+def q_skew_report(spark, sf_dir):
+    """Join-key skew diagnosis: the report an engineer wants BEFORE a
+    100-TB join — per-key count distribution of the fact table's join
+    key as ONE summary row: distinct keys, total rows, max/p50/p99
+    per-key counts (exact integer ranks, the group_quantiles
+    definition), and the skew factor numerator/denominator
+    (max·distinct vs total — >1 means the hottest key exceeds the
+    uniform share; compare cross-multiplied). Two hash-aggs (key
+    counts → count-distribution) + one tiny ordered window over the
+    DISTINCT-COUNT-VALUE grain, never the keys themselves."""
+    from pyspark.sql import functions as F
+
+    counts = pin(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_partkey")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("c"))
+    )
+    # distribution at the count-VALUE grain: tiny (distinct counts)
+    dist = pin(
+        counts.groupBy("c")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("nk"))
+        .selectExpr("c", "nk")
+    )
+    ranked = dist.selectExpr(
+        "c", "nk",
+        "CAST(SUM(nk) OVER (ORDER BY c"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS BIGINT) AS cumk",
+    )
+    totals = counts.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_keys"),
+        F.expr("CAST(SUM(c) AS BIGINT)").alias("n_rows"),
+        F.expr("CAST(MAX(c) AS BIGINT)").alias("max_c"),
+    )
+    # exact integer-rank percentiles: smallest c with cumk*100 >= p*n
+    pick = (
+        ranked.join(F.broadcast(totals))
+        .selectExpr(
+            "n_keys", "n_rows", "max_c",
+            "CASE WHEN cumk * 100 >= 50 * n_keys THEN c END AS c50",
+            "CASE WHEN cumk * 100 >= 99 * n_keys THEN c END AS c99",
+        )
+        .agg(
+            F.expr("CAST(MIN(n_keys) AS BIGINT)").alias("n_keys"),
+            F.expr("CAST(MIN(n_rows) AS BIGINT)").alias("n_rows"),
+            F.expr("CAST(MIN(max_c) AS BIGINT)").alias("max_c"),
+            F.expr("CAST(MIN(c50) AS BIGINT)").alias("p50_c"),
+            F.expr("CAST(MIN(c99) AS BIGINT)").alias("p99_c"),
+        )
+    )
+    return pick.selectExpr(
+        "n_keys", "n_rows", "max_c", "p50_c", "p99_c",
+        "CAST(max_c * n_keys AS BIGINT) AS skew_num",
+        "n_rows AS skew_den",
+        "CAST(max_c * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)"
+        " AS skew_factor",
+    )
+
+
+def _sql_skew_report() -> str:
+    return """
+        WITH counts AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY l_partkey
+        ),
+        dist AS (
+            SELECT c, CAST(COUNT(*) AS BIGINT) AS nk
+            FROM counts GROUP BY c
+        ),
+        ranked AS (
+            SELECT c, nk,
+                   CAST(SUM(nk) OVER (ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cumk
+            FROM dist
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
+                   CAST(MAX(c) AS BIGINT) AS max_c
+            FROM counts
+        )
+        SELECT CAST(MIN(n_keys) AS BIGINT) AS n_keys,
+               CAST(MIN(n_rows) AS BIGINT) AS n_rows,
+               CAST(MIN(max_c) AS BIGINT) AS max_c,
+               CAST(MIN(CASE WHEN cumk * 100 >= 50 * n_keys
+                    THEN c END) AS BIGINT) AS p50_c,
+               CAST(MIN(CASE WHEN cumk * 100 >= 99 * n_keys
+                    THEN c END) AS BIGINT) AS p99_c,
+               CAST(MIN(max_c) * MIN(n_keys) AS BIGINT) AS skew_num,
+               CAST(MIN(n_rows) AS BIGINT) AS skew_den,
+               CAST(MIN(max_c) * MIN(n_keys) AS DOUBLE)
+                   / CAST(MIN(n_rows) AS DOUBLE) AS skew_factor
+        FROM ranked, tot
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness harness
     # checks the FIRST 50 entries (CORRECTNESS_r04 stopped at entry 50
@@ -9351,6 +9511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "pareto_front": q_pareto_front,
         "link_ppr": q_link_ppr,
+        "abc_classes": q_abc_classes,
+        "skew_report": q_skew_report,
     }
 
 
@@ -9912,6 +10074,8 @@ def oracle_sql() -> dict[str, str]:
         "attribution": _sql_attribution(),
         "pareto_front": _sql_pareto_front(),
         "link_ppr": _sql_link_ppr(),
+        "abc_classes": _sql_abc_classes(),
+        "skew_report": _sql_skew_report(),
         "semdedup": _sql_semdedup_oracle(),
         "frequent_hosts": hh.sql_frequent_items(
             f"SELECT {_ruler_host_sql('duckdb')} AS item FROM documents",

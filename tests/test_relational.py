@@ -254,3 +254,49 @@ def test_min_cost_supplier_model(spark):
         )
     }
     assert gm == want
+
+
+def test_abc_classes_mass_and_monotone(spark):
+    from __spark_entry__ import _ABC_A, _ABC_B, q_abc_classes
+
+    got = q_abc_classes(spark, SF_SMOKE).toPandas()
+    li = _pq("lineitem")
+    li["cents"] = [
+        _cents(p, d) for p, d in zip(li.l_extendedprice, li.l_discount)
+    ]
+    vals = li.groupby("l_partkey").cents.sum().sort_values(
+        ascending=False)
+    total = int(vals.sum())
+    # every part classified exactly once; totals conserved
+    assert len(got) == len(vals)
+    assert int(got.rev.sum()) == total
+    # class assignment matches the cumulative-share model with the
+    # (rev DESC, key ASC) tie order
+    order = sorted(vals.items(), key=lambda kv: (-kv[1], kv[0]))
+    cum, want = 0, {}
+    for k, v in order:
+        cum += int(v)
+        want[int(k)] = ("A" if cum * 100 <= _ABC_A * total
+                        else "B" if cum * 100 <= _ABC_B * total
+                        else "C")
+    assert dict(zip(got.l_partkey, got.abc)) == want
+    # A revenue share is at most the breakpoint, and classes are live
+    assert {"A", "B", "C"} <= set(got.abc)
+
+
+def test_skew_report_model(spark):
+    from __spark_entry__ import q_skew_report
+
+    r = q_skew_report(spark, SF_SMOKE).collect()[0]
+    li = _pq("lineitem")
+    counts = li.groupby("l_partkey").size()
+    assert r.n_keys == len(counts) and r.n_rows == len(li)
+    assert r.max_c == int(counts.max())
+    sc = sorted(counts)
+    # integer-rank percentiles: smallest value with cum count >= p%
+    def rank(p):
+        need = (p * len(sc) + 99) // 100
+        return sc[need - 1]
+    assert r.p50_c == rank(50) and r.p99_c == rank(99)
+    assert r.skew_num == r.max_c * r.n_keys
+    assert r.skew_factor == r.skew_num / r.n_rows
