@@ -67,7 +67,9 @@ def collapse_changes(
     schema as the input — associative, so batch-local collapse +
     ledger re-collapse ≡ one global collapse (pytest-pinned against
     the one-shot batch merge)."""
-    c = changes.where(F.col(key_col).isNotNull()).selectExpr(
+    c = changes.where(
+        F.col(key_col).isNotNull() & F.col("seq").isNotNull()
+    ).selectExpr(
         f"{key_col} AS k", "op", "CAST(seq AS BIGINT) AS seq",
         f"{val_col} AS cval",
     )
@@ -91,7 +93,12 @@ def cdc_merge(
         f"{key_col} AS k", f"{val_col} AS bval"
     )
     ops = ", ".join(f"'{o}'" for o in _OPS)
-    c = changes.where(F.col(key_col).isNotNull()).selectExpr(
+    # NULL seq dropped on ingest: an unsequenced change cannot be
+    # ordered, and a NULL field inside the struct-max would ride
+    # engine-dependent comparison semantics
+    c = changes.where(
+        F.col(key_col).isNotNull() & F.col("seq").isNotNull()
+    ).selectExpr(
         f"{key_col} AS k",
         f"CASE WHEN op IN ({ops}) THEN op"
         " ELSE raise_error(concat('cdc_merge: invalid op ', op))"
@@ -130,7 +137,8 @@ def sql_cdc_merge(
         cdc_chg AS (
             SELECT {key_col} AS k, op, CAST(seq AS BIGINT) AS seq,
                    {val_col} AS cval
-            FROM ({changes_sql}) s WHERE {key_col} IS NOT NULL
+            FROM ({changes_sql}) s
+            WHERE {key_col} IS NOT NULL AND seq IS NOT NULL
         ),
         cdc_winner AS (
             SELECT k AS wk, op AS wop, cval AS wval

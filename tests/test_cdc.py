@@ -82,3 +82,21 @@ def test_duckdb_twin_matches(spark):
         sql_cdc_merge("SELECT * FROM b", "SELECT * FROM c")
     ).fetchall())
     assert got == want
+
+
+def test_null_seq_changes_dropped(spark):
+    # an unsequenced change cannot be ordered: dropped on BOTH engines
+    got = _got(spark, [(1, 10)], [(1, "U", None, 99), (1, "U", 5, 55)])
+    assert got == {1: 55}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE b2 (key BIGINT, val BIGINT)")
+    con.execute("INSERT INTO b2 VALUES (1, 10)")
+    con.execute(
+        "CREATE TABLE c2 (key BIGINT, op VARCHAR, seq BIGINT,"
+        " val BIGINT)")
+    con.executemany("INSERT INTO c2 VALUES (?, ?, ?, ?)",
+                    [(1, "U", None, 99), (1, "U", 5, 55)])
+    want = dict(con.sql(
+        sql_cdc_merge("SELECT * FROM b2", "SELECT * FROM c2")
+    ).fetchall())
+    assert want == {1: 55}
