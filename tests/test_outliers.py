@@ -82,3 +82,39 @@ def test_duckdb_twin_matches(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_hypothesis_fuzz_vs_python_model(spark):
+    from hypothesis import given, settings, strategies as st
+
+    def model(data, k=3):
+        out = {}
+        by_g = {}
+        for g, i, x in data:
+            by_g.setdefault(g, []).append((x, i))
+        for g, xs in by_g.items():
+            xs.sort()
+            n = len(xs)
+            med2 = xs[(n + 1) // 2 - 1][0] + xs[n // 2][0]
+            devs = sorted(abs(2 * x - med2) for x, _ in xs)
+            mad2d = devs[(n + 1) // 2 - 1] + devs[n // 2]
+            for x, i in xs:
+                out[i] = 2 * abs(2 * x - med2) > k * mad2d
+        return out
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1000, 1000)),
+        min_size=1, max_size=40,
+    ))
+    def run(raw):
+        data = [("g%d" % g, i, x) for i, (g, x) in enumerate(raw)]
+        got = {r.id: bool(r.is_outlier)
+               for r in mad_outliers(
+                   spark.createDataFrame(
+                       data, "g STRING, id BIGINT, x BIGINT")
+               ).collect()}
+        want = model([(g, i, x) for g, i, x in data])
+        assert got == want
+
+    run()
